@@ -1,0 +1,27 @@
+"""Time parsing / formatting helpers (SURVEY.md section 2.7 F1-F5).
+
+The reference extracts a "timemark" from harvest file names with the regex
+``(\\d+-\\d+-\\d+T\\d+:\\d+:\\d+)`` (``run/createHarvestObsFileMeta.py:150``,
+``run/createIngestObsData.py:182``) and normalizes timestamps to
+``YYYY-MM-DDTHH:MM:SSZ`` strings (``run/runObsIngest.py:219-221``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: filename-embedded ISO datetime, as in the reference
+TIMEMARK_RE = r"(\d+-\d+-\d+T\d+:\d+:\d+)"
+
+
+def timemark_from_filename(path_col: Column | str) -> Column:
+    """Extract the timemark timestamp from a harvest file path/name (F1)."""
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    return F.to_timestamp(F.regexp_extract(c, TIMEMARK_RE, 1), "yyyy-MM-dd'T'HH:mm:ss")
+
+
+def timemark_iso_z(ts_col: Column | str) -> Column:
+    """Format a timestamp as the reference's ``...T...Z`` string (F2)."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")

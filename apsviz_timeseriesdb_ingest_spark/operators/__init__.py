@@ -1,0 +1,3 @@
+from .dedup import keep_latest  # noqa: F401
+from .pivot import crosstab_timeseries, kv_pivot  # noqa: F401
+from .ledger import new_files_anti_join  # noqa: F401

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target the test harness (local[N]) but every knob is chosen for
+cluster scale: AQE handles skew/coalescing at runtime, shuffle partitions
+default to cores locally (thousands on a real cluster via config), Arrow
+keeps the few pandas-interop paths vectorized, and the session timezone is
+pinned UTC so event-time semantics are reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed ones.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interop path (LLM ops use mapInPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic event-time semantics regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold: dimensions here are tiny; be generous (64 MB).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet scans: 128 MB splits, good default for 100 TB fact tables.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def get_spark(app_name: str = "apsviz-tsdb-spark", *, shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(
+        os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    ).appName(app_name)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an externally-created session.
+
+    The driver harness hands us its own SparkSession; session timezone and
+    AQE are runtime-settable, so pin them for deterministic results.
+    """
+    for k in ("spark.sql.session.timeZone", "spark.sql.adaptive.enabled",
+              "spark.sql.execution.arrow.pyspark.enabled"):
+        try:
+            spark.conf.set(k, DEFAULT_CONF.get(k, "true"))
+        except Exception:  # pragma: no cover - conf may be fixed; best effort
+            pass
+    return spark

@@ -1,0 +1,469 @@
+"""Relational operator suite (SURVEY.md section 2) on the driver testdata.
+
+Every query has a DuckDB oracle. Aggregates over doubles are cast to
+DECIMAL before summing so Spark and DuckDB produce bit-identical values
+regardless of partitioned summation order; pass-through doubles are safe
+(same parquet bytes on both sides).
+
+Scale notes are per-query docstrings: the testdata is small, but each plan
+is written the way it should execute on a 1000-executor cluster —
+broadcast dims, pre-aggregate before shuffle, pivot with explicit
+categories, window dedup partitioned on the dedup keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.predicates import interval_overlaps
+from ..operators.dedup import keep_latest
+from ..operators.pivot import crosstab_timeseries
+from ._registry import make_registry, tables
+
+QUERIES, ORACLES, query = make_registry()
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _dec(col: str, prec: int = 18, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# --- P: projections / filters / predicates -------------------------------
+
+@query("p1_equality_filter", sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+""")
+def p1_equality_filter(spark, sf_dir):
+    """P1: conjunctive equality/range predicates, pushed to the parquet scan.
+
+    Mirrors the reference's un-ingested-file scan
+    (``run/ingestObsTasks.py:233-237``). All three predicates show up in
+    ``PushedFilters`` of the FileScan; projection prunes to 4 columns.
+    """
+    li = tables(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+                  & (F.col("l_shipdate") >= "1996-01-01"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query("p3_in_list", sql="""
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""")
+def p3_in_list(spark, sf_dir):
+    """P3: IN-list predicate (reference ``station_name = ANY(...)``,
+    ``run/createIngestObsData.py:125``). Pushed down as In filter."""
+    o = tables(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+@query("p4_time_range", sql="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+""")
+def p4_time_range(spark, sf_dir):
+    """P4: event-time range predicate (``run/ingestObsTasks.py:51``).
+    At scale this is partition pruning on a time-bucketed fact table."""
+    ev = tables(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-10 00:00:00"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@query("p5_interval_overlap", sql="""
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_orderdate <= TIMESTAMP '1995-07-01 00:00:00'
+      AND o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '1995-06-01 00:00:00'
+""")
+def p5_interval_overlap(spark, sf_dir):
+    """P5: SQL OVERLAPS expansion (``run/createIngestApsVizStationData.py:43-44``):
+    order validity window [o_orderdate, +30d] vs fixed query window."""
+    o = tables(spark, sf_dir, "orders")
+    pred = interval_overlaps(
+        F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        F.lit("1995-06-01 00:00:00").cast("timestamp"),
+        F.lit("1995-07-01 00:00:00").cast("timestamp"),
+    )
+    return o.filter(pred).select("o_orderkey", "o_orderdate")
+
+
+@query("p10_project_rename_cast", sql="""
+    SELECT p_partkey AS part_key,
+           upper(p_name) AS part_name_upper,
+           CAST(p_retailprice AS DECIMAL(12,2)) AS retail_dec,
+           p_size * 2 AS size_doubled
+    FROM part
+""")
+def p10_project_rename_cast(spark, sf_dir):
+    """P10: projection / rename / cast / computed column
+    (``run/createIngestObsData.py:169-174``)."""
+    p = tables(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("part_key"),
+        F.upper("p_name").alias("part_name_upper"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("retail_dec"),
+        (F.col("p_size") * 2).alias("size_doubled"),
+    )
+
+
+# --- J: joins ------------------------------------------------------------
+
+@query("j1_dim_broadcast_join", sql="""
+    SELECT s_suppkey, s_name, n_name, r_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+""")
+def j1_dim_broadcast_join(spark, sf_dir):
+    """J1: dim ⋈ dim equi-join with filter (``run/createIngestObsData.py:121-126``).
+    Both dims broadcast — zero shuffle at any scale."""
+    s, n, r = tables(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@query("j3_three_way_join_agg", sql="""
+    SELECT o_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS revenue,
+           COUNT(*) AS line_count
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+    GROUP BY o_orderkey
+""")
+def j3_three_way_join_agg(spark, sf_dir):
+    """J3: fact ⋈ fact ⋈ dim three-way join (view joins,
+    ``run/ingestObsTasks.py:519-521``) + grouped decimal revenue.
+
+    Plan shape at scale: customer (dim) broadcasts into orders, the
+    filtered orders side then shuffle-joins lineitem on the join key, and
+    the final agg reuses the same key partitioning (no extra shuffle).
+    """
+    c, o, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
+    return (
+        li.join(o.filter(F.col("o_orderstatus") == "O"),
+                li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(revenue).alias("revenue"), F.count("*").alias("line_count"))
+    )
+
+
+@query("j4_anti_join", sql="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""")
+def j4_anti_join(spark, sf_dir):
+    """J4: anti-join — the reference's new-file detection
+    (``run/createHarvestObsFileMeta.py:185``): customers with no urgent
+    orders (filtered right side keeps the result non-trivially non-empty)."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    return c.join(urgent, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
+
+
+@query("j8_semi_join", sql="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""")
+def j8_semi_join(spark, sf_dir):
+    """J8: existence check as left-semi join (``run/getDashboardMeta.py:100-138``)."""
+    p, li = tables(spark, sf_dir, "part", "lineitem")
+    return (
+        p.join(li.select(F.col("l_partkey").alias("p_partkey")), on="p_partkey", how="left_semi")
+        .select("p_partkey", "p_name")
+    )
+
+
+@query("j7_keep_latest_dedup", sql="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+""")
+def j7_keep_latest_dedup(spark, sf_dir):
+    """J7/M3: keep-latest duplicate resolution — the reference's self-join
+    DELETE (``run/ingestObsTasks.py:45-56``) as a deterministic window
+    dedup. One shuffle on the dedup keys; partial ordering work is done
+    map-side by the sort-based window."""
+    ev = tables(spark, sf_dir, "events")
+    return keep_latest(
+        ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# --- A: aggregations -----------------------------------------------------
+
+@query("a1_minmax_per_group", sql="""
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
+    FROM events GROUP BY user_id
+""")
+def a1_minmax_per_group(spark, sf_dir):
+    """A1: per-group min/max event time (file begin/end times,
+    ``run/createHarvestObsFileMeta.py:155-157``). Partial aggregation
+    map-side, single shuffle on the group key."""
+    ev = tables(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("a2_count_distinct", sql="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+""")
+def a2_count_distinct(spark, sf_dir):
+    """A2: exact distinct count (rerun detection,
+    ``run/ingestModelTasks.py:50-56``). Expands to two-stage agg in Spark."""
+    ev = tables(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@query("a3_distinct", sql="""
+    SELECT DISTINCT lang, source FROM documents
+""")
+def a3_distinct(spark, sf_dir):
+    """A3: DISTINCT set projection (``run/createIngestApsVizStationData.py:41-46``)."""
+    d = tables(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct()
+
+
+@query("a5_dedup_by_key", sql="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) = 1
+""")
+def a5_dedup_by_key(spark, sf_dir):
+    """A5: drop_duplicates by key, made deterministic (largest doc per
+    source; reference ``run/createIngestApsVizStationData.py:272``)."""
+    d = tables(spark, sf_dir, "documents")
+    return keep_latest(
+        d, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).select("doc_id", "source", "n_chars")
+
+
+# --- X: pivots -----------------------------------------------------------
+
+@query("x1_event_pivot", sql="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS click,
+           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS error,
+           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS purchase,
+           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS signup,
+           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1
+""")
+def x1_event_pivot(spark, sf_dir):
+    """X1: crosstab pivot with a fixed category list
+    (``scripts/get_obs_timeseries_station_data.sql:26-38``). Explicit
+    pivot values → no distinct-scan pre-job, constant output schema."""
+    ev = tables(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(_dec("value")))
+    )
+
+
+@query("x5_kv_pivot", sql="""
+    SELECT user_id,
+           max(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS purchase_max,
+           max(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS click_max,
+           count(*) AS n
+    FROM events GROUP BY user_id
+""")
+def x5_kv_pivot(spark, sf_dir):
+    """X5: key/value → wide row (run-property pivot,
+    ``scripts/get_adcirc_run_property_variables.sql:11-50``)."""
+    ev = tables(spark, sf_dir, "events")
+    dec = _dec("value")
+    return ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", dec)).alias("purchase_max"),
+        F.max(F.when(F.col("event_type") == "click", dec)).alias("click_max"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("x6_sanitized_pivot_labels", sql="""
+    WITH agg AS (
+        SELECT lang, source, count(*) AS cnt
+        FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1, 2
+    )
+    SELECT lang,
+           max(cnt) FILTER (WHERE source = 'src0') AS srccount0,
+           max(cnt) FILTER (WHERE source = 'src1') AS srccount1
+    FROM agg GROUP BY lang
+""")
+def x6_sanitized_pivot_labels(spark, sf_dir):
+    """X1+X6: pivot via the engine's crosstab operator with label
+    sanitization (dots stripped per
+    ``scripts/get_forecast_timeseries_station_data.sql:32``)."""
+    d = tables(spark, sf_dir, "documents")
+    pre = (
+        d.filter(F.col("source").isin("src0", "src1"))
+        .withColumn("src", F.concat(F.lit("src.count."),
+                                    F.regexp_extract("source", r"(\d+)$", 1)))
+        .groupBy("lang", "src").agg(F.count("*").alias("cnt"))
+    )
+    return crosstab_timeseries(
+        pre, row_key="lang", pivot_col="src",
+        categories=["src.count.0", "src.count.1"], value=F.col("cnt"),
+    )
+
+
+# --- O: sorts / set ops --------------------------------------------------
+
+@query("o3_union", sql="""
+    SELECT o_orderkey, o_orderpriority, 'urgent' AS bucket
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'low' AS bucket
+    FROM orders WHERE o_orderpriority = '5-LOW'
+""")
+def o3_union(spark, sf_dir):
+    """O3: vertical union (``pd.concat``,
+    ``run/createIngestApsVizStationData.py:310``) via unionByName."""
+    o = tables(spark, sf_dir, "orders")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_orderpriority", F.lit("urgent").alias("bucket")))
+    low = (o.filter(F.col("o_orderpriority") == "5-LOW")
+           .select("o_orderkey", "o_orderpriority", F.lit("low").alias("bucket")))
+    return urgent.unionByName(low)
+
+
+@query("o4_first_last_per_group", sql="""
+    SELECT user_id,
+           min_by(event_id, ts) AS first_event_id,
+           max_by(event_id, ts) AS last_event_id
+    FROM events GROUP BY user_id
+""")
+def o4_first_last_per_group(spark, sf_dir):
+    """O4/A7: first/last of ordered group (``.iloc[0]/.iloc[-1]``,
+    ``run/createHarvestObsFileMeta.py:196-197``) via min_by/max_by —
+    single-pass agg, no sort."""
+    ev = tables(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("min_by(event_id, ts)").alias("first_event_id"),
+        F.expr("max_by(event_id, ts)").alias("last_event_id"),
+    )
+
+
+# --- F: scalar function suite -------------------------------------------
+
+@query("f_scalar_suite", sql="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS timemark_iso,
+           regexp_extract(o_orderpriority, '(\\d+)', 1) AS priority_num,
+           upper(o_orderstatus) || '-' || o_orderpriority AS status_tag,
+           coalesce(NULL, o_orderpriority, 'none') AS coalesced,
+           CAST(o_orderdate - INTERVAL 36 HOUR AS VARCHAR) IS NOT NULL AS ts_math_ok
+    FROM orders
+""")
+def f_scalar_suite(spark, sf_dir):
+    """F1/F2/F4/F6/F7/F8: timemark ISO-Z formatting, regex extraction,
+    string surgery, coalesce, interval arithmetic — all JVM builtins
+    (zero Python UDFs, per SURVEY section 2.10)."""
+    o = tables(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timemark_iso"),
+        F.regexp_extract("o_orderpriority", r"(\d+)", 1).alias("priority_num"),
+        F.concat(F.upper("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("status_tag"),
+        F.coalesce(F.lit(None), F.col("o_orderpriority"), F.lit("none")).alias("coalesced"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 36 HOURS")).cast("string").isNotNull().alias("ts_math_ok"),
+    )
+
+
+# --- headline: TPC-H-style ----------------------------------------------
+
+@query("q1_pricing_summary", sql="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """Headline scan-agg (TPC-H Q1 shape): full-table scan, 6-group agg.
+    Map-side partial aggregation reduces the shuffle to a handful of rows
+    per task regardless of input size — the 100 TB-safe shape."""
+    li = tables(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-01 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
+             F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+             F.sum(disc_price).alias("sum_disc_price"),
+             F.count("*").alias("count_order"))
+    )
+
+
+@query("q5_local_supplier_volume", sql="""
+    SELECT n_name,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """Headline multi-join agg (TPC-H Q5 shape): 6-table join where every
+    dimension broadcasts; the only shuffles are the two fact-fact joins
+    and the final tiny agg."""
+    c, o, li, s, n, r = tables(spark, sf_dir, "customer", "orders", "lineitem",
+                               "supplier", "nation", "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
+    asia_nations = (n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                           n.n_regionkey == r.r_regionkey)
+                    .select("n_nationkey", "n_name"))
+    return (
+        li.join(o.filter((F.col("o_orderdate") >= "1996-01-01")
+                         & (F.col("o_orderdate") < "1998-01-01")),
+                li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+    )
