@@ -11,14 +11,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: filename-embedded ISO datetime, as in the reference
-TIMEMARK_RE = r"(\d+-\d+-\d+T\d+:\d+:\d+)"
+#: filename-embedded ISO datetime, as in the reference. Also accepts ``_``
+#: in place of ``:`` — Hadoop paths cannot contain colons, so colon-named
+#: harvest files are staged under sanitized names (see plans/obs_ingest).
+TIMEMARK_RE = r"(\d+-\d+-\d+T\d+[:_]\d+[:_]\d+)"
 
 
 def timemark_from_filename(path_col: Column | str) -> Column:
     """Extract the timemark timestamp from a harvest file path/name (F1)."""
     c = F.col(path_col) if isinstance(path_col, str) else path_col
-    return F.to_timestamp(F.regexp_extract(c, TIMEMARK_RE, 1), "yyyy-MM-dd'T'HH:mm:ss")
+    raw = F.translate(F.regexp_extract(c, TIMEMARK_RE, 1), "_", ":")
+    return F.to_timestamp(raw, "yyyy-MM-dd'T'HH:mm:ss")
 
 
 def timemark_iso_z(ts_col: Column | str) -> Column:

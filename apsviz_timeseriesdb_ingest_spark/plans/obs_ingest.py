@@ -1,0 +1,200 @@
+"""Observation ingest pipeline — ``runObsIngest --inputTask SequenceIngest``
+as one Spark lineage (SURVEY section 3.1).
+
+Reference stages (per-source subprocesses + intermediate CSVs) collapse to:
+
+    discover()    -- glob harvest dir, anti-join the ledger (J4), compute
+                     per-file timemark (F1) + min/max TIME (A1) in ONE
+                     distributed read, append ledger rows ingested=False
+    ingest_new()  -- read all pending files (one job per measure variable),
+                     enrich with source_id via broadcast dim join (J1/J2),
+                     widen to the sparse 6-measure layout (S6),
+                     merge into gauge_data with keep-latest dedup bounded
+                     to each batch's time window (J7/M3),
+                     flip ledger ingested flags (M2)
+
+Keep-latest ordering: the reference keeps the highest serial ``obs_id``
+per (source_id, time) — i.e. last-loaded wins, and files are loaded in
+``data_date_time`` order (``run/ingestObsTasks.py:45-56,233-237``). The
+deterministic Spark equivalent orders by (timemark DESC, file data
+datetime DESC, file_name DESC): newest harvest wins regardless of load
+order, making ingest permutation-invariant where the reference is
+order-dependent.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ledger import new_files_anti_join
+from ..schemas import GAUGE_DATA, HARVEST_OBS_FILE_META, OBS_MEASURES
+from ..sources.catalog import Catalog
+from ..sources.harvest_csv import read_harvest_csv
+
+LEDGER = "harvest_obs_file_meta"
+FACT = "gauge_data"
+
+_TIMEMARK_RE = re.compile(r"(\d+-\d+-\d+T\d+:\d+:\d+)")
+
+
+class ObsIngest:
+    def __init__(self, spark: SparkSession, catalog: Catalog, harvest_dir: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.harvest_dir = harvest_dir
+
+    def _readable_path(self, dir_path: str, file_name: str) -> str:
+        """Hadoop paths cannot contain ':' (the reference's harvest names
+        embed ISO times with colons). Stage such files as sanitized
+        symlinks under ``.staged/``; the ledger keeps the original name,
+        joins use the sanitized ``file_key``."""
+        if ":" not in file_name:
+            return os.path.join(dir_path, file_name)
+        staged = os.path.join(dir_path, ".staged")
+        os.makedirs(staged, exist_ok=True)
+        link = os.path.join(staged, file_name.replace(":", "_"))
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(os.path.join(dir_path, file_name)), link)
+        return link
+
+    # -- stage 1: discovery ------------------------------------------------
+
+    def discover(self) -> int:
+        """Find new harvest files for every configured source; append them
+        to the ledger with ingested=False. Returns number discovered."""
+        source_meta = self.catalog.read("source_obs_meta").collect()
+        ledger = self.catalog.read(LEDGER, HARVEST_OBS_FILE_META)
+
+        candidates = []
+        for m in source_meta:
+            for path in sorted(glob(os.path.join(self.harvest_dir, m.filename_prefix + "*.csv"))):
+                name = os.path.basename(path)
+                match = _TIMEMARK_RE.search(name)
+                if not match:  # null-guard path (run/createHarvestObsFileMeta.py:159-164)
+                    continue
+                stamp = dt.datetime.fromisoformat(match.group(1))
+                candidates.append({
+                    "dir_path": os.path.dirname(path), "file_name": name,
+                    "data_date_time": stamp, "timemark": stamp,
+                    "data_source": m.data_source, "source_name": m.source_name,
+                    "source_archive": m.source_archive,
+                    "source_variable": m.source_variable,
+                    "location_type": m.location_type,
+                })
+        if not candidates:
+            return 0
+        cand = self.spark.createDataFrame(
+            candidates,
+            "dir_path string, file_name string, data_date_time timestamp_ntz, "
+            "timemark timestamp_ntz, data_source string, source_name string, "
+            "source_archive string, source_variable string, location_type string",
+        )
+        new = new_files_anti_join(cand, ledger).cache()
+        new_rows = new.collect()
+        if not new_rows:
+            new.unpersist()
+            return 0
+
+        # per-file [min,max] TIME in one distributed read per variable (A1)
+        stats = None
+        for variable in {r.source_variable for r in new_rows}:
+            paths = [self._readable_path(r.dir_path, r.file_name) for r in new_rows
+                     if r.source_variable == variable]
+            s = (read_harvest_csv(self.spark, paths, variable)
+                 .groupBy("file_key")
+                 .agg(F.min("time").alias("data_begin_time"),
+                      F.max("time").alias("data_end_time")))
+            stats = s if stats is None else stats.unionByName(s)
+
+        entries = (
+            new.withColumn("file_key", F.translate("file_name", ":", "_"))
+            .join(stats, "file_key", "left")
+            .withColumn("processing_datetime", F.current_timestamp().cast("timestamp_ntz"))
+            .withColumn("ingested", F.lit(False))
+            .withColumn("overlap_past_file_date_time", F.lit(False))
+            .select(*[f.name for f in HARVEST_OBS_FILE_META.fields])
+        )
+        self.catalog.append(entries, LEDGER)
+        new.unpersist()
+        return len(new_rows)
+
+    # -- stages 2+3: enrich + merge ---------------------------------------
+
+    def ingest_new(self) -> int:
+        """Ingest every pending ledger file into the fact table. Returns
+        number of files ingested."""
+        ledger = self.catalog.read(LEDGER, HARVEST_OBS_FILE_META)
+        pending = ledger.filter(~F.col("ingested")).orderBy("data_date_time").collect()
+        if not pending:
+            return 0
+
+        # source_id lookup: gauge_source ⋈ gauge_station → natural keys
+        # (J1+J2). Tiny; broadcast into the fact stream.
+        stations = self.catalog.read("gauge_station").select("station_id", "station_name")
+        src_lookup = (
+            self.catalog.read("gauge_source")
+            .join(stations, "station_id")
+            .select("station_name", "data_source", "source_name", "source_archive",
+                    "source_id")
+        )
+
+        # ledger meta keyed by file_key rides along the CSV rows so one
+        # read per measure variable covers every pending source config.
+        meta_rows = [[r.file_name.replace(":", "_"), r.data_source, r.source_name,
+                      r.source_archive, r.data_date_time] for r in pending]
+        pending_meta = (
+            self.spark.createDataFrame(meta_rows,
+                                       "file_key string, data_source string, "
+                                       "source_name string, source_archive string, "
+                                       "data_date_time timestamp_ntz"))
+
+        batch = None
+        for variable in sorted({r.source_variable for r in pending}):
+            paths = [self._readable_path(r.dir_path, r.file_name) for r in pending
+                     if r.source_variable == variable]
+            df = (
+                read_harvest_csv(self.spark, paths, variable)
+                .join(F.broadcast(pending_meta), "file_key")
+                .join(F.broadcast(src_lookup),
+                      ["station_name", "data_source", "source_name", "source_archive"])
+                .select(
+                    "source_id", "timemark", "time",
+                    *[(F.col(variable) if m == variable else F.lit(None).cast("double"))
+                      .alias(m) for m in OBS_MEASURES],
+                    F.col("data_date_time").alias("__file_dt"),
+                    F.col("file_key").alias("__file_key"),
+                )
+            )
+            batch = df if batch is None else batch.unionByName(df)
+
+        batch = batch.filter(F.col("time").isNotNull())
+        self.catalog.merge_keep_latest(
+            FACT, batch,
+            keys=["source_id", "time"],
+            order_by=[F.col("timemark").desc(), F.col("__file_dt").desc(),
+                      F.col("__file_key").desc()],
+            time_col="time",
+            drop_before_write=["__file_dt", "__file_key"],
+        )
+
+        done = {r.file_name for r in pending}
+        updated = ledger.withColumn(
+            "ingested",
+            F.when(F.col("file_name").isin(list(done)), F.lit(True)).otherwise(F.col("ingested")),
+        )
+        self.catalog.update(LEDGER, updated)
+        return len(pending)
+
+    def run_sequence_ingest(self) -> dict:
+        found = self.discover()
+        ingested = self.ingest_new()
+        return {"discovered": found, "ingested": ingested}
+
+    def gauge_data(self) -> DataFrame:
+        return self.catalog.read(FACT, GAUGE_DATA)

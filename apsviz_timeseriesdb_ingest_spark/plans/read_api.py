@@ -1,0 +1,161 @@
+"""Dashboard read API — the 4 plpgsql crosstab functions (SURVEY section 2.5
+X1-X4) re-expressed as DataFrame pivots returning JSON.
+
+Semantics mirrored from the reference SQL exactly:
+
+- X1 ``get_obs_timeseries_station_data(station, start, end)``
+  (``scripts/get_obs_timeseries_station_data.sql:6-46``): 3-way join,
+  yaxis = COALESCE(water_level, wave_height), 5 fixed categories with a
+  fixed *output-label mapping* (e.g. category ``tidal_gauge`` → column
+  ``tidal_gauge_water_level``), time rendered as Postgres TEXT
+  (``YYYY-MM-DD HH:MM:SS``).
+- X2 allparms variant (``..._allparms.sql:6-58``): COALESCE over all 6
+  measures, 9 categories incl. a parameterized nowcast source whose label
+  is dot-stripped (X6).
+- X3 forecast (``get_forecast_timeseries_station_data.sql:1-41``): model
+  data pinned to one run (``timemark = ?``), window
+  [timemark, max_forecast_endtime].
+- X4 nowcast (``get_nowcast_timeseries_station_data.sql:1-39``): window
+  [start, end] + data_source + source_instance.
+
+Plan shape: dims broadcast into the fact scan; the single shuffle is the
+pivot groupBy on time; explicit category lists keep the output schema
+constant-folded (no distinct pre-scan).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.strings import sanitize_pivot_label
+from ..sources.catalog import Catalog
+
+#: X1 fixed category → output column mapping
+#: (scripts/get_obs_timeseries_station_data.sql:26-38)
+OBS_CATEGORIES = {
+    "ocean_buoy": "ocean_buoy_wave_height",
+    "tidal_gauge": "tidal_gauge_water_level",
+    "tidal_predictions": "tidal_predictions",
+    "coastal_gauge": "coastal_gauge_water_level",
+    "river_gauge": "river_gauge_water_level",
+}
+
+#: X2 adds these around the parameterized nowcast source
+#: (scripts/get_obs_timeseries_station_data_allparms.sql:30-50)
+ALLPARMS_PRE = {"air_barometer": "air_barometer"}
+ALLPARMS_POST = dict(OBS_CATEGORIES) | {
+    "stream_gauge": "stream_gauge_stream_elevation",
+    "wind_anemometer": "wind_anemometer",
+}
+
+
+def obs_view(catalog: Catalog) -> DataFrame:
+    """drf_gauge_station_source_data (``run/ingestObsTasks.py:494-521``):
+    gauge_data ⋈ gauge_source ⋈ gauge_station, dims broadcast."""
+    data = catalog.read("gauge_data")
+    source = catalog.read("gauge_source")
+    station = catalog.read("gauge_station")
+    return (
+        data.join(F.broadcast(source), "source_id")
+        .join(F.broadcast(station), "station_id")
+    )
+
+
+def model_view(catalog: Catalog) -> DataFrame:
+    """drf_model_station_source_data (``run/ingestModelTasks.py:475-501``)."""
+    data = catalog.read("model_data")
+    source = catalog.read("model_source")
+    station = catalog.read("gauge_station")
+    return (
+        data.join(F.broadcast(source), "source_id")
+        .join(F.broadcast(station), "station_id")
+    )
+
+
+def _pivot_timeseries(joined: DataFrame, value: F.Column,
+                      categories: dict[str, str]) -> DataFrame:
+    """Shared crosstab core: time → one column per category label, cell =
+    first(value) (crosstab takes the single underlying row per cell)."""
+    piv = (
+        joined.select(
+            F.date_format("time", "yyyy-MM-dd HH:mm:ss").alias("time_stamp"),
+            F.col("data_source").alias("category"),
+            value.alias("yaxis"),
+        )
+        .groupBy("time_stamp")
+        .pivot("category", list(categories))
+        .agg(F.first("yaxis", ignorenulls=False))
+    )
+    for cat, label in categories.items():
+        if cat != label:
+            piv = piv.withColumnRenamed(cat, label)
+    return piv.orderBy("time_stamp")
+
+
+def get_obs_timeseries_station_data(catalog: Catalog, station_name: str,
+                                    start_date: str, end_date: str) -> DataFrame:
+    """X1 — obs crosstab for one station and date range."""
+    joined = obs_view(catalog).filter(
+        (F.col("station_name") == station_name)
+        & (F.col("time") >= start_date) & (F.col("time") <= end_date)
+    )
+    return _pivot_timeseries(joined, F.coalesce("water_level", "wave_height"),
+                             OBS_CATEGORIES)
+
+
+def get_obs_timeseries_station_data_allparms(catalog: Catalog, station_name: str,
+                                             start_date: str, end_date: str,
+                                             nowcast_source: str) -> DataFrame:
+    """X2 — all-parameter obs crosstab with parameterized nowcast column."""
+    cats = dict(ALLPARMS_PRE)
+    cats[nowcast_source] = sanitize_pivot_label(nowcast_source)
+    cats.update(ALLPARMS_POST)
+    joined = obs_view(catalog).filter(
+        (F.col("station_name") == station_name)
+        & (F.col("time") >= start_date) & (F.col("time") <= end_date)
+    )
+    value = F.coalesce("water_level", "stream_elevation", "wave_height",
+                       "wind_speed", "air_pressure", "flow_volume")
+    return _pivot_timeseries(joined, value, cats)
+
+
+def get_forecast_timeseries_station_data(catalog: Catalog, station_name: str,
+                                         timemark: str, max_forecast_endtime: str,
+                                         data_source: str, source_instance: str,
+                                         ) -> DataFrame:
+    """X3 — one forecast run's crosstab, pinned by timemark."""
+    joined = model_view(catalog).filter(
+        (F.col("station_name") == station_name)
+        & (F.col("time") >= timemark) & (F.col("time") <= max_forecast_endtime)
+        & (F.col("timemark") == F.lit(timemark).cast("timestamp_ntz"))
+        & (F.col("data_source") == data_source)
+        & (F.col("source_instance") == source_instance)
+    )
+    return _pivot_timeseries(joined, F.coalesce("water_level"),
+                             {data_source: sanitize_pivot_label(data_source)})
+
+
+def get_nowcast_timeseries_station_data(catalog: Catalog, station_name: str,
+                                        start_date: str, end_date: str,
+                                        data_source: str, source_instance: str,
+                                        ) -> DataFrame:
+    """X4 — nowcast crosstab over [start, end]."""
+    joined = model_view(catalog).filter(
+        (F.col("station_name") == station_name)
+        & (F.col("time") >= start_date) & (F.col("time") <= end_date)
+        & (F.col("data_source") == data_source)
+        & (F.col("source_instance") == source_instance)
+    )
+    return _pivot_timeseries(joined, F.coalesce("water_level"),
+                             {data_source: sanitize_pivot_label(data_source)})
+
+
+def to_json_array(pivoted: DataFrame) -> str:
+    """JSON_AGG parity (A6): the pivoted frame as one JSON array string,
+    rows ordered by time_stamp, nulls preserved — the reference's return
+    payload (``scripts/get_obs_timeseries_station_data.sql:7``)."""
+    rows = pivoted.orderBy("time_stamp").collect()
+    return json.dumps([row.asDict() for row in rows])

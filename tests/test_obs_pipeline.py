@@ -1,0 +1,176 @@
+"""Golden end-to-end tests for the obs ingest pipeline (SURVEY section 5.2-5.4).
+
+Synthetic harvest CSVs per FIXTURES.md: two consecutive files per source
+with overlapping TIME windows and conflicting values exercise keep-latest
+dedup; reruns exercise ledger idempotence; the pivot golden checks X1
+category layout + JSON shape. Dedup expectation is recomputed
+independently in DuckDB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from apsviz_timeseriesdb_ingest_spark.plans.bootstrap import bootstrap
+from apsviz_timeseriesdb_ingest_spark.plans.obs_ingest import ObsIngest
+from apsviz_timeseriesdb_ingest_spark.plans.read_api import (
+    get_obs_timeseries_station_data,
+    to_json_array,
+)
+from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+STATIONS = [
+    # station_name,lat,lon,tz,owner,location_name,location_type,country,state,county,geom
+    ("ST_A", 34.1, -77.1, "gmt", "NOAA/NOS", "Alpha", "tidal", "us", "nc", "New Hanover", "0101A"),
+    ("ST_B", 34.2, -77.2, "gmt", "NOAA/NOS", "Beta", "tidal", "us", "nc", "Brunswick", "0101B"),
+    ("ST_C", 34.3, -77.3, "gmt", "NCEM", "Gamma", "coastal", "us", "nc", "Carteret", "0101C"),
+]
+
+SOURCE_META_HEADER = ("data_source,source_name,source_archive,source_variable,"
+                     "filename_prefix,location_type,units")
+SOURCE_META_ROWS = [
+    "tidal_gauge,noaa,noaa,water_level,noaa_stationdata_water_level,tidal,m",
+    "coastal_gauge,ncem,contrails,water_level,contrails_stationdata_water_level,coastal,m",
+]
+
+
+def _write(path: str, lines: list[str]) -> str:
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("obsenv")
+    harvest = root / "harvest"
+    harvest.mkdir()
+    stations_csv = _write(str(root / "stations.csv"),
+                          [",".join(map(str, r)) for r in STATIONS])
+    meta_csv = _write(str(root / "source_obs_meta.csv"),
+                      [SOURCE_META_HEADER, *SOURCE_META_ROWS])
+    catalog = Catalog(spark, str(root / "warehouse"))
+    bootstrap(spark, catalog, station_csvs=[stations_csv], source_meta_csv=meta_csv)
+    return {"root": root, "harvest": str(harvest), "catalog": catalog}
+
+
+def _harvest_file(harvest_dir: str, prefix: str, stamp: str, rows: list[tuple]) -> str:
+    name = f"{prefix}_{stamp}.csv"
+    return _write(os.path.join(harvest_dir, name),
+                  ["STATION,TIME,WATER_LEVEL",
+                   *[f"{s},{t},{v}" if v is not None else f"{s},{t}," for s, t, v in rows]])
+
+
+FILE1 = [  # 00:00-02:00
+    ("ST_A", "2024-01-01 00:00:00", 1.0),
+    ("ST_A", "2024-01-01 01:00:00", 1.1),
+    ("ST_A", "2024-01-01 02:00:00", 1.2),
+    ("ST_B", "2024-01-01 00:00:00", 2.0),
+    ("ST_B", "2024-01-01 01:00:00", None),
+]
+FILE2 = [  # 01:00-04:00, overlaps 01:00/02:00 with NEW values
+    ("ST_A", "2024-01-01 01:00:00", 9.1),
+    ("ST_A", "2024-01-01 02:00:00", 9.2),
+    ("ST_A", "2024-01-01 03:00:00", 9.3),
+    ("ST_A", "2024-01-01 04:00:00", 9.4),
+    ("ST_B", "2024-01-01 01:00:00", 8.1),
+]
+
+
+def test_bootstrap_dims(env):
+    cat = env["catalog"]
+    stations = cat.read("gauge_station")
+    assert stations.count() == 3
+    assert stations.filter(F.col("station_id").isNull()).count() == 0
+    src = cat.read("gauge_source")
+    # 2 tidal stations x 1 tidal source + 1 coastal x 1 coastal source
+    assert src.count() == 3
+    assert src.select("source_id").distinct().count() == 3
+
+
+def test_first_ingest(env, spark):
+    _harvest_file(env["harvest"], "noaa_stationdata_water_level",
+                  "2024-01-01T02:00:00", FILE1)
+    pipe = ObsIngest(spark, env["catalog"], env["harvest"])
+    out = pipe.run_sequence_ingest()
+    assert out == {"discovered": 1, "ingested": 1}
+    data = pipe.gauge_data()
+    assert data.count() == 5
+    # ledger flipped
+    ledger = env["catalog"].read("harvest_obs_file_meta")
+    assert ledger.filter(~F.col("ingested")).count() == 0
+    row = ledger.first()
+    assert str(row.data_begin_time) == "2024-01-01 00:00:00"
+    assert str(row.data_end_time) == "2024-01-01 01:00:00" or str(row.data_end_time) == "2024-01-01 02:00:00"
+
+
+def test_overlap_keep_latest(env, spark):
+    _harvest_file(env["harvest"], "noaa_stationdata_water_level",
+                  "2024-01-01T04:00:00", FILE2)
+    pipe = ObsIngest(spark, env["catalog"], env["harvest"])
+    out = pipe.run_sequence_ingest()
+    assert out == {"discovered": 1, "ingested": 1}
+
+    got = {(r.src, str(r.time)): r.water_level
+           for r in (pipe.gauge_data()
+                     .join(env["catalog"].read("gauge_source").select("source_id", "station_id"),
+                           "source_id")
+                     .join(env["catalog"].read("gauge_station").select("station_id", "station_name"),
+                           "station_id")
+                     .select(F.col("station_name").alias("src"), "time", "water_level")
+                     .collect())}
+
+    # independent recomputation in DuckDB: newest timemark wins per (station, time)
+    con = duckdb.connect()
+    expected = con.sql(f"""
+        WITH all_rows AS (
+            SELECT station AS s, "TIME" AS t, water_level AS v, TIMESTAMP '2024-01-01 02:00:00' AS tm
+            FROM read_csv('{env["harvest"]}/noaa_stationdata_water_level_2024-01-01T02:00:00.csv', header=true)
+            UNION ALL
+            SELECT station, "TIME", water_level, TIMESTAMP '2024-01-01 04:00:00'
+            FROM read_csv('{env["harvest"]}/noaa_stationdata_water_level_2024-01-01T04:00:00.csv', header=true)
+        )
+        SELECT s, CAST(t AS VARCHAR) AS t, v FROM all_rows
+        QUALIFY row_number() OVER (PARTITION BY s, t ORDER BY tm DESC) = 1
+    """).fetchall()
+    exp = {(s, t): v for s, t, v in expected}
+    assert got == exp
+    # spot-check the overlap semantics explicitly
+    assert got[("ST_A", "2024-01-01 01:00:00")] == 9.1
+    assert got[("ST_A", "2024-01-01 02:00:00")] == 9.2
+    assert got[("ST_A", "2024-01-01 00:00:00")] == 1.0
+
+
+def test_idempotent_rerun(env, spark):
+    pipe = ObsIngest(spark, env["catalog"], env["harvest"])
+    before = sorted(map(tuple, pipe.gauge_data().collect()))
+    out = pipe.run_sequence_ingest()
+    assert out == {"discovered": 0, "ingested": 0}
+    after = sorted(map(tuple, pipe.gauge_data().collect()))
+    assert before == after
+
+
+def test_pivot_golden_x1(env):
+    df = get_obs_timeseries_station_data(env["catalog"], "ST_A",
+                                         "2024-01-01 00:00:00", "2024-01-01 04:00:00")
+    assert df.columns == ["time_stamp", "ocean_buoy_wave_height",
+                          "tidal_gauge_water_level", "tidal_predictions",
+                          "coastal_gauge_water_level", "river_gauge_water_level"]
+    payload = json.loads(to_json_array(df))
+    assert [r["time_stamp"] for r in payload] == [
+        "2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 02:00:00",
+        "2024-01-01 03:00:00", "2024-01-01 04:00:00"]
+    assert [r["tidal_gauge_water_level"] for r in payload] == [1.0, 9.1, 9.2, 9.3, 9.4]
+    # non-participating categories present as nulls (crosstab parity)
+    assert all(r["ocean_buoy_wave_height"] is None for r in payload)
+
+
+def test_pivot_empty_range(env):
+    df = get_obs_timeseries_station_data(env["catalog"], "ST_A",
+                                         "2030-01-01 00:00:00", "2030-01-02 00:00:00")
+    assert json.loads(to_json_array(df)) == []
