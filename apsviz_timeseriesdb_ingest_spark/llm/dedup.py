@@ -1,0 +1,156 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All four are pure DataFrame formulations — shuffles are on (doc, shingle)
+or (band, bucket) keys, so every stage distributes. In parity mode hashing
+is the portable md5 scheme (oracle-checkable in DuckDB); ``fast=True``
+switches to xxhash64 for production.
+
+Scale notes:
+- exact: one hash-groupBy shuffle, ~free.
+- MinHash/LSH: cost is |corpus| x shingles x k hash evaluations, all
+  map-side; the only shuffles are the signature groupBy and the tiny
+  bucket self-join. This is the 100 TB path — candidate pairs are found
+  without any O(n^2) comparison.
+- n-gram Jaccard: exact pairwise scores via a shingle-inverted-index
+  self-join; the join explodes on hot shingles, so at scale it is meant
+  to VERIFY candidates from LSH (join against the candidate set), not to
+  run standalone over the corpus.
+- SimHash: near-dup signature per doc; one groupBy per bit-level agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable_hash import md5_hash64
+from .text import tokens
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of lower-cased text."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                ) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical text. Returns
+    (kept id, group size). One hash-groupBy; at scale group on
+    md5(text) instead of raw text to shrink shuffle keys."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias("kept_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold)
+    via inverted-index self-join on distinct shingles."""
+    sh = _shingled(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    common = (
+        sh.alias("a").join(sh.alias("b"),
+                           (F.col("a.shingle") == F.col("b.shingle"))
+                           & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 16, fast: bool = False) -> DataFrame:
+    """MinHash signatures: (doc, seed, minhash) rows. Entirely map-side
+    until the final (doc, seed) min-aggregate."""
+    sh = _shingled(df, text_col, id_col, k)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc", "shingle", seeds)
+        .withColumn("h", md5_hash64(
+            F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")), fast=fast))
+        .groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3, num_hashes: int = 16,
+                      bands: int = 4, fast: bool = False) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket (a < b).
+
+    Band bucket = md5 of the band's minhashes joined in seed order; the
+    self-join runs on (band, bucket) — tiny keys, no O(n^2) stage.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, k=k,
+                             num_hashes=num_hashes, fast=fast)
+    buckets = (
+        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.md5(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"].cast("string")),
+            ",")).alias("bucket"))
+    )
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32, fast: bool = False) -> DataFrame:
+    """SimHash signature per document over unigram token counts.
+
+    bit_j(sig) = 1 iff sum over tokens of count * (bit_j(hash(token)) ? +1
+    : -1) > 0. Relational formulation: explode (token count) x bit index,
+    two partial-agg shuffles, no UDF.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("doc", "token").agg(F.count("*").alias("cnt"))
+        .withColumn("h", md5_hash64("token", fast=fast))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # integer shifts, not pow(): doubles lose bits of a 60-bit hash
+    contrib = (
+        tok.select("doc", "cnt", "h", bit)
+        .withColumn("sign", F.when(
+            F.expr("shiftright(h, bit) % 2") == 1,
+            F.col("cnt")).otherwise(-F.col("cnt")))
+        .groupBy("doc", "bit").agg(F.sum("sign").alias("s"))
+    )
+    return (
+        contrib.groupBy("doc")
+        .agg(F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                   .otherwise(F.lit(0))).alias("simhash"))
+        .select(F.col("doc").alias("doc_id"), "simhash")
+    )

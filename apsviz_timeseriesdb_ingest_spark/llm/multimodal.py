@@ -1,0 +1,69 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, and
+Arrow-batched feature extraction via ``mapInPandas``.
+
+The Spark-side plumbing is real and tested: binary column + metadata
+struct schema, partition-sized Arrow batches into pandas, explicit output
+schema. The actual media decode is a clearly-marked stub (image/audio
+libraries are not in this container): ``decode_stub`` derives
+deterministic pseudo-features (byte length, md5, fake dimensions) so the
+pipeline shape — including oracle verification — is exercised end-to-end.
+Swap ``_extract_features`` for PIL/librosa/ffmpeg in production; the
+DataFrame plumbing does not change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of the feature extractor
+FEATURE_SCHEMA = ("doc_id long, n_bytes int, payload_md5 string, "
+                  "width int, height int, decoder string")
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary column + typed metadata (mime, size), the
+    storage layout for image/audio/video at scale: payload stays a black
+    box to the engine; metadata columns drive pruning/partitioning."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(F.lit("application/octet-stream").alias("mime"),
+                 F.octet_length(payload).alias("n_bytes")),
+    )
+
+
+def _extract_features(payload: bytes) -> dict:
+    """STUB decoder. Real deployments replace this body with an image/
+    audio decode (PIL.Image.open(BytesIO(payload)) etc.). Deterministic
+    fake: dimensions derived from the byte length."""
+    import hashlib
+
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "payload_md5": hashlib.md5(payload).hexdigest(),
+        "width": n % 640,
+        "height": (n * 7) % 480,
+        "decoder": "stub-v1",
+    }
+
+
+def extract_media_features(df: DataFrame, id_col: str = "doc_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas`` keeps the Python boundary at one Arrow exchange per
+    partition batch — the correct shape for heavy per-item decode work
+    (decode cost dominates; transfer is amortized)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_extract_features(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (array<float>).
+
+``brute_force_topk`` is the exact baseline: broadcast the (small) query
+set against the corpus, dot products via ``zip_with``/``aggregate`` inside
+codegen. ``hyperplane_lsh_bucket`` is the scale path: sign-random-
+projection buckets computed map-side from deterministic pseudo-random
+hyperplanes, so candidate generation is a bucket equi-join instead of an
+O(n*q) scan; at 100 TB you bucket once, store, and probe buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(vectors: DataFrame, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", query_ids: list[int],
+                     top_k: int = 3) -> DataFrame:
+    """Exact cosine top-k neighbors for the given query ids.
+
+    Returns (query_id, neighbor_id, rank). The query side is broadcast;
+    ranking ties break on neighbor id for determinism.
+    """
+    vecs = vectors.select(F.col(id_col).alias("nid"),
+                          F.col(vec_col).cast("array<double>").alias("nvec"))
+    qs = (vectors.filter(F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).cast("array<double>").alias("qvec")))
+    scored = (
+        vecs.join(F.broadcast(qs), F.col("nid") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("nvec")))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", F.col("nid").alias("neighbor_id"), "rank")
+    )
+
+
+def hyperplane_coefficients(dim: int, planes: int = 8) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: plane p component i =
+    (md5int('plane|p|i') % 2001 - 1000)/1000. Computed driver-side so the
+    same literals feed the Spark plan and any oracle SQL — no stored
+    model, reproducible on any engine."""
+    import hashlib
+
+    def coeff(p: int, i: int) -> float:
+        h = int(hashlib.md5(f"plane|{p}|{i}".encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    return [[coeff(p, i) for i in range(dim)] for p in range(planes)]
+
+
+def hyperplane_lsh_bucket(vectors: DataFrame, *, id_col: str = "vec_id",
+                          vec_col: str = "embedding", dim: int, planes: int = 8,
+                          ) -> DataFrame:
+    """(id, bucket) assignment — the candidate-generation stage of ANN.
+
+    bucket bit p = sign(vec . plane_p). Pure map-side expression; at scale
+    this is the partition/bucketing key that turns ANN into an equi-join.
+    """
+    coeffs = hyperplane_coefficients(dim, planes)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(coeffs):
+        plane = F.array([F.lit(c) for c in row])
+        dot = _dot(v, plane)
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0))
+    return vectors.select(id_col, bucket.alias("bucket"))

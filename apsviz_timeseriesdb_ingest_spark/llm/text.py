@@ -1,0 +1,108 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting. Everything is a built-in JVM expression — at 100 TB these
+run inside whole-stage codegen with zero Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable_hash import md5_hash_str
+
+#: default per-language marker profiles for the n-gram/stopword heuristic
+DEFAULT_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "les", "des", "et", "une", "dans"),
+    "zh": ("的", "是", "在", "了", "和", "有"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of lower-cased text, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                ) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish subword
+    estimate (word-boundary + digit/punct splits), char count."""
+    toks = tokens(text_col)
+    # RE2-compatible pattern (no lookarounds) so oracles can mirror it
+    bpe_ish = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(bpe_ish).alias("n_subword_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  stopwords: tuple[str, ...] = DEFAULT_LANG_PROFILES["en"],
+                  ) -> DataFrame:
+    """Quality signals: length, mean word length, stopword ratio,
+    punctuation ratio, repetition ratio (1 - distinct/total tokens)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop = F.array([F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"]", ""))
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars_measured"),
+        n.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(text_col, r"\s", "")) / n, 6).alias("mean_word_len"),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.round(n_punct / F.length(text_col), 6).alias("punct_ratio"),
+        F.round(F.lit(1) - F.size(F.array_distinct(toks)) / n, 6).alias("repetition_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Marker-token language ID: score = number of tokens found in each
+    language's marker list; prediction = highest score, ties broken by
+    language code order. Deterministic and oracle-checkable; swap the
+    profiles for real char-n-gram tables in production."""
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    toks = tokens(text_col)
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        arr = F.array([F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: marker_count(markers)
+              for lang, markers in sorted(profiles.items())}
+    out = df.select(id_col, *[s.alias(f"score_{lang}") for lang, s in scores.items()])
+    langs = sorted(profiles)
+    # first-match when-chain: the earliest language holding the max score
+    # wins — trivially mirrored as a SQL CASE chain
+    pred = None
+    for lang in langs:
+        cond = F.lit(True)
+        for other in langs:
+            if other != lang:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return out.withColumn("predicted_lang", pred)
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lower-cased text
+    plus a rolling content key (md5 of the sorted distinct token set) —
+    robust to reordering-only edits."""
+    normalized = F.array_join(tokens(text_col), " ")
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")
+    return df.select(
+        id_col,
+        md5_hash_str(normalized).alias("content_md5"),
+        md5_hash_str(bag).alias("token_bag_md5"),
+        F.length(text_col).alias("n_chars_measured"),
+    )

@@ -1,10 +1,250 @@
-"""Training-data pipeline operator suite (dedup, similarity, text, multimodal).
+"""Training-data pipeline operator suite (dedup, similarity search, text
+analysis, multimodal) on the ``documents`` and ``embeddings`` testdata.
 
-Filled in module-by-module; registries start empty so imports stay stable.
+Every query has a DuckDB oracle built from the same deterministic
+primitives (md5-derived hashing, RE2-compatible regexes, integer shifts)
+so values match bit-for-bit. Shared SQL fragments live in module
+constants; hyperplane coefficients are generated once in Python and
+interpolated into both the Spark plan and the oracle SQL.
 """
 
 from __future__ import annotations
 
-from ._registry import make_registry, tables  # noqa: F401
+from pyspark.sql import functions as F
+
+from ..llm.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from ..llm.multimodal import extract_media_features, with_binary_payload
+from ..llm.similarity import (
+    brute_force_topk,
+    hyperplane_coefficients,
+    hyperplane_lsh_bucket,
+)
+from ..llm.text import (
+    DEFAULT_LANG_PROFILES,
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from ._registry import make_registry, tables
 
 QUERIES, ORACLES, query = make_registry()
+
+#: DuckDB twin of llm.text.tokens
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+#: DuckDB twin of llm.dedup.word_shingles (k=3)
+SQL_SHINGLES = ("list_distinct([array_to_string(ts[i:i+2], ' ') "
+                "FOR i IN generate_series(1, greatest(len(ts)-2, 1))])")
+
+SQL_SHINGLE_EXPLODE = f"""
+    toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    shq AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks),
+    ex AS (SELECT doc_id AS doc, unnest(sh) AS shingle FROM shq)
+"""
+
+
+def _md5int_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# --- text analysis -------------------------------------------------------
+
+@query("llm_token_stats", sql=f"""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars_measured, {SQL_TOKS} AS toks,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS sub
+               FROM documents)
+    SELECT doc_id, n_chars_measured, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           len(sub) AS n_subword_tokens
+    FROM t
+""")
+def llm_token_stats(spark, sf_dir):
+    """Token counting (whitespace + subword-regex) — pure codegen
+    expressions, no Python in the hot path."""
+    return token_stats(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_quality_score", sql="""
+    WITH t AS (SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id, length(text) AS n_chars_measured, len(toks) AS n_tokens,
+           round(length(regexp_replace(text, '\\s', '', 'g')) / len(toks), 6) AS mean_word_len,
+           round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is'], x)))
+                 / len(toks), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) / length(text), 6)
+               AS punct_ratio,
+           round(1 - len(list_distinct(toks)) / len(toks), 6) AS repetition_ratio
+    FROM t
+""")
+def llm_quality_score(spark, sf_dir):
+    """Document quality signals: length, word shape, stopword/punct/
+    repetition ratios."""
+    return quality_score(tables(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    langs = sorted(DEFAULT_LANG_PROFILES)
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in DEFAULT_LANG_PROFILES[lang])
+        + f"], x))) AS score_{lang}"
+        for lang in langs)
+    cases = " ".join(
+        "WHEN " + " AND ".join(f"score_{lang} >= score_{o}" for o in langs if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs)
+    return f"""
+        WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {score_cols} FROM t)
+        SELECT *, CASE {cases} END AS predicted_lang FROM s
+    """
+
+
+@query("llm_language_id", sql=_langid_sql())
+def llm_language_id(spark, sf_dir):
+    """Marker-token language ID with deterministic argmax tie-break."""
+    return language_id(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_fingerprint", sql=f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id, md5(array_to_string(toks, ' ')) AS content_md5,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS token_bag_md5,
+           length(text) AS n_chars_measured
+    FROM t
+""")
+def llm_fingerprint(spark, sf_dir):
+    """Content + token-bag md5 fingerprints (reorder-robust)."""
+    return document_fingerprint(tables(spark, sf_dir, "documents"))
+
+
+# --- dedup ---------------------------------------------------------------
+
+@query("llm_exact_dedup", sql="""
+    SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+""")
+def llm_exact_dedup(spark, sf_dir):
+    """Exact dedup via hash-groupBy, lowest id kept."""
+    return exact_dedup(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_ngram_jaccard_pairs", sql=f"""
+    WITH {SQL_SHINGLE_EXPLODE},
+    sizes AS (SELECT doc, count(*) AS n FROM ex GROUP BY doc),
+    common AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+               FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_common / (na.n + nb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes na ON doc_a = na.doc
+    JOIN sizes nb ON doc_b = nb.doc
+    WHERE round(n_common / (na.n + nb.n - n_common), 6) >= 0.5
+""")
+def llm_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (>= 0.5) via inverted-index
+    self-join; at scale this verifies LSH candidates rather than scanning
+    the corpus."""
+    return ngram_jaccard_pairs(tables(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("llm_minhash_lsh_pairs", sql=f"""
+    WITH {SQL_SHINGLE_EXPLODE},
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    hashes AS (SELECT doc, seed,
+               {_md5int_sql("seed::VARCHAR || '|' || shingle")} AS h
+               FROM ex, seeds),
+    sig AS (SELECT doc, seed, min(h) AS minhash FROM hashes GROUP BY doc, seed),
+    buckets AS (SELECT doc, CAST(seed // 4 AS INT) AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bucket
+                FROM sig GROUP BY doc, CAST(seed // 4 AS INT))
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+""")
+def llm_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash (16 hashes) + LSH (4 bands x 4 rows) candidate pairs —
+    the no-O(n^2) dedup path."""
+    return minhash_lsh_pairs(tables(spark, sf_dir, "documents"),
+                             num_hashes=16, bands=4)
+
+
+@query("llm_simhash", sql=f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({SQL_TOKS}) AS token FROM documents),
+    cnt AS (SELECT doc, token, count(*) AS cnt FROM tok GROUP BY doc, token),
+    h AS (SELECT doc, cnt, {_md5int_sql("token")} AS h FROM cnt),
+    bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+    contrib AS (SELECT doc, bit,
+                sum(CASE WHEN (h >> bit) % 2 = 1 THEN cnt ELSE -cnt END) AS s
+                FROM h, bits GROUP BY doc, bit)
+    SELECT doc AS doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM contrib GROUP BY doc
+""")
+def llm_simhash(spark, sf_dir):
+    """32-bit SimHash signatures from unigram counts (integer shifts,
+    relational formulation)."""
+    return simhash(tables(spark, sf_dir, "documents"))
+
+
+# --- similarity search ---------------------------------------------------
+
+_QUERY_IDS = list(range(10))
+
+@query("llm_similarity_topk", sql=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+    s AS (SELECT query_id, vec_id AS neighbor_id,
+          list_cosine_similarity(qe, e) AS sim
+          FROM q, v WHERE vec_id <> query_id)
+    SELECT query_id, neighbor_id, rank
+    FROM (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+    WHERE rank <= 3
+""")
+def llm_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for 10 query vectors — the exact
+    ANN baseline (broadcast queries, codegen dot products)."""
+    return brute_force_topk(tables(spark, sf_dir, "embeddings"),
+                            query_ids=_QUERY_IDS, top_k=3)
+
+
+def _lsh_bucket_sql() -> str:
+    coeffs = hyperplane_coefficients(dim=64, planes=8)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(c) for c in row)}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(coeffs))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT vec_id, CAST({terms} AS BIGINT) AS bucket FROM v
+    """
+
+
+@query("llm_lsh_bucket", sql=_lsh_bucket_sql())
+def llm_lsh_bucket(spark, sf_dir):
+    """Sign-random-projection LSH bucket assignment (8 planes) — the ANN
+    candidate-generation / bucketing key at scale."""
+    return hyperplane_lsh_bucket(tables(spark, sf_dir, "embeddings"), dim=64, planes=8)
+
+
+# --- multimodal ----------------------------------------------------------
+
+@query("llm_multimodal_features", sql="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
+           octet_length(encode(text)) % 640 AS width,
+           (octet_length(encode(text)) * 7) % 480 AS height,
+           'stub-v1' AS decoder
+    FROM documents
+""")
+def llm_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (Arrow batches, explicit schema); decode itself is the
+    documented deterministic stub."""
+    docs = with_binary_payload(tables(spark, sf_dir, "documents"))
+    return extract_media_features(docs)
