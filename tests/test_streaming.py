@@ -1,0 +1,68 @@
+"""Streaming obs ingest: exactly-once file processing via checkpoint,
+keep-latest merge parity with the batch path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apsviz_timeseriesdb_ingest_spark.plans.bootstrap import bootstrap
+from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+from apsviz_timeseriesdb_ingest_spark.streaming import StreamingObsIngest
+
+
+def _write(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("streamenv")
+    (root / "harvest").mkdir()
+    _write(root / "stations.csv",
+           ["ST_A,34.1,-77.1,gmt,NOAA/NOS,Alpha,tidal,us,nc,NH,0101A"])
+    _write(root / "meta.csv", [
+        "data_source,source_name,source_archive,source_variable,filename_prefix,location_type,units",
+        "tidal_gauge,noaa,noaa,water_level,noaa_stationdata_water_level,tidal,m",
+    ])
+    catalog = Catalog(spark, str(root / "warehouse"))
+    bootstrap(spark, catalog, station_csvs=[str(root / "stations.csv")],
+              source_meta_csv=str(root / "meta.csv"))
+    return {"root": root, "harvest": str(root / "harvest"), "catalog": catalog}
+
+
+def _pipe(spark, env):
+    return StreamingObsIngest(
+        spark, env["catalog"], env["harvest"],
+        str(env["root"] / "checkpoint"), source_variable="water_level")
+
+
+def test_stream_first_batch(env, spark):
+    _write(env["root"] / "harvest" / "noaa_stationdata_water_level_2024-01-01T00_00_00.csv",
+           ["STATION,TIME,WATER_LEVEL",
+            "ST_A,2024-01-01 00:00:00,1.0",
+            "ST_A,2024-01-01 01:00:00,1.1"])
+    _pipe(spark, env).run_available()
+    data = env["catalog"].read("gauge_data")
+    assert data.count() == 2
+    assert env["catalog"].read("stream_obs_ledger").count() == 1
+
+
+def test_stream_overlap_and_exactly_once(env, spark):
+    # overlapping second file: 01:00 gets a new value from the newer timemark
+    _write(env["root"] / "harvest" / "noaa_stationdata_water_level_2024-01-01T02_00_00.csv",
+           ["STATION,TIME,WATER_LEVEL",
+            "ST_A,2024-01-01 01:00:00,9.1",
+            "ST_A,2024-01-01 02:00:00,9.2"])
+    _pipe(spark, env).run_available()
+    data = env["catalog"].read("gauge_data")
+    assert data.count() == 3
+    vals = {str(r.time): r.water_level for r in data.collect()}
+    assert vals["2024-01-01 01:00:00"] == 9.1  # keep-latest
+    assert vals["2024-01-01 00:00:00"] == 1.0
+
+    # re-running with no new files is a no-op (checkpoint exactly-once)
+    _pipe(spark, env).run_available()
+    assert env["catalog"].read("gauge_data").count() == 3
+    assert env["catalog"].read("stream_obs_ledger").count() == 2
