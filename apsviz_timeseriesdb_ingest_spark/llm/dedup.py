@@ -49,10 +49,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+#: universal-hash modulus (Mersenne prime 2^31-1)
+MERSENNE31 = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) parameters for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod 2^31-1, derived from md5 so any engine
+    can reproduce them. a is never 0."""
+    import hashlib
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [(md5int(f"a|{i}") % (MERSENNE31 - 1) + 1, md5int(f"b|{i}") % MERSENNE31)
+            for i in range(num_hashes)]
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, k: int,
+              fast: bool = False) -> DataFrame:
+    """(doc, shingle-hash) pairs: each distinct shingle hashed ONCE —
+    downstream minhash functions are integer arithmetic on this value, so
+    per-shingle cost is one md5 regardless of num_hashes."""
     return (
         df.select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
         .select("doc", F.explode("sh").alias("shingle"))
+        .withColumn("shash", md5_hash64("shingle", fast=fast))
+        .drop("shingle")
     )
 
 
@@ -65,7 +88,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a").join(sh.alias("b"),
-                           (F.col("a.shingle") == F.col("b.shingle"))
+                           (F.col("a.shash") == F.col("b.shash"))
                            & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
@@ -84,14 +107,21 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_hashes: int = 16, fast: bool = False) -> DataFrame:
-    """MinHash signatures: (doc, seed, minhash) rows. Entirely map-side
-    until the final (doc, seed) min-aggregate."""
-    sh = _shingled(df, text_col, id_col, k)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    """MinHash signatures: (doc, seed, minhash) rows.
+
+    One md5 per shingle; the k hash functions are the universal family
+    (a*h + b) mod 2^31-1 — integer arithmetic, entirely map-side until
+    the final (doc, seed) min-aggregate."""
+    sh = _shingled(df, text_col, id_col, k, fast=fast)
+    params = minhash_params(num_hashes)
+    seed_structs = F.explode(F.array([
+        F.struct(F.lit(i).alias("seed"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for i, (a, b) in enumerate(params)])).alias("s")
+    h31 = F.col("shash") % MERSENNE31
     return (
-        sh.select("doc", "shingle", seeds)
-        .withColumn("h", md5_hash64(
-            F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")), fast=fast))
+        sh.select("doc", "shash", seed_structs)
+        .select("doc", F.col("s.seed").alias("seed"),
+                ((F.col("s.a") * h31 + F.col("s.b")) % MERSENNE31).alias("h"))
         .groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
     )
 

@@ -37,15 +37,15 @@ SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 SQL_SHINGLES = ("list_distinct([array_to_string(ts[i:i+2], ' ') "
                 "FOR i IN generate_series(1, greatest(len(ts)-2, 1))])")
 
+def _md5int_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
 SQL_SHINGLE_EXPLODE = f"""
     toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
     shq AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks),
-    ex AS (SELECT doc_id AS doc, unnest(sh) AS shingle FROM shq)
+    ex AS (SELECT doc_id AS doc, {_md5int_sql('unnest(sh)')} AS shash FROM shq)
 """
-
-
-def _md5int_sql(expr: str) -> str:
-    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 # --- text analysis -------------------------------------------------------
@@ -135,7 +135,7 @@ def llm_exact_dedup(spark, sf_dir):
     WITH {SQL_SHINGLE_EXPLODE},
     sizes AS (SELECT doc, count(*) AS n FROM ex GROUP BY doc),
     common AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
-               FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+               FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc < b.doc
                GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(n_common / (na.n + nb.n - n_common), 6) AS jaccard
@@ -151,12 +151,19 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(tables(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _minhash_seeds_sql(num_hashes: int = 16) -> str:
+    from ..llm.dedup import minhash_params
+
+    values = ", ".join(f"({i}, {a}, {b})"
+                       for i, (a, b) in enumerate(minhash_params(num_hashes)))
+    return f"(VALUES {values}) seeds(seed, a, b)"
+
+
 @query("llm_minhash_lsh_pairs", sql=f"""
     WITH {SQL_SHINGLE_EXPLODE},
-    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
     hashes AS (SELECT doc, seed,
-               {_md5int_sql("seed::VARCHAR || '|' || shingle")} AS h
-               FROM ex, seeds),
+               (a * (shash % 2147483647) + b) % 2147483647 AS h
+               FROM ex, {_minhash_seeds_sql(16)}),
     sig AS (SELECT doc, seed, min(h) AS minhash FROM hashes GROUP BY doc, seed),
     buckets AS (SELECT doc, CAST(seed // 4 AS INT) AS band,
                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS bucket
