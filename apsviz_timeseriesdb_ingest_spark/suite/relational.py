@@ -403,6 +403,57 @@ def f_scalar_suite(spark, sf_dir):
     )
 
 
+# --- W: window functions (scale extension; reference has none, SURVEY 2.9) --
+
+@query("w1_running_total", sql="""
+    SELECT event_id, user_id, ts,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+    FROM events
+""")
+def w1_running_total(spark, sf_dir):
+    """Running per-user total (event-time ordered window). One shuffle on
+    the partition key; decimal sums for exact parity."""
+    from pyspark.sql import Window
+    ev = tables(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select("event_id", "user_id", "ts",
+                     F.sum(_dec("value")).over(w).alias("running_value"))
+
+
+@query("w2_topk_per_group", sql="""
+    SELECT user_id, event_id, value, rnk
+    FROM (SELECT user_id, event_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+          FROM events)
+    WHERE rnk <= 2
+""")
+def w2_topk_per_group(spark, sf_dir):
+    """Top-k per group with deterministic tie-break — the grouped-limit
+    shape used everywhere in reporting."""
+    from pyspark.sql import Window
+    ev = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (ev.select("user_id", "event_id", "value",
+                      F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 2))
+
+
+@query("f_json_extract", sql="""
+    SELECT event_id, json_extract_string(props, '$.k')::INT AS k_value
+    FROM events
+""")
+def f_json_extract(spark, sf_dir):
+    """JSON property extraction from a string column (semi-structured
+    event props) — JVM-side get_json_object."""
+    ev = tables(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"))
+
+
 # --- headline: TPC-H-style ----------------------------------------------
 
 @query("q1_pricing_summary", sql="""
@@ -429,6 +480,28 @@ def q1_pricing_summary(spark, sf_dir):
              F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
              F.sum(disc_price).alias("sum_disc_price"),
              F.count("*").alias("count_order"))
+    )
+
+
+@query("q6_revenue_change", sql="""
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(5,2))) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q6_revenue_change(spark, sf_dir):
+    """Headline selective filter-agg (TPC-H Q6 shape): every predicate
+    pushed to the scan, single partial+final agg, no join."""
+    li = tables(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")
+                  & F.col("l_discount").between(0.05, 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount", 5, 2)).alias("revenue"),
+             F.count("*").alias("n"))
     )
 
 
