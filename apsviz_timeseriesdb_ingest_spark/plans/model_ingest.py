@@ -138,7 +138,7 @@ class ModelIngest:
                 src = derive_source(props, kind, station_type)
                 files.append((path, kind, src))
         if not files:
-            return {"files": 0, "rows": 0}
+            return {"files": 0, "rows": 0, "station_files": 0}
 
         for _, _, src in files:
             self._register_source(src)
@@ -192,7 +192,62 @@ class ModelIngest:
             [[r[f.name] for f in HARVEST_MODEL_FILE_META.fields] for r in ledger_rows],
             HARVEST_MODEL_FILE_META)
         self.catalog.append(entries, LEDGER)
-        return {"files": len(files), "rows": n_rows}
+
+        published = self.publish_stations(model_run_id, props, timemark)
+        return {"files": len(files), "rows": n_rows, "station_files": published}
+
+    def publish_stations(self, model_run_id: str, props: dict,
+                         timemark: dt.datetime) -> int:
+        """ApsViz station publish from ``meta_FORECAST_*.csv`` station
+        lists (``run/runModelIngest.py:375-396`` →
+        ``createIngestApsVizStationData``), with the
+        drf_apsviz_station_file_meta ledger. Returns files processed."""
+        from ..schemas import APSVIZ_STATION_FILE_META
+        from .apsviz_stations import publish_apsviz_stations
+
+        run_dir = os.path.join(self.harvest_dir, model_run_id)
+        meta_files = sorted(glob(os.path.join(run_dir, "meta_FORECAST_*.csv")))
+        if not meta_files:
+            return 0
+        ledger = self.catalog.read("apsviz_station_file_meta", APSVIZ_STATION_FILE_META)
+        seen = {r.file_name for r in ledger.select("file_name").collect()}
+
+        by_type = {}
+        for path in meta_files:
+            station_type = os.path.basename(path).split("_")[-1].split(".")[0]
+            if station_type in STATION_TYPES:
+                by_type[station_type] = path
+        all_location_types = [STATION_TYPES[t][1] for t in by_type]
+
+        entries = []
+        for station_type, path in by_type.items():
+            name = os.path.basename(path)
+            if name in seen:
+                continue
+            src = derive_source(props, "FORECAST", station_type)
+            stations_df = self.spark.read.option("header", True).csv(path)
+            station_col = next(c for c in stations_df.columns if c.lower() == "station")
+            station_names = [r[0] for r in stations_df.select(station_col).collect()]
+            publish_apsviz_stations(
+                self.spark, self.catalog, model_run_id=model_run_id,
+                adcirc_station_names=station_names,
+                data_source=src["data_source"], source_name=src["source_name"],
+                source_archive=src["source_archive"],
+                source_instance=src["source_instance"],
+                forcing_metclass=src["forcing_metclass"],
+                location_type=src["location_type"],
+                grid_name=props["ADCIRCgrid"].upper(), timemark=timemark,
+                all_location_types=all_location_types)
+            entries.append([run_dir, name, timemark, src["data_source"],
+                            src["source_name"], src["source_archive"],
+                            src["source_instance"], src["forcing_metclass"],
+                            props["ADCIRCgrid"].upper(), model_run_id, timemark,
+                            src["location_type"], None, True])
+        if entries:
+            self.catalog.append(
+                self.spark.createDataFrame(entries, APSVIZ_STATION_FILE_META),
+                "apsviz_station_file_meta")
+        return len(entries)
 
     def model_data(self) -> DataFrame:
         return self.catalog.read(FACT, MODEL_DATA)

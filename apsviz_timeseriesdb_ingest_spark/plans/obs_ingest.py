@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ledger import new_files_anti_join
-from ..schemas import GAUGE_DATA, HARVEST_OBS_FILE_META, OBS_MEASURES
+from ..schemas import (
+    GAUGE_DATA,
+    HARVEST_OBS_FILE_META,
+    OBS_MEASURES,
+    RETAIN_OBS_STATION_FILE_META,
+)
 from ..sources.catalog import Catalog
 from ..sources.harvest_csv import read_harvest_csv
 
@@ -191,10 +196,69 @@ class ObsIngest:
         self.catalog.update(LEDGER, updated)
         return len(pending)
 
+    # -- stage 4: retain-obs station snapshots ----------------------------
+
+    def ingest_station_meta(self) -> int:
+        """Discover station-meta harvest files (``stationdata`` →
+        ``stationdata_meta`` naming, ``run/runObsIngest.py:125``), snapshot
+        their station lists into retain_obs_station with the paired data
+        file's [min, max] TIME window
+        (``run/createRetainObsStationFileMeta.py:110-135``), and ledger
+        them. Returns number of meta files processed."""
+        from .apsviz_stations import ingest_retain_obs_station
+
+        source_meta = self.catalog.read("source_obs_meta").collect()
+        ledger = self.catalog.read("retain_obs_station_file_meta",
+                                   RETAIN_OBS_STATION_FILE_META)
+        seen = {r.file_name for r in ledger.select("file_name").collect()}
+
+        n = 0
+        entries = []
+        for m in source_meta:
+            meta_prefix = m.filename_prefix.replace("stationdata", "stationdata_meta")
+            if meta_prefix == m.filename_prefix:
+                continue
+            for path in sorted(glob(os.path.join(self.harvest_dir, meta_prefix + "*.csv"))):
+                name = os.path.basename(path)
+                if name in seen:
+                    continue
+                match = _TIMEMARK_RE.search(name)
+                if not match:
+                    continue
+                stamp = dt.datetime.fromisoformat(match.group(1))
+                data_name = "_".join(name.split("_meta_"))
+                data_path = self._readable_path(self.harvest_dir, data_name)
+                stations_df = (self.spark.read.option("header", True)
+                               .csv(self._readable_path(self.harvest_dir, name)))
+                station_col = next(c for c in stations_df.columns
+                                   if c.lower() == "station")
+                station_names = [r[0] for r in stations_df.select(station_col).collect()]
+                window = (self.spark.read.option("header", True).csv(data_path)
+                          .agg(F.min("TIME").alias("lo"), F.max("TIME").alias("hi"))
+                          .first())
+                begin = dt.datetime.fromisoformat(window["lo"])
+                end = dt.datetime.fromisoformat(window["hi"])
+                ingest_retain_obs_station(
+                    self.catalog, station_names=station_names, timemark=stamp,
+                    begin_date=begin, end_date=end, data_source=m.data_source,
+                    source_name=m.source_name, source_archive=m.source_archive,
+                    location_type=m.location_type)
+                entries.append([os.path.dirname(path), name, m.data_source,
+                                m.source_name, m.source_archive, m.location_type,
+                                stamp, begin, end, True])
+                n += 1
+        if entries:
+            self.catalog.append(
+                self.spark.createDataFrame(entries, RETAIN_OBS_STATION_FILE_META),
+                "retain_obs_station_file_meta")
+        return n
+
     def run_sequence_ingest(self) -> dict:
         found = self.discover()
         ingested = self.ingest_new()
-        return {"discovered": found, "ingested": ingested}
+        station_meta = self.ingest_station_meta()
+        return {"discovered": found, "ingested": ingested,
+                "station_meta": station_meta}
 
     def gauge_data(self) -> DataFrame:
         return self.catalog.read(FACT, GAUGE_DATA)

@@ -106,6 +106,22 @@ HARVEST_MODEL_FILE_META = StructType([
     _f("ingested", B), _f("overlap_past_file_date_time", B),
 ])
 
+#: drf_retain_obs_station_file_meta — run/ingestObsTasks.py:322
+RETAIN_OBS_STATION_FILE_META = StructType([
+    _f("dir_path", S), _f("file_name", S), _f("data_source", S),
+    _f("source_name", S), _f("source_archive", S), _f("location_type", S),
+    _f("timemark", T), _f("begin_date", T), _f("end_date", T), _f("ingested", B),
+])
+
+#: drf_apsviz_station_file_meta — run/ingestModelTasks.py:295
+APSVIZ_STATION_FILE_META = StructType([
+    _f("dir_path", S), _f("file_name", S), _f("data_date_time", T),
+    _f("data_source", S), _f("source_name", S), _f("source_archive", S),
+    _f("source_instance", S), _f("forcing_metclass", S), _f("grid_name", S),
+    _f("model_run_id", S), _f("timemark", T), _f("location_type", S),
+    _f("csvurl", S), _f("ingested", B),
+])
+
 #: drf_apsviz_station — run/ingestModelTasks.py:433
 APSVIZ_STATION = StructType([
     _f("station_name", S), _f("lat", D), _f("lon", D), _f("tz", S),

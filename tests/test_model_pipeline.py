@@ -69,6 +69,9 @@ def env(spark, tmp_path_factory):
         "ST_A,2024-01-01 10:00:00,0.3",
         "ST_A,2024-01-01 11:00:00,0.4",
     ])
+    _write(run_dir / "meta_FORECAST_NOAASTATIONS.csv", [
+        "STATION", "ST_A", "ST_B",
+    ])
 
     items = [(4420, "21ab3d_gfs", k, v) for k, v in PROPS.items()]
     config_items = spark.createDataFrame(
@@ -106,19 +109,27 @@ def test_f6_source_derivation():
 def test_ingest_run(env, spark):
     pipe = ModelIngest(spark, env["catalog"], env["harvest"])
     out = pipe.ingest_run(RUN_ID, env["config"])
-    assert out == {"files": 2, "rows": 5}
+    assert out == {"files": 2, "rows": 5, "station_files": 1}
     # sources auto-registered: forecast + nowcast
     meta = env["catalog"].read("source_model_meta")
     assert meta.count() == 2
     ms = env["catalog"].read("model_source")
     assert ms.count() == 4  # 2 sources x 2 tidal stations
     assert pipe.model_data().count() == 5
+    # apsviz stations published for the run with the forecast data_source
+    aps = env["catalog"].read("apsviz_station")
+    rows = {r.station_name: r for r in aps.collect()}
+    assert set(rows) == {"ST_A", "ST_B"}
+    assert rows["ST_A"].data_source == "NAMFORECAST_NCSC_SAB_V1.23"
+    assert rows["ST_A"].model_run_id == RUN_ID
+    assert env["catalog"].read("apsviz_station_file_meta").count() == 1
 
 
 def test_rerun_dedup(env, spark):
     pipe = ModelIngest(spark, env["catalog"], env["harvest"])
     out = pipe.ingest_run(RUN_ID, env["config"])  # same run again
     assert out["files"] == 2
+    assert out["station_files"] == 0  # meta ledger makes publish idempotent
     # rerun replaces, does not duplicate (key: source_id, timemark, time)
     assert pipe.model_data().count() == 5
     # ledger keeps both processing passes (audit parity)

@@ -98,7 +98,7 @@ def test_first_ingest(env, spark):
                   "2024-01-01T02:00:00", FILE1)
     pipe = ObsIngest(spark, env["catalog"], env["harvest"])
     out = pipe.run_sequence_ingest()
-    assert out == {"discovered": 1, "ingested": 1}
+    assert out == {"discovered": 1, "ingested": 1, "station_meta": 0}
     data = pipe.gauge_data()
     assert data.count() == 5
     # ledger flipped
@@ -114,7 +114,7 @@ def test_overlap_keep_latest(env, spark):
                   "2024-01-01T04:00:00", FILE2)
     pipe = ObsIngest(spark, env["catalog"], env["harvest"])
     out = pipe.run_sequence_ingest()
-    assert out == {"discovered": 1, "ingested": 1}
+    assert out == {"discovered": 1, "ingested": 1, "station_meta": 0}
 
     got = {(r.src, str(r.time)): r.water_level
            for r in (pipe.gauge_data()
@@ -150,7 +150,7 @@ def test_idempotent_rerun(env, spark):
     pipe = ObsIngest(spark, env["catalog"], env["harvest"])
     before = sorted(map(tuple, pipe.gauge_data().collect()))
     out = pipe.run_sequence_ingest()
-    assert out == {"discovered": 0, "ingested": 0}
+    assert out == {"discovered": 0, "ingested": 0, "station_meta": 0}
     after = sorted(map(tuple, pipe.gauge_data().collect()))
     assert before == after
 
@@ -168,6 +168,50 @@ def test_pivot_golden_x1(env):
     assert [r["tidal_gauge_water_level"] for r in payload] == [1.0, 9.1, 9.2, 9.3, 9.4]
     # non-participating categories present as nulls (crosstab parity)
     assert all(r["ocean_buoy_wave_height"] is None for r in payload)
+
+
+def test_station_meta_snapshot(env, spark):
+    # paired meta file (stationdata -> stationdata_meta naming) snapshots
+    # the station list with the paired data file's TIME window (FILE2)
+    _write(os.path.join(env["harvest"],
+                        "noaa_stationdata_meta_water_level_2024-01-01T04:00:00.csv"),
+           ["STATION,LAT,LON", "ST_A,34.1,-77.1", "ST_B,34.2,-77.2"])
+    pipe = ObsIngest(spark, env["catalog"], env["harvest"])
+    out = pipe.run_sequence_ingest()
+    assert out["station_meta"] == 1
+    retain = env["catalog"].read("retain_obs_station")
+    assert retain.count() == 2
+    assert {r.station_name for r in retain.collect()} == {"ST_A", "ST_B"}
+    # idempotent
+    assert pipe.run_sequence_ingest()["station_meta"] == 0
+
+
+def test_station_meta_with_matching_prefix(env, spark, tmp_path_factory):
+    # isolated env where the meta file matches the derived prefix exactly
+    root = tmp_path_factory.mktemp("obsmeta")
+    (root / "harvest").mkdir()
+    _write(str(root / "stations.csv"),
+           ["ST_A,34.1,-77.1,gmt,NOAA/NOS,Alpha,tidal,us,nc,NH,01A"])
+    _write(str(root / "meta.csv"), [SOURCE_META_HEADER, SOURCE_META_ROWS[0]])
+    catalog = Catalog(spark, str(root / "warehouse"))
+    bootstrap(spark, catalog, station_csvs=[str(root / "stations.csv")],
+              source_meta_csv=str(root / "meta.csv"))
+    _write(str(root / "harvest" / "noaa_stationdata_water_level_2024-01-02T00:00:00.csv"),
+           ["STATION,TIME,WATER_LEVEL", "ST_A,2024-01-01 20:00:00,1.0",
+            "ST_A,2024-01-02 00:00:00,1.5"])
+    _write(str(root / "harvest" / "noaa_stationdata_meta_water_level_2024-01-02T00:00:00.csv"),
+           ["STATION,LAT,LON", "ST_A,34.1,-77.1"])
+    pipe = ObsIngest(spark, catalog, str(root / "harvest"))
+    out = pipe.run_sequence_ingest()
+    assert out == {"discovered": 1, "ingested": 1, "station_meta": 1}
+    retain = catalog.read("retain_obs_station")
+    row = retain.first()
+    assert row.station_name == "ST_A"
+    assert str(row.begin_date) == "2024-01-01 20:00:00"
+    assert str(row.end_date) == "2024-01-02 00:00:00"
+    assert str(row.timemark) == "2024-01-02 00:00:00"
+    # idempotent: ledger prevents re-snapshot
+    assert pipe.run_sequence_ingest()["station_meta"] == 0
 
 
 def test_pivot_empty_range(env):
