@@ -1,0 +1,80 @@
+"""Streaming analytics over event streams (SURVEY section 2.9 extension).
+
+The reference has no window aggregations; these are the Spark-native
+extensions a timeseries engine needs at scale:
+
+- ``windowed_event_stats``: tumbling event-time windows with a watermark —
+  late data inside the watermark updates its window, older data drops.
+- ``session_event_stats``: built-in ``session_window`` (gap-based).
+- ``running_user_counts``: custom stateful operator via
+  ``applyInPandasWithState`` — the escape hatch for semantics the built-in
+  windows can't express (cumulative per-key counters here; the same shape
+  carries sessionization-with-side-outputs, CEP, etc.). State is
+  per-key and partitioned by the grouping key, so it scales horizontally.
+
+All three take a *streaming or batch* DataFrame with (ts, user_id,
+event_type, value) — same lineage either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_stats(events: DataFrame, *, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + decimal sums per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def session_event_stats(events: DataFrame, *, gap: str = "30 minutes",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based) with event counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("sess.start").alias("session_start"),
+                F.col("sess.end").alias("session_end"),
+                "user_id", "n_events")
+    )
+
+
+_STATE_SCHEMA = "total long"
+_OUTPUT_SCHEMA = "user_id long, batch_events long, total_events long"
+
+
+def _count_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    batch = sum(len(pdf) for pdf in pdfs)
+    total = (state.get[0] if state.exists else 0) + batch
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "batch_events": [batch],
+                        "total_events": [total]})
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event totals across
+    micro-batches. Arrow-batched state updates, keyed state store."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_fn,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
