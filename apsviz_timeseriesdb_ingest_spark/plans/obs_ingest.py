@@ -45,7 +45,13 @@ from ..sources.harvest_csv import read_harvest_csv
 LEDGER = "harvest_obs_file_meta"
 FACT = "gauge_data"
 
-_TIMEMARK_RE = re.compile(r"(\d+-\d+-\d+T\d+:\d+:\d+)")
+#: accepts ':' or '_' separators (colon-free names are the streaming-safe
+#: producer convention; see functions/timeparse.TIMEMARK_RE)
+_TIMEMARK_RE = re.compile(r"(\d+-\d+-\d+T\d+[:_]\d+[:_]\d+)")
+
+
+def _parse_timemark(match: re.Match) -> dt.datetime:
+    return dt.datetime.fromisoformat(match.group(1).replace("_", ":"))
 
 
 class ObsIngest:
@@ -83,7 +89,7 @@ class ObsIngest:
                 match = _TIMEMARK_RE.search(name)
                 if not match:  # null-guard path (run/createHarvestObsFileMeta.py:159-164)
                     continue
-                stamp = dt.datetime.fromisoformat(match.group(1))
+                stamp = _parse_timemark(match)
                 candidates.append({
                     "dir_path": os.path.dirname(path), "file_name": name,
                     "data_date_time": stamp, "timemark": stamp,
@@ -225,7 +231,7 @@ class ObsIngest:
                 match = _TIMEMARK_RE.search(name)
                 if not match:
                     continue
-                stamp = dt.datetime.fromisoformat(match.group(1))
+                stamp = _parse_timemark(match)
                 data_name = "_".join(name.split("_meta_"))
                 data_path = self._readable_path(self.harvest_dir, data_name)
                 stations_df = (self.spark.read.option("header", True)
