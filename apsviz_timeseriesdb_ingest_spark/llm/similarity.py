@@ -54,6 +54,36 @@ def brute_force_topk(vectors: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding", threshold: float = 0.9,
+                            dim: int | None = None, planes: int = 0,
+                            ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    With ``planes > 0`` the self-join is restricted to LSH-bucket
+    equality first (the scale path: near-identical vectors share all sign
+    bits with high probability, so candidate generation is an equi-join);
+    ``planes = 0`` is the exact quadratic baseline for small corpora /
+    verification."""
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("vec"))
+    if planes:
+        assert dim is not None
+        b = hyperplane_lsh_bucket(vectors, id_col=id_col, vec_col=vec_col,
+                                  dim=dim, planes=planes)
+        v = v.join(b.withColumnRenamed(id_col, "id"), "id")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        cond = F.col("a.id") < F.col("b.id")
+    pairs = (
+        v.alias("a").join(v.alias("b"), cond)
+        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("a.id").alias("vec_id_a"), F.col("b.id").alias("vec_id_b"), "sim")
+    )
+    return pairs
+
+
 def hyperplane_coefficients(dim: int, planes: int = 8) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: plane p component i =
     (md5int('plane|p|i') % 2001 - 1000)/1000. Computed driver-side so the

@@ -146,10 +146,14 @@ class ModelIngest:
         processing = dt.datetime.now().replace(microsecond=0)
         batch = None
         ledger_rows = []
+        windows = {}
         for path, kind, src in files:
             name = os.path.basename(path)
+            raw = read_harvest_csv(self.spark, [path], "water_level")
+            w = raw.agg(F.min("time").alias("lo"), F.max("time").alias("hi")).first()
+            windows[name] = (w["lo"], w["hi"])
             df = (
-                read_harvest_csv(self.spark, [path], "water_level")
+                raw
                 .withColumn("timemark", F.lit(timemark).cast("timestamp_ntz"))
                 .join(F.broadcast(
                     self.catalog.read("model_source")
@@ -169,7 +173,7 @@ class ModelIngest:
             ledger_rows.append({
                 "dir_path": run_dir, "file_name": name, "model_run_id": model_run_id,
                 "processing_datetime": processing, "data_date_time": timemark,
-                "data_begin_time": None, "data_end_time": None,
+                "data_begin_time": windows[name][0], "data_end_time": windows[name][1],
                 "data_source": src["data_source"], "source_name": src["source_name"],
                 "source_archive": src["source_archive"],
                 "source_instance": src["source_instance"],

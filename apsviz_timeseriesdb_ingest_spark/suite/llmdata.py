@@ -240,6 +240,21 @@ def llm_lsh_bucket(spark, sf_dir):
     return hyperplane_lsh_bucket(tables(spark, sf_dir, "embeddings"), dim=64, planes=8)
 
 
+@query("llm_embedding_neardup", sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+          round(list_cosine_similarity(a.e, b.e), 6) AS sim
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b, sim FROM s WHERE sim >= 0.4
+""")
+def llm_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — exact baseline (the
+    LSH-bucketed variant of the same operator is the scale path)."""
+    from ..llm.similarity import embedding_neardup_pairs
+    return embedding_neardup_pairs(tables(spark, sf_dir, "embeddings"),
+                                   threshold=0.4)
+
+
 # --- multimodal ----------------------------------------------------------
 
 @query("llm_multimodal_features", sql="""
