@@ -70,9 +70,16 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int,
               fast: bool = False) -> DataFrame:
     """(doc, shingle-hash) pairs: each distinct shingle hashed ONCE —
     downstream minhash functions are integer arithmetic on this value, so
-    per-shingle cost is one md5 regardless of num_hashes."""
+    per-shingle cost is one md5 regardless of num_hashes.
+
+    The input is repartitioned first: a document corpus often arrives as
+    few-but-large (or one small) parquet files, and shingling is
+    CPU-bound — without the repartition the expansion runs on as many
+    cores as there are input splits."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
         .select("doc", F.explode("sh").alias("shingle"))
         .withColumn("shash", md5_hash64("shingle", fast=fast))
         .drop("shingle")
@@ -121,23 +128,17 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_hashes: int = 16, fast: bool = False) -> DataFrame:
-    """MinHash signatures: (doc, seed, minhash) rows.
+    """Wide MinHash signatures: one row per doc, columns mh0..mh{n-1}.
 
-    One md5 per shingle; the k hash functions are the universal family
-    (a*h + b) mod 2^31-1 — integer arithmetic, entirely map-side until
-    the final (doc, seed) min-aggregate."""
+    One md5 per shingle; the n hash functions are the universal family
+    (a*h + b) mod 2^31-1 evaluated as n parallel MIN aggregates over the
+    shingle rows — no seed explosion, a single (doc) shuffle whose
+    map-side partials are already one row per doc."""
     sh = _shingled(df, text_col, id_col, k, fast=fast)
-    params = minhash_params(num_hashes)
-    seed_structs = F.explode(F.array([
-        F.struct(F.lit(i).alias("seed"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-        for i, (a, b) in enumerate(params)])).alias("s")
     h31 = F.col("shash") % MERSENNE31
-    return (
-        sh.select("doc", "shash", seed_structs)
-        .select("doc", F.col("s.seed").alias("seed"),
-                ((F.col("s.a") * h31 + F.col("s.b")) % MERSENNE31).alias("h"))
-        .groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
-    )
+    aggs = [F.min((F.lit(a) * h31 + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))]
+    return sh.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
@@ -145,19 +146,24 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       bands: int = 4, fast: bool = False) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket (a < b).
 
-    Band bucket = md5 of the band's minhashes joined in seed order; the
-    self-join runs on (band, bucket) — tiny keys, no O(n^2) stage.
+    Band bucket = md5 of the band's minhashes joined in seed order,
+    computed column-wise from the wide signature; the self-join runs on
+    (band, bucket) — tiny keys, no O(n^2) stage.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col=text_col, id_col=id_col, k=k,
                              num_hashes=num_hashes, fast=fast)
+    bucket_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{i}").cast("string")
+                                 for i in range(b * rows_per_band,
+                                                (b + 1) * rows_per_band)]))
+        .alias(f"bucket_{b}")
+        for b in range(bands)
+    ]
+    stack = ", ".join(f"{b}, bucket_{b}" for b in range(bands))
     buckets = (
-        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(F.md5(F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string")),
-            ",")).alias("bucket"))
+        sig.select("doc", *bucket_cols)
+        .selectExpr("doc", f"stack({bands}, {stack}) AS (band, bucket)")
     )
     return (
         buckets.alias("a")
