@@ -136,6 +136,38 @@ def _neardup_blas(vectors: DataFrame, *, id_col: str, vec_col: str,
     return base.mapInPandas(scan, schema="vec_id_a long, vec_id_b long, sim double")
 
 
+def ivf_assign(vectors: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", centroid_ids: list[int],
+               ) -> DataFrame:
+    """IVF-style cell assignment: each vector maps to its nearest centroid
+    by cosine (deterministic tie-break on centroid id).
+
+    Centroids here are corpus vectors chosen by id (a deterministic,
+    engine-reproducible stand-in for k-means training — swap in trained
+    centroids without changing the plan). The assignment is a broadcast
+    join + per-row argmin: the partition/bucketing key that turns ANN into
+    'search your cell (and n probe neighbors) only' at 100 TB."""
+    from pyspark.sql import Window
+
+    v = (vectors.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("nrm", _norm(F.col("vec"))))
+    cents = (v.filter(F.col("id").isin(centroid_ids))
+             .select(F.col("id").alias("centroid_id"),
+                     F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm")))
+    scored = (
+        v.join(F.broadcast(cents), how="cross")
+        .withColumn("sim", _dot(F.col("vec"), F.col("cvec"))
+                    / (F.col("nrm") * F.col("cnrm")))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias(id_col), "centroid_id")
+    )
+
+
 def hyperplane_coefficients(dim: int, planes: int = 8) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: plane p component i =
     (md5int('plane|p|i') % 2001 - 1000)/1000. Computed driver-side so the

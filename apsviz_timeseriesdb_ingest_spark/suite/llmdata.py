@@ -240,6 +240,28 @@ def llm_lsh_bucket(spark, sf_dir):
     return hyperplane_lsh_bucket(tables(spark, sf_dir, "embeddings"), dim=64, planes=8)
 
 
+_CENTROID_IDS = list(range(8))
+
+@query("llm_ivf_assign", sql=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+          WHERE vec_id IN ({", ".join(map(str, _CENTROID_IDS))})),
+    s AS (SELECT vec_id, centroid_id,
+          list_cosine_similarity(e, ce) AS sim FROM v, c)
+    SELECT vec_id, centroid_id
+    FROM (SELECT vec_id, centroid_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+          FROM s)
+    WHERE rn = 1
+""")
+def llm_ivf_assign(spark, sf_dir):
+    """IVF cell assignment (8 deterministic centroids) — the coarse
+    quantizer / partitioning stage of inverted-file ANN."""
+    from ..llm.similarity import ivf_assign
+    return ivf_assign(tables(spark, sf_dir, "embeddings"),
+                      centroid_ids=_CENTROID_IDS)
+
+
 @query("llm_embedding_neardup", sql="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     s AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
