@@ -403,6 +403,34 @@ def f_scalar_suite(spark, sf_dir):
     )
 
 
+@query("a6_json_agg", sql="""
+    SELECT user_id,
+           to_json(list(struct_pack(event_id := event_id,
+                                    value := CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR))
+                        ORDER BY event_id))::VARCHAR AS events_json,
+           count(*) AS n
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+""")
+def a6_json_agg(spark, sf_dir):
+    """A6: JSON_AGG parity (``scripts/get_obs_timeseries_station_data.sql:7``)
+    — per-group JSON array, element order pinned by a sortable first
+    struct field; output strings are byte-identical across engines."""
+    ev = tables(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.to_json(F.array_sort(F.collect_list(
+                F.struct(F.col("event_id"),
+                         _dec("value").cast("string").alias("value"))
+            ))).alias("events_json"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # --- W: window functions (scale extension; reference has none, SURVEY 2.9) --
 
 @query("w1_running_total", sql="""
