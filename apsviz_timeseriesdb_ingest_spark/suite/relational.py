@@ -403,6 +403,27 @@ def f_scalar_suite(spark, sf_dir):
     )
 
 
+@query("a8_salted_agg", sql="""
+    SELECT event_type,
+           SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+           COUNT(*) AS n,
+           MAX(CAST(value AS DECIMAL(18,2))) AS max_value
+    FROM events GROUP BY event_type
+""")
+def a8_salted_agg(spark, sf_dir):
+    """Skew-safe salted two-phase aggregation — result identical to the
+    direct groupBy (the oracle IS the direct groupBy), physical shuffle
+    bounded per hot key."""
+    from ..operators.salt import salted_agg
+    ev = tables(spark, sf_dir, "events")
+    return salted_agg(
+        ev.withColumn("value_dec", _dec("value")),
+        ["event_type"],
+        {"total_value": ("sum", "value_dec"), "n": ("count", "*"),
+         "max_value": ("max", "value_dec")},
+    )
+
+
 @query("a6_json_agg", sql="""
     SELECT user_id,
            to_json(list(struct_pack(event_id := event_id,

@@ -40,6 +40,19 @@ def test_discovery_null_guard(env, spark):
     assert env["catalog"].read("gauge_data").count() == 1
 
 
+def test_station_csv_quoted_commas(spark, tmp_path):
+    # FIXTURES section 1: location_name may contain quoted commas; geom is
+    # opaque WKB hex carried through untouched
+    from apsviz_timeseriesdb_ingest_spark.sources.harvest_csv import read_station_csv
+    p = tmp_path / "st.csv"
+    p.write_text('8410140,44.9,-66.98,gmt,NOAA/NOS,"Eastport, ME",tidal,us,me,'
+                 'Washington,0101000020E610\n')
+    row = read_station_csv(spark, [str(p)]).first()
+    assert row.location_name == "Eastport, ME"
+    assert row.geom == "0101000020E610"
+    assert row.lat == 44.9
+
+
 def test_m4_views(env, spark):
     create_views(env["catalog"])
     got = spark.sql("""
