@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.strings import sanitize_pivot_label
-from ..sources.catalog import Catalog
+from ..sources.catalog import TIME_BUCKET, Catalog
 
 #: X1 fixed category → output column mapping
 #: (scripts/get_obs_timeseries_station_data.sql:26-38)
@@ -88,6 +88,17 @@ def create_views(catalog: Catalog) -> None:
     model_view(catalog).createOrReplaceTempView("drf_model_station_source_data")
 
 
+def _time_range(df: DataFrame, start: str, end: str) -> DataFrame:
+    """Event-time range filter PLUS the matching time_bucket partition
+    predicate: the fact tables are partitioned by yyyy-MM(time), and the
+    bucket bound is what turns a 100 TB scan into a few partitions
+    (lexicographic compare works for the yyyy-MM format)."""
+    cond = (F.col("time") >= start) & (F.col("time") <= end)
+    if TIME_BUCKET in df.columns:
+        cond = cond & F.col(TIME_BUCKET).between(start[:7], end[:7])
+    return df.filter(cond)
+
+
 def _pivot_timeseries(joined: DataFrame, value: F.Column,
                       categories: dict[str, str]) -> DataFrame:
     """Shared crosstab core: time → one column per category label, cell =
@@ -111,10 +122,8 @@ def _pivot_timeseries(joined: DataFrame, value: F.Column,
 def get_obs_timeseries_station_data(catalog: Catalog, station_name: str,
                                     start_date: str, end_date: str) -> DataFrame:
     """X1 — obs crosstab for one station and date range."""
-    joined = obs_view(catalog).filter(
-        (F.col("station_name") == station_name)
-        & (F.col("time") >= start_date) & (F.col("time") <= end_date)
-    )
+    joined = _time_range(obs_view(catalog), start_date, end_date).filter(
+        F.col("station_name") == station_name)
     return _pivot_timeseries(joined, F.coalesce("water_level", "wave_height"),
                              OBS_CATEGORIES)
 
@@ -126,10 +135,8 @@ def get_obs_timeseries_station_data_allparms(catalog: Catalog, station_name: str
     cats = dict(ALLPARMS_PRE)
     cats[nowcast_source] = sanitize_pivot_label(nowcast_source)
     cats.update(ALLPARMS_POST)
-    joined = obs_view(catalog).filter(
-        (F.col("station_name") == station_name)
-        & (F.col("time") >= start_date) & (F.col("time") <= end_date)
-    )
+    joined = _time_range(obs_view(catalog), start_date, end_date).filter(
+        F.col("station_name") == station_name)
     value = F.coalesce("water_level", "stream_elevation", "wave_height",
                        "wind_speed", "air_pressure", "flow_volume")
     return _pivot_timeseries(joined, value, cats)
@@ -140,9 +147,8 @@ def get_forecast_timeseries_station_data(catalog: Catalog, station_name: str,
                                          data_source: str, source_instance: str,
                                          ) -> DataFrame:
     """X3 — one forecast run's crosstab, pinned by timemark."""
-    joined = model_view(catalog).filter(
+    joined = _time_range(model_view(catalog), timemark, max_forecast_endtime).filter(
         (F.col("station_name") == station_name)
-        & (F.col("time") >= timemark) & (F.col("time") <= max_forecast_endtime)
         & (F.col("timemark") == F.lit(timemark).cast("timestamp_ntz"))
         & (F.col("data_source") == data_source)
         & (F.col("source_instance") == source_instance)
@@ -156,9 +162,8 @@ def get_nowcast_timeseries_station_data(catalog: Catalog, station_name: str,
                                         data_source: str, source_instance: str,
                                         ) -> DataFrame:
     """X4 — nowcast crosstab over [start, end]."""
-    joined = model_view(catalog).filter(
+    joined = _time_range(model_view(catalog), start_date, end_date).filter(
         (F.col("station_name") == station_name)
-        & (F.col("time") >= start_date) & (F.col("time") <= end_date)
         & (F.col("data_source") == data_source)
         & (F.col("source_instance") == source_instance)
     )
