@@ -199,6 +199,38 @@ def llm_simhash(spark, sf_dir):
 
 # --- similarity search ---------------------------------------------------
 
+@query("llm_simhash_neardup", sql=f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({SQL_TOKS}) AS token FROM documents),
+    cnt AS (SELECT doc, token, count(*) AS cnt FROM tok GROUP BY doc, token),
+    h AS (SELECT doc, cnt, {_md5int_sql("token")} AS h FROM cnt),
+    bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+    contrib AS (SELECT doc, bit,
+                sum(CASE WHEN (h >> bit) % 2 = 1 THEN cnt ELSE -cnt END) AS s
+                FROM h, bits GROUP BY doc, bit),
+    sig AS (SELECT doc, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS sh
+            FROM contrib GROUP BY doc)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM sig a JOIN sig b ON a.doc < b.doc
+    WHERE bit_count(xor(a.sh, b.sh)) <= 4
+""")
+def llm_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: hamming distance <= 4 on the 32-bit
+    signature — signature comparison is bit ops on longs, so the
+    candidate scan is cheap even pairwise (and band-partitionable at
+    scale by splitting the signature into hamming blocks)."""
+    sig = simhash(tables(spark, sf_dir, "documents"))
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 4)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"), "hamming")
+    )
+
+
 _QUERY_IDS = list(range(10))
 
 @query("llm_similarity_topk", sql=f"""
