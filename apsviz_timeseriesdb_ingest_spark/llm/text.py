@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.portable_hash import md5_hash_str
+from ..functions.portable_hash import md5_hash64, md5_hash_str
 
 #: default per-language marker profiles for the n-gram/stopword heuristic
 DEFAULT_LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -91,6 +91,57 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
     return out.withColumn("predicted_lang", pred)
+
+
+def clean_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               ) -> DataFrame:
+    """Boilerplate cleaning: strip URLs, emails, HTML tags, collapse
+    whitespace, trim. RE2-compatible patterns so oracles can mirror."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"https?://[^\s]+", " ")
+    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(id_col, c.alias("clean_text"),
+                     F.length(c).alias("clean_chars"))
+
+
+def train_split(df: DataFrame, *, id_col: str = "doc_id", train_pct: int = 90,
+                seed: str = "split-v1") -> DataFrame:
+    """Deterministic hash-based train/eval split: stable across runs,
+    clusters, and engines (md5-derived bucket 0-99). The assignment is a
+    pure function of the id — re-running never reshuffles examples."""
+    bucket = md5_hash64(F.col(id_col).cast("string"), seed=seed) % 100
+    return df.select(
+        id_col, bucket.alias("split_bucket"),
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str = "text", *, min_count: int = 1,
+               ) -> DataFrame:
+    """Corpus vocabulary with term counts and document frequency — two
+    partial-agg shuffles on the token, no driver-side state."""
+    per_doc = (df.select(F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+               .groupBy("token").agg(F.count("*").alias("doc_freq")))
+    counts = (df.select(F.explode(tokens(text_col)).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("term_count")))
+    return (counts.join(per_doc, "token")
+            .filter(F.col("term_count") >= min_count))
+
+
+def length_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   *, bucket_chars: int = 100, max_bucket: int = 8) -> DataFrame:
+    """Bucket documents by character length — the partitioning most
+    training pipelines use for packing/curriculum. Pure integer
+    arithmetic (portable to any engine)."""
+    bucket = F.least(F.floor(F.length(text_col) / bucket_chars),
+                     F.lit(max_bucket)).cast("int")
+    return df.select(
+        id_col, F.length(text_col).alias("n_chars_measured"),
+        bucket.alias("bucket"),
+    )
 
 
 def document_fingerprint(df: DataFrame, text_col: str = "text",

@@ -85,7 +85,8 @@ class Catalog:
         """
         incoming = incoming.withColumn(TIME_BUCKET, time_bucket(time_col))
         if not self.exists(table):
-            deduped = keep_latest(incoming, keys, order_by).drop(*drop_before_write)
+            deduped = (keep_latest(incoming, keys, order_by).drop(*drop_before_write)
+                       .sortWithinPartitions(*keys))
             self.overwrite(deduped, table, partition_by=[TIME_BUCKET])
             return
         months = [r[0] for r in incoming.select(TIME_BUCKET).distinct().collect()]
@@ -93,6 +94,9 @@ class Catalog:
         merged = keep_latest(
             existing.unionByName(incoming, allowMissingColumns=True), keys, order_by,
         ).drop(*drop_before_write)
+        # cluster rows by the dedup keys inside each file: parquet
+        # row-group min/max stats then skip for key-selective reads
+        merged = merged.sortWithinPartitions(*keys)
         # Materialize before writing: the write target is also the read
         # source; breaking lineage avoids read-your-own-overwrite. (A real
         # deployment uses Delta/Iceberg MERGE and skips this.)
@@ -104,6 +108,21 @@ class Catalog:
         """Full-replace of a small control/ledger table (flag flips)."""
         df = df.localCheckpoint(eager=True)
         df.write.mode("overwrite").parquet(self.path(table))
+
+    def compact(self, table: str, *, partitions: int | None = None) -> None:
+        """Rewrite a table to heal the small-file problem incremental
+        merges accumulate (many micro-batches → many tiny parquet files).
+        Partitioned tables re-cluster on the partition column so each
+        partition dir collapses to ~one file."""
+        df = self.read(table)
+        cols = df.columns
+        n = partitions or self.spark.sparkContext.defaultParallelism
+        df = df.localCheckpoint(eager=True)
+        if TIME_BUCKET in cols:
+            (df.repartition(n, TIME_BUCKET).write.mode("overwrite")
+             .partitionBy(TIME_BUCKET).parquet(self.path(table)))
+        else:
+            df.coalesce(max(1, n // 8)).write.mode("overwrite").parquet(self.path(table))
 
     def save_bucketed(self, df: DataFrame, table: str, *, bucket_by: Sequence[str],
                       num_buckets: int = 32, sort_by: Sequence[str] = ()) -> None:

@@ -53,6 +53,15 @@ def session_event_stats(events: DataFrame, *, gap: str = "30 minutes",
     )
 
 
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming duplicate drop bounded by the watermark
+    (``dropDuplicatesWithinWatermark``): state for a key is held only
+    until the watermark passes — the streaming twin of the batch
+    keep-latest dedup, with bounded state instead of a bounded DELETE."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 _STATE_SCHEMA = "total long"
 _OUTPUT_SCHEMA = "user_id long, batch_events long, total_events long"
 

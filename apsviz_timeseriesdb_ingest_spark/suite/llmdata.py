@@ -120,6 +120,71 @@ def llm_fingerprint(spark, sf_dir):
     return document_fingerprint(tables(spark, sf_dir, "documents"))
 
 
+@query("llm_clean_text", sql="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, 'https?://[^\\s]+', ' ', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS clean_text,
+           length(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, 'https?://[^\\s]+', ' ', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS clean_chars
+    FROM documents
+""")
+def llm_clean_text(spark, sf_dir):
+    """Boilerplate cleaning: URL/email/HTML strip + whitespace collapse."""
+    from ..llm.text import clean_text
+    return clean_text(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_train_split", sql=f"""
+    WITH b AS (SELECT doc_id,
+               {_md5int_sql("'split-v1|' || doc_id::VARCHAR")} % 100 AS split_bucket
+               FROM documents)
+    SELECT doc_id, split_bucket,
+           CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split
+    FROM b
+""")
+def llm_train_split(spark, sf_dir):
+    """Deterministic hash-based train/eval split (stable across runs and
+    engines — the reproducibility primitive for dataset versioning)."""
+    from ..llm.text import train_split
+    return train_split(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_vocabulary", sql=f"""
+    WITH tok AS (SELECT unnest({SQL_TOKS}) AS token FROM documents),
+    dtok AS (SELECT unnest(list_distinct({SQL_TOKS})) AS token FROM documents)
+    SELECT c.token, c.term_count, d.doc_freq
+    FROM (SELECT token, count(*) AS term_count FROM tok GROUP BY token) c
+    JOIN (SELECT token, count(*) AS doc_freq FROM dtok GROUP BY token) d
+      ON c.token = d.token
+    WHERE c.term_count >= 1
+""")
+def llm_vocabulary(spark, sf_dir):
+    """Corpus vocabulary: term counts + document frequency."""
+    from ..llm.text import vocabulary
+    return vocabulary(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_length_buckets", sql="""
+    SELECT doc_id, length(text) AS n_chars_measured,
+           CAST(least(length(text) // 100, 8) AS INT) AS bucket
+    FROM documents
+""")
+def llm_length_buckets(spark, sf_dir):
+    """Length bucketing for packing/curriculum partitioning."""
+    from ..llm.text import length_buckets
+    return length_buckets(tables(spark, sf_dir, "documents"))
+
+
 # --- dedup ---------------------------------------------------------------
 
 @query("llm_exact_dedup", sql="""
