@@ -144,6 +144,29 @@ def length_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     *, top_k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    tfidf = tf * ln(N / doc_freq), ranked on the ROUNDED score (6 dp)
+    with a token tie-break so rankings are reproducible across engines
+    and hardware. N is a metadata scalar (one count job)."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tf = (df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
+          .groupBy("doc", "token").agg(F.count("*").alias("tf")))
+    dfreq = (df.select(F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+             .groupBy("token").agg(F.count("*").alias("doc_freq")))
+    scored = (tf.join(dfreq, "token")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)))
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select(F.col("doc").alias(id_col), "token", "tfidf", "rnk"))
+
+
 def document_fingerprint(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lower-cased text

@@ -185,6 +185,29 @@ def llm_length_buckets(spark, sf_dir):
     return length_buckets(tables(spark, sf_dir, "documents"))
 
 
+@query("llm_tfidf_top_terms", sql=f"""
+    WITH tok AS (SELECT doc_id AS doc, unnest({SQL_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc, token, count(*) AS tf FROM tok GROUP BY doc, token),
+    dtok AS (SELECT doc_id AS doc, unnest(list_distinct({SQL_TOKS})) AS token
+             FROM documents),
+    dfreq AS (SELECT token, count(*) AS doc_freq FROM dtok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT doc, tf.token,
+               round(tf * ln(n_docs::DOUBLE / doc_freq), 6) AS tfidf
+               FROM tf JOIN dfreq ON tf.token = dfreq.token, n)
+    SELECT doc AS doc_id, token, tfidf, rnk
+    FROM (SELECT doc, token, tfidf,
+          row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, token) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+""")
+def llm_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf (ranked on
+    rounded scores for engine-independent determinism)."""
+    from ..llm.text import tf_idf_top_terms
+    return tf_idf_top_terms(tables(spark, sf_dir, "documents"))
+
+
 # --- dedup ---------------------------------------------------------------
 
 @query("llm_exact_dedup", sql="""

@@ -424,6 +424,25 @@ def a8_salted_agg(spark, sf_dir):
     )
 
 
+@query("j9_salted_skew_join", sql="""
+    SELECT e.user_id, e.event_id, e.event_type,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS user_price
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_orderkey
+    WHERE o.o_orderkey < 150
+""")
+def j9_salted_skew_join(spark, sf_dir):
+    """Manually-salted skew join — result identical to the plain inner
+    join oracle; the salt only reshapes the shuffle."""
+    from ..operators.salt import salted_join
+    ev, o = tables(spark, sf_dir, "events", "orders")
+    right = (o.filter(F.col("o_orderkey") < 150)
+             .select(F.col("o_orderkey").alias("user_id"),
+                     _dec("o_totalprice").alias("user_price")))
+    return (salted_join(ev, right, ["user_id"], salt_buckets=8)
+            .select("user_id", "event_id", "event_type", "user_price"))
+
+
 @query("a6_json_agg", sql="""
     SELECT user_id,
            to_json(list(struct_pack(event_id := event_id,
@@ -501,6 +520,37 @@ def f_json_extract(spark, sf_dir):
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"))
+
+
+@query("w3_session_windows", sql="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, session_no
+""")
+def w3_session_windows(spark, sf_dir):
+    """Session windows (30-min gap) via the built-in session_window —
+    verified against the classic gaps-and-islands SQL formulation."""
+    ev = tables(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sess.start").alias("session_start"),
+                F.col("sess.end").alias("session_end"), "n_events")
+    )
 
 
 # --- headline: TPC-H-style ----------------------------------------------
