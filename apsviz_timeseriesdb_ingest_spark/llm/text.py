@@ -167,6 +167,62 @@ def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             .select(F.col("doc").alias(id_col), "token", "tfidf", "rnk"))
 
 
+def shuffle_rank(df: DataFrame, *, id_col: str = "doc_id",
+                 seed: str = "shuffle-v1") -> DataFrame:
+    """Deterministic dataset shuffle: a stable pseudo-random total order
+    from the id hash. Same seed → same order on any engine/cluster —
+    the reproducible replacement for rand()-based shuffles."""
+    from pyspark.sql import Window
+
+    key = md5_hash64(F.col(id_col).cast("string"), seed=seed)
+    w = Window.orderBy(key, F.col(id_col))
+    return df.select(id_col, F.row_number().over(w).alias("shuffle_pos"))
+
+
+def pack_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   *, target_chars: int = 2048, seed: str = "shuffle-v1",
+                   ) -> DataFrame:
+    """Greedy sequence packing: walk docs in the deterministic shuffle
+    order and cut a new pack whenever the running character total crosses
+    the target — the standard pretraining packing pass, expressed as a
+    cumulative-sum window (one global sort; at corpus scale partition by
+    split/bucket first and pack within partitions)."""
+    from pyspark.sql import Window
+
+    key = md5_hash64(F.col(id_col).cast("string"), seed=seed)
+    w = Window.orderBy(key, F.col(id_col)).rowsBetween(Window.unboundedPreceding,
+                                                       Window.currentRow)
+    running = F.sum(F.length(text_col)).over(w)
+    return df.select(
+        id_col, F.length(text_col).alias("n_chars_measured"),
+        F.floor((running - 1) / target_chars).cast("int").alias("pack_id"),
+    )
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any k-gram
+    shingle with the benchmark set. Shingle inverted-index semi-join —
+    the benchmark side is tiny and broadcasts."""
+    from .dedup import word_shingles
+
+    def shingled(d: DataFrame, out: str) -> DataFrame:
+        return (d.select(F.col(id_col).alias(out),
+                         F.explode(word_shingles(text_col, k)).alias("shingle")))
+
+    contaminated = (
+        shingled(train, "doc")
+        .join(F.broadcast(shingled(benchmark, "bench_doc").select("shingle").distinct()),
+              "shingle", "left_semi")
+        .select("doc").distinct()
+    )
+    return (train.select(F.col(id_col).alias("doc"))
+            .join(contaminated.withColumn("contaminated", F.lit(True)), "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("contaminated", F.lit(False)).alias("contaminated")))
+
+
 def document_fingerprint(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lower-cased text

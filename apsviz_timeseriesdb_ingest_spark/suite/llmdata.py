@@ -208,6 +208,55 @@ def llm_tfidf_top_terms(spark, sf_dir):
     return tf_idf_top_terms(tables(spark, sf_dir, "documents"))
 
 
+_SHUFFLE_KEY_SQL = _md5int_sql("'shuffle-v1|' || doc_id::VARCHAR")
+
+@query("llm_shuffle_rank", sql=f"""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY {_SHUFFLE_KEY_SQL}, doc_id) AS shuffle_pos
+    FROM documents
+""")
+def llm_shuffle_rank(spark, sf_dir):
+    """Deterministic dataset shuffle order (hash-keyed, reproducible)."""
+    from ..llm.text import shuffle_rank
+    return shuffle_rank(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_pack_documents", sql=f"""
+    SELECT doc_id, length(text) AS n_chars_measured,
+           CAST(floor((SUM(length(text)) OVER (
+               ORDER BY {_SHUFFLE_KEY_SQL}, doc_id
+               ROWS UNBOUNDED PRECEDING) - 1) / 2048) AS INT) AS pack_id
+    FROM documents
+""")
+def llm_pack_documents(spark, sf_dir):
+    """Greedy sequence packing to ~2048-char packs over the deterministic
+    shuffle order."""
+    from ..llm.text import pack_documents
+    return pack_documents(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_decontaminate", sql=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    shq AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks),
+    ex AS (SELECT doc_id AS doc, unnest(sh) AS shingle FROM shq),
+    bench AS (SELECT DISTINCT shingle FROM ex
+              JOIN documents d ON ex.doc = d.doc_id WHERE d.source = 'src0'),
+    hits AS (SELECT DISTINCT doc FROM ex
+             WHERE shingle IN (SELECT shingle FROM bench)
+               AND doc NOT IN (SELECT doc_id FROM documents WHERE source = 'src0'))
+    SELECT d.doc_id, (d.doc_id IN (SELECT doc FROM hits)) AS contaminated
+    FROM documents d WHERE d.source <> 'src0'
+""")
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (source != src0) sharing
+    any 3-gram shingle with the 'benchmark' subset (source = src0)."""
+    from ..llm.text import decontaminate
+    docs = tables(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return decontaminate(train, bench)
+
+
 # --- dedup ---------------------------------------------------------------
 
 @query("llm_exact_dedup", sql="""
