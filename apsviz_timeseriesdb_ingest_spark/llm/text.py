@@ -207,9 +207,14 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, *,
     the benchmark side is tiny and broadcasts."""
     from .dedup import word_shingles
 
+    par = train.sparkSession.sparkContext.defaultParallelism
+
     def shingled(d: DataFrame, out: str) -> DataFrame:
-        return (d.select(F.col(id_col).alias(out),
-                         F.explode(word_shingles(text_col, k)).alias("shingle")))
+        # repartition before the CPU-bound shingle expansion (corpora
+        # arrive as few parquet splits; see dedup._shingled)
+        return (d.repartition(par, id_col)
+                .select(F.col(id_col).alias(out),
+                        F.explode(word_shingles(text_col, k)).alias("shingle")))
 
     contaminated = (
         shingled(train, "doc")
