@@ -9,11 +9,19 @@ an ``fast=True`` xxhash64 switch for production scale.
 """
 
 from .text import (  # noqa: F401
+    clean_text,
+    decontaminate,
     document_fingerprint,
     language_id,
+    length_buckets,
+    pack_documents,
     quality_score,
+    shuffle_rank,
+    tf_idf_top_terms,
     token_stats,
     tokens,
+    train_split,
+    vocabulary,
 )
 from .dedup import (  # noqa: F401
     exact_dedup,
@@ -22,5 +30,10 @@ from .dedup import (  # noqa: F401
     simhash,
     word_shingles,
 )
-from .similarity import brute_force_topk, hyperplane_lsh_bucket  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    embedding_neardup_pairs,
+    hyperplane_lsh_bucket,
+    ivf_assign,
+)
 from .multimodal import extract_media_features, with_binary_payload  # noqa: F401

@@ -51,6 +51,11 @@ def merge_keep_latest(existing: DataFrame, incoming: DataFrame, keys: Sequence[s
     ``run/ingestObsTasks.py:390-399``): rows outside the window are passed
     through untouched — at scale this is what keeps the merge cost
     proportional to the batch, not the table.
+
+    Correctness constraint: window bounding is only equivalent to the
+    one-shot dedup when ``time_col`` is part of ``keys`` (as in the fact
+    tables, keyed (source_id, time)) — then any existing row sharing a
+    key with an incoming row is inside the window by construction.
     """
     if time_col is None:
         return keep_latest(existing.unionByName(incoming), keys, order_by)

@@ -49,6 +49,37 @@ def test_stream_first_batch(env, spark):
     assert env["catalog"].read("stream_obs_ledger").count() == 1
 
 
+def test_two_variable_streams_coexist(env, spark, tmp_path):
+    # a second measure variable gets its own stream + checkpoint; both
+    # merge into the same wide fact table without clobbering each other
+    _write(env["root"] / "meta.csv", [
+        "data_source,source_name,source_archive,source_variable,filename_prefix,location_type,units",
+        "tidal_gauge,noaa,noaa,water_level,noaa_stationdata_water_level,tidal,m",
+        "wind_anemometer,noaa,noaa,wind_speed,noaa_stationdata_wind_speed,tidal,mps",
+    ])
+    from apsviz_timeseriesdb_ingest_spark.plans.bootstrap import (
+        derive_gauge_source,
+        load_source_obs_meta,
+    )
+    cat = env["catalog"]
+    meta = load_source_obs_meta(spark, str(env["root"] / "meta.csv"))
+    cat.overwrite(meta, "source_obs_meta")
+    cat.overwrite(derive_gauge_source(cat.read("gauge_station"), meta), "gauge_source")
+
+    wind_dir = env["root"] / "wind_harvest"
+    wind_dir.mkdir()
+    _write(wind_dir / "noaa_stationdata_wind_speed_2024-01-01T01_00_00.csv",
+           ["STATION,TIME,WIND_SPEED", "ST_A,2024-01-01 00:30:00,7.7"])
+    wind = StreamingObsIngest(spark, cat, str(wind_dir),
+                              str(tmp_path / "ckpt_wind"),
+                              source_variable="wind_speed")
+    wind.run_available()
+    data = cat.read("gauge_data")
+    wl = data.filter(F.col("water_level").isNotNull()).count()
+    ws = data.filter(F.col("wind_speed").isNotNull()).count()
+    assert wl >= 2 and ws == 1
+
+
 def test_stream_overlap_and_exactly_once(env, spark):
     # overlapping second file: 01:00 gets a new value from the newer timemark
     _write(env["root"] / "harvest" / "noaa_stationdata_water_level_2024-01-01T02_00_00.csv",
@@ -57,12 +88,13 @@ def test_stream_overlap_and_exactly_once(env, spark):
             "ST_A,2024-01-01 02:00:00,9.2"])
     _pipe(spark, env).run_available()
     data = env["catalog"].read("gauge_data")
-    assert data.count() == 3
-    vals = {str(r.time): r.water_level for r in data.collect()}
+    wl = data.filter(F.col("water_level").isNotNull())
+    assert wl.count() == 3
+    vals = {str(r.time): r.water_level for r in wl.collect()}
     assert vals["2024-01-01 01:00:00"] == 9.1  # keep-latest
     assert vals["2024-01-01 00:00:00"] == 1.0
 
     # re-running with no new files is a no-op (checkpoint exactly-once)
     _pipe(spark, env).run_available()
-    assert env["catalog"].read("gauge_data").count() == 3
-    assert env["catalog"].read("stream_obs_ledger").count() == 2
+    assert env["catalog"].read("gauge_data").filter(
+        F.col("water_level").isNotNull()).count() == 3
