@@ -27,15 +27,25 @@ from ..functions.portable_hash import md5_hash64
 from .text import tokens
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles of lower-cased text."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-grams over an ALREADY-MATERIALIZED token array column.
+
+    Callers must project the token array in a separate select first:
+    referencing ``tokens(text)`` directly here makes Catalyst re-evaluate
+    the split+filter once per shingle index (~10x slower)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
             lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of lower-cased text. Prefer the two-step
+    ``tokens()`` projection + :func:`shingles_from_tokens` in hot paths
+    (see that function's note)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -79,8 +89,8 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int,
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(par, id_col)
-        .select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
-        .select("doc", F.explode("sh").alias("shingle"))
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))
+        .select("doc", F.explode(shingles_from_tokens(F.col("__tk"), k)).alias("shingle"))
         .withColumn("shash", md5_hash64("shingle", fast=fast))
         .drop("shingle")
     )
