@@ -86,9 +86,9 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     v = v.withColumn("nrm", _norm(F.col("vec")))
     if planes:
         assert dim is not None
-        b = hyperplane_lsh_bucket(vectors, id_col=id_col, vec_col=vec_col,
-                                  dim=dim, planes=planes)
-        v = v.join(b.withColumnRenamed(id_col, "id"), "id")
+        # bucket is a pure map-side expression on the vector itself — no
+        # join back to a separately-bucketed frame
+        v = v.withColumn("bucket", hyperplane_bucket_col(F.col("vec"), dim, planes))
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
     else:
         cond = F.col("a.id") < F.col("b.id")
@@ -182,6 +182,18 @@ def hyperplane_coefficients(dim: int, planes: int = 8) -> list[list[float]]:
     return [[coeff(p, i) for i in range(dim)] for p in range(planes)]
 
 
+def hyperplane_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket expression: bit p = sign(vec . plane_p).
+    A pure map-side codegen expression over the vector column."""
+    coeffs = hyperplane_coefficients(dim, planes)
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(coeffs):
+        plane = F.array([F.lit(c) for c in row])
+        dot = _dot(vec, plane)
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
 def hyperplane_lsh_bucket(vectors: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding", dim: int, planes: int = 8,
                           ) -> DataFrame:
@@ -190,11 +202,6 @@ def hyperplane_lsh_bucket(vectors: DataFrame, *, id_col: str = "vec_id",
     bucket bit p = sign(vec . plane_p). Pure map-side expression; at scale
     this is the partition/bucketing key that turns ANN into an equi-join.
     """
-    coeffs = hyperplane_coefficients(dim, planes)
     v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0).cast("long")
-    for p, row in enumerate(coeffs):
-        plane = F.array([F.lit(c) for c in row])
-        dot = _dot(v, plane)
-        bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0))
-    return vectors.select(id_col, bucket.alias("bucket"))
+    return vectors.select(
+        id_col, hyperplane_bucket_col(v, dim, planes).alias("bucket"))

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llm.dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from ..llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
 from ..llm.multimodal import extract_media_features, with_binary_payload
 from ..llm.similarity import (
     brute_force_topk,
@@ -33,9 +39,11 @@ QUERIES, ORACLES, query = make_registry()
 #: DuckDB twin of llm.text.tokens
 SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
-#: DuckDB twin of llm.dedup.word_shingles (k=3)
-SQL_SHINGLES = ("list_distinct([array_to_string(ts[i:i+2], ' ') "
-                "FOR i IN generate_series(1, greatest(len(ts)-2, 1))])")
+#: DuckDB twin of llm.dedup.word_shingles (k=3); the list_filter mirrors
+#: the empty-shingle guard in shingles_from_tokens (zero-token docs)
+SQL_SHINGLES = ("list_filter(list_distinct([array_to_string(ts[i:i+2], ' ') "
+                "FOR i IN generate_series(1, greatest(len(ts)-2, 1))]), "
+                "x -> x <> '')")
 
 def _md5int_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
@@ -46,6 +54,63 @@ SQL_SHINGLE_EXPLODE = f"""
     shq AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks),
     ex AS (SELECT doc_id AS doc, {_md5int_sql('unnest(sh)')} AS shash FROM shq)
 """
+
+
+def _hyperplane_terms_sql(dim: int, planes: int) -> str:
+    """DuckDB expression for the sign-random-projection bucket of ``e``
+    (the exact literal hyperplanes the Spark plan uses)."""
+    coeffs = hyperplane_coefficients(dim=dim, planes=planes)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(c) for c in row)}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(coeffs))
+
+
+# --- similarity / multimodal flagships -----------------------------------
+# Registered FIRST among the LLM queries: the driver evaluates at most 50
+# queries per round in registration order, and these two were the ones
+# silently dropped in r1 (52 registered, rows 51-52 missing).
+
+#: planes for the bucketed near-dup flagship — few enough that genuinely
+#: similar vectors share all sign bits with useful probability at the 0.4
+#: threshold, while still cutting the candidate set ~2^planes-fold
+_NEARDUP_PLANES = 4
+
+@query("llm_embedding_neardup", sql=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bkt AS (SELECT vec_id, e,
+            CAST({{terms}} AS BIGINT) AS bucket FROM v),
+    s AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+          round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b, sim FROM s WHERE sim >= 0.4
+""".format(terms=_hyperplane_terms_sql(64, _NEARDUP_PLANES)))
+def llm_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    path: candidates come from a hyperplane-bucket equi-join, sims fold in
+    codegen — no driver collect, no O(n^2) scan). The exact blas scan
+    remains the small-corpus verifier (``tests/test_llm_ops.py``)."""
+    from ..llm.similarity import embedding_neardup_pairs
+    return embedding_neardup_pairs(tables(spark, sf_dir, "embeddings"),
+                                   threshold=0.4, dim=64,
+                                   planes=_NEARDUP_PLANES)
+
+
+@query("llm_multimodal_features", sql="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
+           octet_length(encode(text)) % 640 AS width,
+           (octet_length(encode(text)) * 7) % 480 AS height,
+           'stub-v1' AS decoder
+    FROM documents
+""")
+def llm_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (Arrow batches, explicit schema); decode itself is the
+    documented deterministic stub."""
+    docs = with_binary_payload(tables(spark, sf_dir, "documents"))
+    return extract_media_features(docs)
 
 
 # --- text analysis -------------------------------------------------------
@@ -210,19 +275,14 @@ def llm_tfidf_top_terms(spark, sf_dir):
 
 _SHUFFLE_KEY_SQL = _md5int_sql("'shuffle-v1|' || doc_id::VARCHAR")
 
-@query("llm_shuffle_rank", sql=f"""
-    SELECT doc_id,
-           row_number() OVER (ORDER BY {_SHUFFLE_KEY_SQL}, doc_id) AS shuffle_pos
-    FROM documents
-""")
-def llm_shuffle_rank(spark, sf_dir):
-    """Deterministic dataset shuffle order (hash-keyed, reproducible)."""
-    from ..llm.text import shuffle_rank
-    return shuffle_rank(tables(spark, sf_dir, "documents"))
-
+# llm_shuffle_rank's operator (llm/text.shuffle_rank) is exercised by
+# llm_pack_documents below, which carries shuffle_pos in its output — the
+# driver caps the query list at 50, so the two order-derived operators
+# share one gate query (see COVERAGE.md).
 
 @query("llm_pack_documents", sql=f"""
     SELECT doc_id, length(text) AS n_chars_measured,
+           row_number() OVER (ORDER BY {_SHUFFLE_KEY_SQL}, doc_id) AS shuffle_pos,
            CAST(floor((SUM(length(text)) OVER (
                ORDER BY {_SHUFFLE_KEY_SQL}, doc_id
                ROWS UNBOUNDED PRECEDING) - 1) / 2048) AS INT) AS pack_id
@@ -230,7 +290,9 @@ def llm_shuffle_rank(spark, sf_dir):
 """)
 def llm_pack_documents(spark, sf_dir):
     """Greedy sequence packing to ~2048-char packs over the deterministic
-    shuffle order."""
+    shuffle order, with the shuffle position carried in the output (also
+    covers the llm/text.shuffle_rank operator). Both are enumerated by the
+    bucketed two-phase pass — no single-task global sort in the plan."""
     from ..llm.text import pack_documents
     return pack_documents(tables(spark, sf_dir, "documents"))
 
@@ -268,11 +330,22 @@ def llm_exact_dedup(spark, sf_dir):
     return exact_dedup(tables(spark, sf_dir, "documents"))
 
 
+#: hot-shingle cap for the registered Jaccard query: a shingle present in
+#: D docs emits D(D-1)/2 candidate pairs from one postings row, so
+#: boilerplate shingles explode quadratically at corpus scale. Capping
+#: doc-frequency is standard stop-shingle pruning; pairs whose overlap
+#: comes from informative (rare) shingles are unaffected, and the oracle
+#: applies the identical cap so parity is exact.
+JACCARD_MAX_DOC_FREQ = 50
+
 @query("llm_ngram_jaccard_pairs", sql=f"""
     WITH {SQL_SHINGLE_EXPLODE},
     sizes AS (SELECT doc, count(*) AS n FROM ex GROUP BY doc),
+    freq AS (SELECT shash, count(*) AS df FROM ex GROUP BY shash),
+    kept AS (SELECT shash FROM freq WHERE df BETWEEN 2 AND {JACCARD_MAX_DOC_FREQ}),
     common AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
                FROM ex a JOIN ex b ON a.shash = b.shash AND a.doc < b.doc
+               WHERE a.shash IN (SELECT shash FROM kept)
                GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(n_common / (na.n + nb.n - n_common), 6) AS jaccard
@@ -282,10 +355,12 @@ def llm_exact_dedup(spark, sf_dir):
     WHERE round(n_common / (na.n + nb.n - n_common), 6) >= 0.5
 """)
 def llm_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (>= 0.5) via inverted-index
-    self-join; at scale this verifies LSH candidates rather than scanning
-    the corpus."""
-    return ngram_jaccard_pairs(tables(spark, sf_dir, "documents"), threshold=0.5)
+    """3-gram Jaccard near-dup pairs (>= 0.5) via inverted-index postings
+    with the documented hot-shingle cap (``JACCARD_MAX_DOC_FREQ``) so no
+    single shingle can emit an unbounded pair explosion; at scale this
+    additionally runs against LSH candidates rather than the corpus."""
+    return ngram_jaccard_pairs(tables(spark, sf_dir, "documents"), threshold=0.5,
+                               max_doc_freq=JACCARD_MAX_DOC_FREQ)
 
 
 def _minhash_seeds_sql(num_hashes: int = 16) -> str:
@@ -325,7 +400,8 @@ def llm_minhash_lsh_pairs(spark, sf_dir):
                 sum(CASE WHEN (h >> bit) % 2 = 1 THEN cnt ELSE -cnt END) AS s
                 FROM h, bits GROUP BY doc, bit)
     SELECT doc AS doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
     FROM contrib GROUP BY doc
 """)
 def llm_simhash(spark, sf_dir):
@@ -353,19 +429,11 @@ def llm_simhash(spark, sf_dir):
 """)
 def llm_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: hamming distance <= 4 on the 32-bit
-    signature — signature comparison is bit ops on longs, so the
-    candidate scan is cheap even pairwise (and band-partitionable at
-    scale by splitting the signature into hamming blocks)."""
-    sig = simhash(tables(spark, sf_dir, "documents"))
-    a, b = sig.alias("a"), sig.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 4)
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"), "hamming")
-    )
+    signature via pigeonhole block banding (5 blocks → a
+    (block_idx, block_value) equi-join; no O(n^2) nested-loop stage).
+    Results are EXACT — the oracle is the plain pairwise formulation."""
+    return simhash_neardup_pairs(tables(spark, sf_dir, "documents"),
+                                 bits=32, max_hamming=4)
 
 
 _QUERY_IDS = list(range(10))
@@ -431,33 +499,3 @@ def llm_ivf_assign(spark, sf_dir):
                       centroid_ids=_CENTROID_IDS)
 
 
-@query("llm_embedding_neardup", sql="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    s AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-          round(list_cosine_similarity(a.e, b.e), 6) AS sim
-          FROM v a JOIN v b ON a.vec_id < b.vec_id)
-    SELECT vec_id_a, vec_id_b, sim FROM s WHERE sim >= 0.4
-""")
-def llm_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs — exact baseline (the
-    LSH-bucketed variant of the same operator is the scale path)."""
-    from ..llm.similarity import embedding_neardup_pairs
-    return embedding_neardup_pairs(tables(spark, sf_dir, "embeddings"),
-                                   threshold=0.4)
-
-
-# --- multimodal ----------------------------------------------------------
-
-@query("llm_multimodal_features", sql="""
-    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
-           octet_length(encode(text)) % 640 AS width,
-           (octet_length(encode(text)) * 7) % 480 AS height,
-           'stub-v1' AS decoder
-    FROM documents
-""")
-def llm_multimodal_features(spark, sf_dir):
-    """Binary-payload feature extraction through the real mapInPandas
-    plumbing (Arrow batches, explicit schema); decode itself is the
-    documented deterministic stub."""
-    docs = with_binary_payload(tables(spark, sf_dir, "documents"))
-    return extract_media_features(docs)

@@ -29,6 +29,19 @@ def _dec(col: str, prec: int = 18, scale: int = 2) -> F.Column:
     return F.col(col).cast(f"decimal({prec},{scale})")
 
 
+def _dec_str(col: F.Column, prec: int = 38, scale: int = 2) -> F.Column:
+    """Render a FINAL decimal aggregate as text with a pinned scale.
+
+    The driver's canonical value hash is representation-sensitive and
+    DuckDB strips trailing zeros from numerics while Spark keeps scale
+    digits, so every decimal that reaches a query's output is cast to the
+    same explicit decimal type and then to string on BOTH engines (the
+    a6_json_agg pattern; r1 verdict "What's wrong" #1). Aggregation still
+    happens in exact decimal — only the output representation changes.
+    """
+    return col.cast(f"decimal({prec},{scale})").cast("string")
+
+
 # --- P: projections / filters / predicates -------------------------------
 
 @query("p1_equality_filter", sql="""
@@ -103,7 +116,7 @@ def p5_interval_overlap(spark, sf_dir):
 @query("p10_project_rename_cast", sql="""
     SELECT p_partkey AS part_key,
            upper(p_name) AS part_name_upper,
-           CAST(p_retailprice AS DECIMAL(12,2)) AS retail_dec,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS retail_dec,
            p_size * 2 AS size_doubled
     FROM part
 """)
@@ -114,7 +127,7 @@ def p10_project_rename_cast(spark, sf_dir):
     return p.select(
         F.col("p_partkey").alias("part_key"),
         F.upper("p_name").alias("part_name_upper"),
-        F.col("p_retailprice").cast("decimal(12,2)").alias("retail_dec"),
+        _dec_str(F.col("p_retailprice"), 12, 2).alias("retail_dec"),
         (F.col("p_size") * 2).alias("size_doubled"),
     )
 
@@ -142,8 +155,9 @@ def j1_dim_broadcast_join(spark, sf_dir):
 
 @query("j3_three_way_join_agg", sql="""
     SELECT o_orderkey,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2))))
+               AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
            COUNT(*) AS line_count
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -167,7 +181,8 @@ def j3_three_way_join_agg(spark, sf_dir):
         .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
               o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
-        .agg(F.sum(revenue).alias("revenue"), F.count("*").alias("line_count"))
+        .agg(_dec_str(F.sum(revenue), 38, 4).alias("revenue"),
+             F.count("*").alias("line_count"))
     )
 
 
@@ -222,17 +237,23 @@ def j7_keep_latest_dedup(spark, sf_dir):
 # --- A: aggregations -----------------------------------------------------
 
 @query("a1_minmax_per_group", sql="""
-    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events,
+           min_by(event_id, ts) AS first_event_id,
+           max_by(event_id, ts) AS last_event_id
     FROM events GROUP BY user_id
 """)
 def a1_minmax_per_group(spark, sf_dir):
-    """A1: per-group min/max event time (file begin/end times,
-    ``run/createHarvestObsFileMeta.py:155-157``). Partial aggregation
-    map-side, single shuffle on the group key."""
+    """A1 + A7/O4: per-group min/max event time (file begin/end times,
+    ``run/createHarvestObsFileMeta.py:155-157``) and first/last-of-group
+    via ``min_by``/``max_by`` (``.iloc[0]/.iloc[-1]``,
+    ``run/createHarvestObsFileMeta.py:196-197``) — one single-pass agg,
+    partial aggregation map-side, single shuffle on the group key."""
     ev = tables(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"),
         F.count("*").alias("n_events"),
+        F.expr("min_by(event_id, ts)").alias("first_event_id"),
+        F.expr("max_by(event_id, ts)").alias("last_event_id"),
     )
 
 
@@ -274,11 +295,16 @@ def a5_dedup_by_key(spark, sf_dir):
 
 @query("x1_event_pivot", sql="""
     SELECT strftime(ts, '%Y-%m-%d') AS day,
-           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS click,
-           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS error,
-           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS purchase,
-           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS signup,
-           SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS view
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')
+                AS DECIMAL(38,2)) AS VARCHAR) AS click,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')
+                AS DECIMAL(38,2)) AS VARCHAR) AS error,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase')
+                AS DECIMAL(38,2)) AS VARCHAR) AS purchase,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')
+                AS DECIMAL(38,2)) AS VARCHAR) AS signup,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')
+                AS DECIMAL(38,2)) AS VARCHAR) AS view
     FROM events GROUP BY 1
 """)
 def x1_event_pivot(spark, sf_dir):
@@ -286,18 +312,73 @@ def x1_event_pivot(spark, sf_dir):
     (``scripts/get_obs_timeseries_station_data.sql:26-38``). Explicit
     pivot values → no distinct-scan pre-job, constant output schema."""
     ev = tables(spark, sf_dir, "events")
-    return (
+    piv = (
         ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         .groupBy("day")
         .pivot("event_type", EVENT_TYPES)
         .agg(F.sum(_dec("value")))
     )
+    return piv.select(
+        "day", *[_dec_str(F.col(c), 38, 2).alias(c) for c in EVENT_TYPES])
+
+
+@query("x2_allparms_pivot", sql="""
+    WITH src AS (
+        SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS time_stamp,
+               CASE WHEN event_type = 'view' THEN 'view.nowcast'
+                    ELSE event_type END AS category,
+               COALESCE(
+                   CASE WHEN event_type IN ('view', 'click')
+                        THEN CAST(value AS DECIMAL(18,2)) END,
+                   CASE WHEN event_type NOT IN ('view', 'click')
+                        THEN CAST(value AS DECIMAL(18,2)) END) AS yaxis
+        FROM events),
+    agg AS (SELECT time_stamp, category, max(yaxis) AS yaxis
+            FROM src GROUP BY 1, 2)
+    SELECT time_stamp,
+           CAST(max(yaxis) FILTER (WHERE category = 'click') AS VARCHAR) AS click,
+           CAST(max(yaxis) FILTER (WHERE category = 'error') AS VARCHAR) AS error,
+           CAST(max(yaxis) FILTER (WHERE category = 'purchase') AS VARCHAR) AS purchase,
+           CAST(max(yaxis) FILTER (WHERE category = 'signup') AS VARCHAR) AS signup,
+           CAST(max(yaxis) FILTER (WHERE category = 'view.nowcast') AS VARCHAR)
+               AS viewnowcast
+    FROM agg GROUP BY time_stamp
+""")
+def x2_allparms_pivot(spark, sf_dir):
+    """X2: all-parameter crosstab with a parameterized, dot-carrying
+    nowcast category (``scripts/get_obs_timeseries_station_data_allparms.sql:6-58``):
+    measures are sparse per source, COALESCE collapses them into one
+    yaxis, and the dynamic category label is dot-stripped (X6) in the
+    output schema. Cells are pre-aggregated (max) so the crosstab's
+    first() is deterministic."""
+    ev = tables(spark, sf_dir, "events")
+    dec = _dec("value")
+    m_gauge = F.when(F.col("event_type").isin("view", "click"), dec)
+    m_buoy = F.when(~F.col("event_type").isin("view", "click"), dec)
+    pre = (
+        ev.withColumn("category",
+                      F.when(F.col("event_type") == "view", F.lit("view.nowcast"))
+                      .otherwise(F.col("event_type")))
+        .withColumn("time_stamp", F.date_format("ts", "yyyy-MM-dd HH:00:00"))
+        .withColumn("yaxis", F.coalesce(m_gauge, m_buoy))
+        .groupBy("time_stamp", "category").agg(F.max("yaxis").alias("yaxis"))
+    )
+    piv = crosstab_timeseries(
+        pre, row_key="time_stamp", pivot_col="category",
+        categories=["click", "error", "purchase", "signup", "view.nowcast"],
+        value=F.col("yaxis"))
+    return piv.select(
+        "time_stamp",
+        *[F.col(c).cast("string").alias(c)
+          for c in ["click", "error", "purchase", "signup", "viewnowcast"]])
 
 
 @query("x5_kv_pivot", sql="""
     SELECT user_id,
-           max(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS purchase_max,
-           max(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS click_max,
+           CAST(max(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase')
+                AS VARCHAR) AS purchase_max,
+           CAST(max(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')
+                AS VARCHAR) AS click_max,
            count(*) AS n
     FROM events GROUP BY user_id
 """)
@@ -307,8 +388,10 @@ def x5_kv_pivot(spark, sf_dir):
     ev = tables(spark, sf_dir, "events")
     dec = _dec("value")
     return ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "purchase", dec)).alias("purchase_max"),
-        F.max(F.when(F.col("event_type") == "click", dec)).alias("click_max"),
+        F.max(F.when(F.col("event_type") == "purchase", dec)).cast("string")
+        .alias("purchase_max"),
+        F.max(F.when(F.col("event_type") == "click", dec)).cast("string")
+        .alias("click_max"),
         F.count("*").alias("n"),
     )
 
@@ -360,21 +443,9 @@ def o3_union(spark, sf_dir):
     return urgent.unionByName(low)
 
 
-@query("o4_first_last_per_group", sql="""
-    SELECT user_id,
-           min_by(event_id, ts) AS first_event_id,
-           max_by(event_id, ts) AS last_event_id
-    FROM events GROUP BY user_id
-""")
-def o4_first_last_per_group(spark, sf_dir):
-    """O4/A7: first/last of ordered group (``.iloc[0]/.iloc[-1]``,
-    ``run/createHarvestObsFileMeta.py:196-197``) via min_by/max_by —
-    single-pass agg, no sort."""
-    ev = tables(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        F.expr("min_by(event_id, ts)").alias("first_event_id"),
-        F.expr("max_by(event_id, ts)").alias("last_event_id"),
-    )
+# O4/A7 (min_by/max_by first/last-of-group) is exercised inside
+# a1_minmax_per_group — the driver caps the per-round query list at 50,
+# so same-shape operators share one gate query (see COVERAGE.md).
 
 
 # --- F: scalar function suite -------------------------------------------
@@ -405,9 +476,10 @@ def f_scalar_suite(spark, sf_dir):
 
 @query("a8_salted_agg", sql="""
     SELECT event_type,
-           SUM(CAST(value AS DECIMAL(18,2))) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
+               AS total_value,
            COUNT(*) AS n,
-           MAX(CAST(value AS DECIMAL(18,2))) AS max_value
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS max_value
     FROM events GROUP BY event_type
 """)
 def a8_salted_agg(spark, sf_dir):
@@ -416,17 +488,23 @@ def a8_salted_agg(spark, sf_dir):
     bounded per hot key."""
     from ..operators.salt import salted_agg
     ev = tables(spark, sf_dir, "events")
-    return salted_agg(
+    out = salted_agg(
         ev.withColumn("value_dec", _dec("value")),
         ["event_type"],
         {"total_value": ("sum", "value_dec"), "n": ("count", "*"),
          "max_value": ("max", "value_dec")},
     )
+    return out.select(
+        "event_type",
+        _dec_str(F.col("total_value"), 38, 2).alias("total_value"),
+        "n",
+        F.col("max_value").cast("string").alias("max_value"),
+    )
 
 
 @query("j9_salted_skew_join", sql="""
     SELECT e.user_id, e.event_id, e.event_type,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS user_price
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS user_price
     FROM events e
     JOIN orders o ON e.user_id = o.o_orderkey
     WHERE o.o_orderkey < 150
@@ -438,7 +516,7 @@ def j9_salted_skew_join(spark, sf_dir):
     ev, o = tables(spark, sf_dir, "events", "orders")
     right = (o.filter(F.col("o_orderkey") < 150)
              .select(F.col("o_orderkey").alias("user_id"),
-                     _dec("o_totalprice").alias("user_price")))
+                     _dec("o_totalprice").cast("string").alias("user_price")))
     return (salted_join(ev, right, ["user_id"], salt_buckets=8)
             .select("user_id", "event_id", "event_type", "user_price"))
 
@@ -475,20 +553,27 @@ def a6_json_agg(spark, sf_dir):
 
 @query("w1_running_total", sql="""
     SELECT event_id, user_id, ts,
-           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
                PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,2)) AS VARCHAR) AS running_value,
+           json_extract_string(props, '$.k')::INT AS k_value
     FROM events
 """)
 def w1_running_total(spark, sf_dir):
     """Running per-user total (event-time ordered window). One shuffle on
-    the partition key; decimal sums for exact parity."""
+    the partition key; decimal sums for exact parity. Also carries the
+    JSON property extraction (semi-structured event props via JVM-side
+    get_json_object) — folded in here because the driver caps the query
+    list at 50 (see COVERAGE.md)."""
     from pyspark.sql import Window
     ev = tables(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return ev.select("event_id", "user_id", "ts",
-                     F.sum(_dec("value")).over(w).alias("running_value"))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        _dec_str(F.sum(_dec("value")).over(w), 38, 2).alias("running_value"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"))
 
 
 @query("w2_topk_per_group", sql="""
@@ -507,19 +592,6 @@ def w2_topk_per_group(spark, sf_dir):
     return (ev.select("user_id", "event_id", "value",
                       F.row_number().over(w).alias("rnk"))
             .filter(F.col("rnk") <= 2))
-
-
-@query("f_json_extract", sql="""
-    SELECT event_id, json_extract_string(props, '$.k')::INT AS k_value
-    FROM events
-""")
-def f_json_extract(spark, sf_dir):
-    """JSON property extraction from a string column (semi-structured
-    event props) — JVM-side get_json_object."""
-    ev = tables(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_value"))
 
 
 @query("w3_session_windows", sql="""
@@ -557,10 +629,13 @@ def w3_session_windows(spark, sf_dir):
 
 @query("q1_pricing_summary", sql="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2))))
+               AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -575,9 +650,9 @@ def q1_pricing_summary(spark, sf_dir):
     return (
         li.filter(F.col("l_shipdate") <= "2001-09-01 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
-             F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-             F.sum(disc_price).alias("sum_disc_price"),
+        .agg(_dec_str(F.sum(_dec("l_quantity")), 38, 2).alias("sum_qty"),
+             _dec_str(F.sum(_dec("l_extendedprice")), 38, 2).alias("sum_base_price"),
+             _dec_str(F.sum(disc_price), 38, 4).alias("sum_disc_price"),
              F.count("*").alias("count_order"))
     )
 
@@ -606,8 +681,9 @@ def q6_revenue_change(spark, sf_dir):
 
 @query("q5_local_supplier_volume", sql="""
     SELECT n_name,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2))))
+               AS DECIMAL(38,4)) AS VARCHAR) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -637,5 +713,5 @@ def q5_local_supplier_volume(spark, sf_dir):
               & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(_dec_str(F.sum(revenue), 38, 4).alias("revenue"))
     )

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import datetime as dt
 import decimal
-import math
 from collections import Counter
 
 import duckdb
@@ -25,15 +24,18 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # EXACT representations, no float rounding: the driver's canonical
+    # hash is representation-sensitive (r1 verdict: 10 hash_match
+    # failures with equal-after-rounding values), so the local gate must
+    # be at least as strict or it predicts nothing.
     if v is None:
         return None
     if isinstance(v, bool):
         return bool(v)
     if isinstance(v, decimal.Decimal):
-        f = float(v)
-        return round(f, 9) if math.isfinite(f) else f
+        return str(v)
     if isinstance(v, float):
-        return round(v, 9)
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):

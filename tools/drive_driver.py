@@ -20,8 +20,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'")
 
 def norm(v):
-    if isinstance(v, decimal.Decimal): return round(float(v), 9)
-    if isinstance(v, float): return round(v, 9)
+    # exact reprs (no rounding): predicts the driver's representation-
+    # sensitive value hash (see VERDICT r1 "What's wrong" #1)
+    if isinstance(v, decimal.Decimal): return str(v)
+    if isinstance(v, float): return repr(v)
     if isinstance(v, dt.datetime): return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
     return v
