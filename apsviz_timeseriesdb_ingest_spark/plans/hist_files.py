@@ -131,7 +131,12 @@ def stage_run_directories(run_files: list[dict]) -> list[str]:
         parts[-5] = "NOWCAST"
         parts[-1] = parts[-2] + ".csv"
         parts[-2] = "*"
-        for nowcast_path in glob(os.path.join(row["dir_path"], "_".join(parts))):
+        # sorted + first-match-only: several nowcast files can match the
+        # wildcarded run datetime, and each staged copy overwrites the
+        # same NOWCAST_<TYPE>.csv target — glob order is filesystem-
+        # dependent, so pin the lexicographically-first (earliest
+        # datetime) match deterministically
+        for nowcast_path in sorted(glob(os.path.join(row["dir_path"], "_".join(parts)))):
             nowcast_name = os.path.basename(nowcast_path)
             shutil.copyfile(nowcast_path, os.path.join(run_dir, f"NOWCAST_{st}.csv"))
             nparts = nowcast_name.split("_")
@@ -139,5 +144,6 @@ def stage_run_directories(run_files: list[dict]) -> list[str]:
             nmeta_src = os.path.join(row["dir_path"], nmeta)
             if os.path.exists(nmeta_src):
                 shutil.copyfile(nmeta_src, os.path.join(run_dir, f"meta_NOWCAST_{st}.csv"))
+            break
         staged.append(run_dir)
     return staged

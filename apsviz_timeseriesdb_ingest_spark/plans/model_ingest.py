@@ -83,10 +83,16 @@ def derive_source(run_props: dict, kind: str, station_type: str) -> dict:
 
 
 class ModelIngest:
-    def __init__(self, spark: SparkSession, catalog: Catalog, harvest_dir: str):
+    def __init__(self, spark: SparkSession, catalog: Catalog, harvest_dir: str,
+                 *, ui_data_url: str = "https://apsviz/ui-data"):
+        """``ui_data_url``: base URL of the station-data CSV service,
+        recorded per run in the apsviz_station_file_meta ledger and used
+        for per-station csvurl construction (the reference's
+        ``UI_DATA_URL`` env var, ``run/runModelIngest.py:220,405``)."""
         self.spark = spark
         self.catalog = catalog
         self.harvest_dir = harvest_dir
+        self.ui_data_url = ui_data_url
 
     def _register_source(self, src: dict) -> None:
         """Idempotent source auto-registration (J8+M1): add source meta and
@@ -241,12 +247,15 @@ class ModelIngest:
                 forcing_metclass=src["forcing_metclass"],
                 location_type=src["location_type"],
                 grid_name=props["ADCIRCgrid"].upper(), timemark=timemark,
-                all_location_types=all_location_types)
+                all_location_types=all_location_types,
+                ui_data_url=self.ui_data_url)
+            # per-run csvurl ledger row (run/runModelIngest.py:405 passes
+            # UI_DATA_URL per meta file; independently queryable here)
             entries.append([run_dir, name, timemark, src["data_source"],
                             src["source_name"], src["source_archive"],
                             src["source_instance"], src["forcing_metclass"],
                             props["ADCIRCgrid"].upper(), model_run_id, timemark,
-                            src["location_type"], None, True])
+                            src["location_type"], self.ui_data_url, True])
         if entries:
             self.catalog.append(
                 self.spark.createDataFrame(entries, APSVIZ_STATION_FILE_META),

@@ -37,6 +37,7 @@ from ..schemas import (
     GAUGE_DATA,
     HARVEST_OBS_FILE_META,
     OBS_MEASURES,
+    RETAIN_OBS_STATION,
     RETAIN_OBS_STATION_FILE_META,
 )
 from ..sources.catalog import Catalog
@@ -210,16 +211,24 @@ class ObsIngest:
         their station lists into retain_obs_station with the paired data
         file's [min, max] TIME window
         (``run/createRetainObsStationFileMeta.py:110-135``), and ledger
-        them. Returns number of meta files processed."""
-        from .apsviz_stations import ingest_retain_obs_station
+        them. Returns number of meta files processed.
+
+        Batched like :meth:`discover`: ONE distributed read computes every
+        paired data file's TIME window (columns are positional
+        ``station, TIME`` across all variables, so a single declared
+        schema covers them) and ONE read collects every meta file's
+        station list, followed by a single snapshot append — no per-file
+        driver loop. Meta files whose paired data file is missing or
+        empty are skipped this pass (retried next pass) instead of
+        aborting the whole sequence ingest."""
+        from pyspark.sql.types import StringType, StructField, StructType
 
         source_meta = self.catalog.read("source_obs_meta").collect()
         ledger = self.catalog.read("retain_obs_station_file_meta",
                                    RETAIN_OBS_STATION_FILE_META)
         seen = {r.file_name for r in ledger.select("file_name").collect()}
 
-        n = 0
-        entries = []
+        pending = []  # (meta file name, paired data file name, timemark, source cfg)
         for m in source_meta:
             meta_prefix = m.filename_prefix.replace("stationdata", "stationdata_meta")
             if meta_prefix == m.filename_prefix:
@@ -231,32 +240,106 @@ class ObsIngest:
                 match = _TIMEMARK_RE.search(name)
                 if not match:
                     continue
-                stamp = _parse_timemark(match)
                 data_name = "_".join(name.split("_meta_"))
-                data_path = self._readable_path(self.harvest_dir, data_name)
-                stations_df = (self.spark.read.option("header", True)
-                               .csv(self._readable_path(self.harvest_dir, name)))
-                station_col = next(c for c in stations_df.columns
-                                   if c.lower() == "station")
-                station_names = [r[0] for r in stations_df.select(station_col).collect()]
-                window = (self.spark.read.option("header", True).csv(data_path)
-                          .agg(F.min("TIME").alias("lo"), F.max("TIME").alias("hi"))
-                          .first())
-                begin = dt.datetime.fromisoformat(window["lo"])
-                end = dt.datetime.fromisoformat(window["hi"])
-                ingest_retain_obs_station(
-                    self.catalog, station_names=station_names, timemark=stamp,
-                    begin_date=begin, end_date=end, data_source=m.data_source,
-                    source_name=m.source_name, source_archive=m.source_archive,
-                    location_type=m.location_type)
-                entries.append([os.path.dirname(path), name, m.data_source,
-                                m.source_name, m.source_archive, m.location_type,
-                                stamp, begin, end, True])
-                n += 1
-        if entries:
-            self.catalog.append(
-                self.spark.createDataFrame(entries, RETAIN_OBS_STATION_FILE_META),
-                "retain_obs_station_file_meta")
+                if not os.path.exists(os.path.join(self.harvest_dir, data_name)):
+                    continue  # paired data file not harvested (yet)
+                pending.append((name, data_name, _parse_timemark(match), m))
+        if not pending:
+            return 0
+
+        def _key(name: str) -> str:
+            return name.replace(":", "_")  # staged-symlink identity
+
+        str_col = lambda c: StructField(c, StringType())  # noqa: E731
+        win_df = (
+            self.spark.read
+            .schema(StructType([str_col("station"), str_col("TIME")]))
+            .option("header", True)
+            .csv([self._readable_path(self.harvest_dir, d) for _, d, _, _ in pending])
+            .withColumn("file_key", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            .groupBy("file_key")
+            .agg(F.min("TIME").alias("lo"), F.max("TIME").alias("hi")))
+        windows = {r["file_key"]: (r["lo"], r["hi"]) for r in win_df.collect()}
+
+        const_rows, entries = [], []
+        for name, data_name, stamp, m in pending:
+            window = windows.get(_key(data_name))
+            if window is None or window[0] is None or window[1] is None:
+                continue  # empty paired data file: skip, retry next pass
+            begin = dt.datetime.fromisoformat(window[0])
+            end = dt.datetime.fromisoformat(window[1])
+            const_rows.append([_key(name), stamp, begin, end, m.data_source,
+                               m.source_name, m.source_archive, m.location_type])
+            entries.append([self.harvest_dir, name, m.data_source,
+                            m.source_name, m.source_archive, m.location_type,
+                            stamp, begin, end, True])
+        if not const_rows:
+            return 0
+
+        consts = self.spark.createDataFrame(
+            const_rows,
+            "file_key string, timemark timestamp_ntz, begin_date timestamp_ntz, "
+            "end_date timestamp_ntz, data_source string, source_name string, "
+            "source_archive string, location_type string")
+        meta_stations = (
+            self.spark.read
+            .schema(StructType([str_col("station")]))
+            .option("header", True)
+            .csv([self._readable_path(self.harvest_dir, n) for n, _, _, _ in pending])
+            .withColumn("file_key", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            .select(F.col("station").alias("station_name"), "file_key"))
+        info = self.catalog.read("gauge_station").select(
+            "station_name", "lat", "lon", "location_name", "tz", "gauge_owner",
+            "country", "state", "county", "geom")
+        snapshot = (meta_stations
+                    .join(F.broadcast(consts), "file_key")
+                    .join(info, "station_name")
+                    .select(*[f.name for f in RETAIN_OBS_STATION.fields]))
+        self.catalog.append(snapshot, "retain_obs_station")
+        self.catalog.append(
+            self.spark.createDataFrame(entries, RETAIN_OBS_STATION_FILE_META),
+            "retain_obs_station_file_meta")
+        return len(entries)
+
+    # -- stage 5: post-ingest cleanup (M5) ---------------------------------
+
+    def cleanup_ingested(self, *, archive_dir: str | None = None) -> int:
+        """M5 parity: the reference deletes each harvest file after load
+        (``run/ingestObsTasks.py:153,197,286,414``). Removes — or, with
+        ``archive_dir``, moves — every harvest file whose ledger row is
+        flipped ``ingested=True`` (data files and station-meta files),
+        plus its colon-free staged symlink. Only flipped files are
+        touched, so a crash between ingest and cleanup leaves files for
+        the next pass and a rerun is a no-op: exactly-once stays intact
+        (the ledger, not the filesystem, is the source of truth;
+        streaming mode gets the same behavior from the file source's
+        ``cleanSource`` option instead)."""
+        import shutil
+
+        done: list[tuple[str, str]] = []
+        ledger = self.catalog.read(LEDGER, HARVEST_OBS_FILE_META)
+        done += [(r.dir_path, r.file_name) for r in
+                 ledger.filter(F.col("ingested"))
+                 .select("dir_path", "file_name").collect()]
+        meta_ledger = self.catalog.read("retain_obs_station_file_meta",
+                                        RETAIN_OBS_STATION_FILE_META)
+        done += [(r.dir_path, r.file_name) for r in
+                 meta_ledger.filter(F.col("ingested"))
+                 .select("dir_path", "file_name").collect()]
+        n = 0
+        for dir_path, file_name in done:
+            src = os.path.join(dir_path, file_name)
+            if not os.path.exists(src):
+                continue
+            if archive_dir:
+                os.makedirs(archive_dir, exist_ok=True)
+                shutil.move(src, os.path.join(archive_dir, file_name))
+            else:
+                os.remove(src)
+            staged = os.path.join(dir_path, ".staged", file_name.replace(":", "_"))
+            if os.path.lexists(staged):
+                os.remove(staged)
+            n += 1
         return n
 
     def run_sequence_ingest(self) -> dict:

@@ -92,10 +92,20 @@ def _time_range(df: DataFrame, start: str, end: str) -> DataFrame:
     """Event-time range filter PLUS the matching time_bucket partition
     predicate: the fact tables are partitioned by yyyy-MM(time), and the
     bucket bound is what turns a 100 TB scan into a few partitions
-    (lexicographic compare works for the yyyy-MM format)."""
-    cond = (F.col("time") >= start) & (F.col("time") <= end)
+    (lexicographic compare works for the yyyy-MM format).
+
+    Bucket bounds are derived by casting the raw bound through
+    timestamp_ntz and re-formatting — not by slicing the input string —
+    so non-zero-padded dates ('2024-7-5', valid in the reference's
+    Postgres cast) prune to the right partition instead of silently
+    matching none. Both date_format calls constant-fold, so the pruning
+    predicate is still a literal comparison at plan time."""
+    lo = F.lit(start).cast("timestamp_ntz")
+    hi = F.lit(end).cast("timestamp_ntz")
+    cond = (F.col("time") >= lo) & (F.col("time") <= hi)
     if TIME_BUCKET in df.columns:
-        cond = cond & F.col(TIME_BUCKET).between(start[:7], end[:7])
+        cond = cond & F.col(TIME_BUCKET).between(
+            F.date_format(lo, "yyyy-MM"), F.date_format(hi, "yyyy-MM"))
     return df.filter(cond)
 
 

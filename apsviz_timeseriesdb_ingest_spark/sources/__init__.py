@@ -1,2 +1,7 @@
-from .catalog import Catalog  # noqa: F401
+from .catalog import (  # noqa: F401
+    Catalog,
+    DeltaMerge,
+    DynamicOverwriteMerge,
+    MergeStrategy,
+)
 from .harvest_csv import read_harvest_csv, read_station_csv  # noqa: F401

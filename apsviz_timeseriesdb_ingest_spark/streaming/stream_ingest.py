@@ -41,13 +41,24 @@ class StreamingObsIngest:
 
     def __init__(self, spark: SparkSession, catalog: Catalog, harvest_dir: str,
                  checkpoint_dir: str, *, source_variable: str,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 clean_source: str | None = None,
+                 source_archive_dir: str | None = None):
+        """``clean_source``: M5 post-ingest cleanup parity
+        (``run/ingestObsTasks.py:153,197,286,414`` deletes each harvest
+        file after load) — 'delete' removes a source file once its batch
+        commits, 'archive' moves it under ``source_archive_dir``. The
+        file source only cleans files of COMMITTED batches, so
+        exactly-once is intact: a crashed batch's files survive for
+        replay."""
         self.spark = spark
         self.catalog = catalog
         self.harvest_dir = harvest_dir
         self.checkpoint_dir = checkpoint_dir
         self.source_variable = source_variable
         self.max_files = max_files_per_trigger
+        self.clean_source = clean_source
+        self.source_archive_dir = source_archive_dir
 
     def _enrich(self, batch: DataFrame) -> DataFrame:
         """Same enrichment as the batch path: file identity → timemark,
@@ -86,7 +97,11 @@ class StreamingObsIngest:
             time_col="time",
             drop_before_write=["__file_key"],
         )
-        # audit ledger parity (checkpoint already guarantees exactly-once)
+        # audit ledger parity. foreachBatch is at-least-once on
+        # failure/replay (the checkpoint commits AFTER this function
+        # returns), so the append must be idempotent like the gauge_data
+        # merge: anti-join the existing ledger on the file identity so a
+        # replayed batch re-appends nothing.
         ledger_rows = (
             batch.groupBy("__file_key")
             .agg(F.min("time").alias("data_begin_time"),
@@ -98,6 +113,11 @@ class StreamingObsIngest:
                     F.current_timestamp().cast("timestamp_ntz").alias("processing_datetime"),
                     F.lit(True).alias("ingested"))
         )
+        if self.catalog.exists("stream_obs_ledger"):
+            seen = (self.catalog.read("stream_obs_ledger")
+                    .select("file_name", "source_variable"))
+            ledger_rows = ledger_rows.join(
+                F.broadcast(seen), ["file_name", "source_variable"], "left_anti")
         self.catalog.append(ledger_rows, "stream_obs_ledger")
 
     def _stream(self) -> DataFrame:
@@ -108,6 +128,10 @@ class StreamingObsIngest:
         )
         if self.max_files:
             reader = reader.option("maxFilesPerTrigger", self.max_files)
+        if self.clean_source:
+            reader = reader.option("cleanSource", self.clean_source)
+            if self.source_archive_dir:
+                reader = reader.option("sourceArchiveDir", self.source_archive_dir)
         raw = reader.csv(self.harvest_dir)
         return (
             raw.withColumn("file_name",

@@ -122,7 +122,12 @@ def test_ingest_run(env, spark):
     assert set(rows) == {"ST_A", "ST_B"}
     assert rows["ST_A"].data_source == "NAMFORECAST_NCSC_SAB_V1.23"
     assert rows["ST_A"].model_run_id == RUN_ID
-    assert env["catalog"].read("apsviz_station_file_meta").count() == 1
+    fm = env["catalog"].read("apsviz_station_file_meta")
+    assert fm.count() == 1
+    # per-run csvurl ledger row independently queryable
+    # (run/runModelIngest.py:405: UI_DATA_URL recorded per meta file)
+    assert fm.first().csvurl == "https://apsviz/ui-data"
+    assert fm.first().model_run_id == RUN_ID
 
 
 def test_rerun_dedup(env, spark):

@@ -170,6 +170,54 @@ def test_pivot_golden_x1(env):
     assert all(r["ocean_buoy_wave_height"] is None for r in payload)
 
 
+def test_pivot_golden_x2_allparms(env):
+    # X2: 9-category crosstab, COALESCE over all measures, parameterized
+    # nowcast source whose label is dot-stripped (X6)
+    from apsviz_timeseriesdb_ingest_spark.plans.read_api import (
+        get_obs_timeseries_station_data_allparms,
+    )
+
+    df = get_obs_timeseries_station_data_allparms(
+        env["catalog"], "ST_A", "2024-01-01 00:00:00", "2024-01-01 04:00:00",
+        nowcast_source="noaa.nowcast")
+    assert df.columns == [
+        "time_stamp", "air_barometer", "noaanowcast",
+        "ocean_buoy_wave_height", "tidal_gauge_water_level",
+        "tidal_predictions", "coastal_gauge_water_level",
+        "river_gauge_water_level", "stream_gauge_stream_elevation",
+        "wind_anemometer"]
+    payload = json.loads(to_json_array(df))
+    assert [r["tidal_gauge_water_level"] for r in payload] == [1.0, 9.1, 9.2, 9.3, 9.4]
+    assert all(r["noaanowcast"] is None for r in payload)
+
+
+def test_x2_nowcast_category_collision(env):
+    # the NOTES_r1 edge: a parameterized nowcast source that equals a
+    # fixed category must not duplicate output columns (the fixed
+    # category's label mapping wins)
+    from apsviz_timeseriesdb_ingest_spark.plans.read_api import (
+        get_obs_timeseries_station_data_allparms,
+    )
+
+    df = get_obs_timeseries_station_data_allparms(
+        env["catalog"], "ST_A", "2024-01-01 00:00:00", "2024-01-01 04:00:00",
+        nowcast_source="tidal_gauge")
+    assert len(df.columns) == len(set(df.columns))
+    assert df.columns.count("tidal_gauge_water_level") == 1
+    payload = json.loads(to_json_array(df))
+    assert [r["tidal_gauge_water_level"] for r in payload] == [1.0, 9.1, 9.2, 9.3, 9.4]
+
+
+def test_time_range_accepts_non_padded_dates(env):
+    # '2024-1-1' is valid input in the reference's Postgres date cast; the
+    # derived partition-bucket bounds must prune to the same yyyy-MM
+    # buckets instead of silently matching none
+    df = get_obs_timeseries_station_data(env["catalog"], "ST_A",
+                                         "2024-1-1 00:00:00", "2024-1-1 04:00:00")
+    payload = json.loads(to_json_array(df))
+    assert [r["tidal_gauge_water_level"] for r in payload] == [1.0, 9.1, 9.2, 9.3, 9.4]
+
+
 def test_station_meta_snapshot(env, spark):
     # paired meta file (stationdata -> stationdata_meta naming) snapshots
     # the station list with the paired data file's TIME window (FILE2)
@@ -212,6 +260,86 @@ def test_station_meta_with_matching_prefix(env, spark, tmp_path_factory):
     assert str(row.timemark) == "2024-01-02 00:00:00"
     # idempotent: ledger prevents re-snapshot
     assert pipe.run_sequence_ingest()["station_meta"] == 0
+
+
+def test_station_meta_missing_or_empty_data_file(spark, tmp_path_factory):
+    # a meta file whose paired data CSV is missing or empty is skipped
+    # for the pass (and retried once the data arrives) instead of
+    # aborting the whole sequence ingest
+    root = tmp_path_factory.mktemp("obsmeta_guard")
+    (root / "harvest").mkdir()
+    _write(str(root / "stations.csv"),
+           ["ST_A,34.1,-77.1,gmt,NOAA/NOS,Alpha,tidal,us,nc,NH,01A"])
+    _write(str(root / "meta.csv"), [SOURCE_META_HEADER, SOURCE_META_ROWS[0]])
+    catalog = Catalog(spark, str(root / "warehouse"))
+    bootstrap(spark, catalog, station_csvs=[str(root / "stations.csv")],
+              source_meta_csv=str(root / "meta.csv"))
+    harvest = str(root / "harvest")
+    # meta with NO paired data file at all
+    _write(os.path.join(harvest,
+                        "noaa_stationdata_meta_water_level_2024-01-02T00:00:00.csv"),
+           ["STATION,LAT,LON", "ST_A,34.1,-77.1"])
+    # meta whose paired data file is header-only (empty window)
+    _write(os.path.join(harvest,
+                        "noaa_stationdata_meta_water_level_2024-01-03T00:00:00.csv"),
+           ["STATION,LAT,LON", "ST_A,34.1,-77.1"])
+    _write(os.path.join(harvest,
+                        "noaa_stationdata_water_level_2024-01-03T00:00:00.csv"),
+           ["STATION,TIME,WATER_LEVEL"])
+    pipe = ObsIngest(spark, catalog, harvest)
+    out = pipe.run_sequence_ingest()  # must not raise
+    assert out["station_meta"] == 0
+    # the missing data file arrives -> the skipped meta file is picked up
+    _write(os.path.join(harvest,
+                        "noaa_stationdata_water_level_2024-01-02T00:00:00.csv"),
+           ["STATION,TIME,WATER_LEVEL", "ST_A,2024-01-01 20:00:00,1.0"])
+    out2 = pipe.run_sequence_ingest()
+    assert out2["station_meta"] == 1
+    retain = catalog.read("retain_obs_station")
+    assert retain.count() == 1
+    assert str(retain.first().begin_date) == "2024-01-01 20:00:00"
+
+
+def test_cleanup_ingested(spark, tmp_path_factory):
+    # M5: post-ingest cleanup removes exactly the ledger-flipped harvest
+    # files (and staged symlinks); rerun is a no-op and exactly-once holds
+    root = tmp_path_factory.mktemp("obscleanup")
+    (root / "harvest").mkdir()
+    _write(str(root / "stations.csv"),
+           ["ST_A,34.1,-77.1,gmt,NOAA/NOS,Alpha,tidal,us,nc,NH,01A"])
+    _write(str(root / "meta.csv"), [SOURCE_META_HEADER, SOURCE_META_ROWS[0]])
+    catalog = Catalog(spark, str(root / "warehouse"))
+    bootstrap(spark, catalog, station_csvs=[str(root / "stations.csv")],
+              source_meta_csv=str(root / "meta.csv"))
+    harvest = str(root / "harvest")
+    data_path = _harvest_file(harvest, "noaa_stationdata_water_level",
+                              "2024-01-01T02:00:00",
+                              [("ST_A", "2024-01-01 00:00:00", 1.0)])
+    meta_path = _write(os.path.join(
+        harvest, "noaa_stationdata_meta_water_level_2024-01-01T02:00:00.csv"),
+        ["STATION,LAT,LON", "ST_A,34.1,-77.1"])
+    # header-only file: ledgered + flipped like the reference, but its
+    # empty batch must not poison the fact table (merge guard)
+    _write(os.path.join(
+        harvest, "noaa_stationdata_water_level_2099-01-01T00:00:00.csv"),
+        ["STATION,TIME,WATER_LEVEL"])
+
+    pipe = ObsIngest(spark, catalog, harvest)
+    out = pipe.run_sequence_ingest()
+    assert out["ingested"] == 2 and out["station_meta"] == 1
+    before = pipe.gauge_data().count()
+
+    removed = pipe.cleanup_ingested()
+    assert removed == 3  # both data files (2099 one ledgered too) + meta
+    assert not os.path.exists(data_path) and not os.path.exists(meta_path)
+    staged = os.path.join(harvest, ".staged")
+    if os.path.isdir(staged):
+        assert os.listdir(staged) == []
+    # idempotent: second cleanup finds nothing, data intact
+    assert pipe.cleanup_ingested() == 0
+    assert pipe.gauge_data().count() == before
+    assert pipe.run_sequence_ingest() == {"discovered": 0, "ingested": 0,
+                                          "station_meta": 0}
 
 
 def test_pivot_empty_range(env):

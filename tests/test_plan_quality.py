@@ -49,3 +49,34 @@ def test_pivot_no_distinct_prejob(spark, sf_small):
 def test_join_queries_use_broadcast(name, spark, sf_small):
     plan = _plan(QUERIES[name](spark, sf_small))
     assert "Broadcast" in plan
+
+
+def test_simhash_neardup_no_quadratic_join(spark, sf_small):
+    # pigeonhole block banding: candidates come from a (block_idx,
+    # block_val) equi-join — the r1 O(n^2) theta-join must stay gone
+    plan = _plan(QUERIES["llm_simhash_neardup"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_bucketed_no_driver_collect(spark, sf_small):
+    # LSH-bucketed path: equi-join on the hyperplane bucket, all
+    # JVM-side expressions — no toPandas() collect (ExistingRDD) and no
+    # Python/Arrow stage in the plan
+    plan = _plan(QUERIES["llm_embedding_neardup"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" not in plan
+    assert "python" not in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["llm_pack_documents"])
+def test_shuffle_order_no_single_task_sort(name, spark, sf_small):
+    # the bucketed two-phase enumeration must never funnel the corpus
+    # through one task (the r1 global Window.orderBy shape)
+    plan = _plan(QUERIES[name](spark, sf_small))
+    assert "SinglePartition" not in plan
+
+
+def test_x2_constant_schema(spark, sf_small):
+    df = QUERIES["x2_allparms_pivot"](spark, sf_small)
+    assert len(df.columns) == 6  # time_stamp + 5 explicit categories

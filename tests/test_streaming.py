@@ -98,3 +98,61 @@ def test_stream_overlap_and_exactly_once(env, spark):
     _pipe(spark, env).run_available()
     assert env["catalog"].read("gauge_data").filter(
         F.col("water_level").isNotNull()).count() == 3
+
+
+def test_replayed_batch_is_idempotent(env, spark):
+    # foreachBatch is at-least-once on failure: a replayed micro-batch
+    # must not duplicate ledger rows (anti-join guard) or fact rows
+    # (keep-latest merge). Simulate replay by invoking _merge_batch twice
+    # with the same batch frame.
+    pipe = _pipe(spark, env)
+    batch = spark.createDataFrame(
+        [("ST_A", "2024-01-01 03:00:00", 5.5,
+          "noaa_stationdata_water_level_2024-01-01T03_00_00.csv")],
+        "station_name string, time_raw string, water_level double, file_name string",
+    ).select(
+        "station_name", "water_level", "file_name",
+        F.to_timestamp_ntz("time_raw", F.lit("yyyy-MM-dd HH:mm:ss")).alias("time"),
+        F.lit("2024-01-01 03:00:00").cast("timestamp_ntz").alias("timemark"))
+    pipe._merge_batch(batch, 97)
+    ledger_n = env["catalog"].read("stream_obs_ledger").count()
+    fact_n = env["catalog"].read("gauge_data").count()
+    pipe._merge_batch(batch, 97)  # replay
+    assert env["catalog"].read("stream_obs_ledger").count() == ledger_n
+    assert env["catalog"].read("gauge_data").count() == fact_n
+
+
+def test_clean_source_delete(spark, tmp_path_factory):
+    # M5 parity in streaming mode: cleanSource=delete removes source
+    # files once their batch is committed (the reference deletes each
+    # harvest file post-load), without breaking exactly-once.
+    import os
+
+    root = tmp_path_factory.mktemp("streamclean")
+    (root / "harvest").mkdir()
+    _write(root / "stations.csv",
+           ["ST_A,34.1,-77.1,gmt,NOAA/NOS,Alpha,tidal,us,nc,NH,0101A"])
+    _write(root / "meta.csv", [
+        "data_source,source_name,source_archive,source_variable,filename_prefix,location_type,units",
+        "tidal_gauge,noaa,noaa,water_level,noaa_stationdata_water_level,tidal,m",
+    ])
+    catalog = Catalog(spark, str(root / "warehouse"))
+    bootstrap(spark, catalog, station_csvs=[str(root / "stations.csv")],
+              source_meta_csv=str(root / "meta.csv"))
+
+    def pipe():
+        return StreamingObsIngest(
+            spark, catalog, str(root / "harvest"), str(root / "checkpoint"),
+            source_variable="water_level", clean_source="delete")
+
+    f1 = root / "harvest" / "noaa_stationdata_water_level_2024-01-01T00_00_00.csv"
+    _write(f1, ["STATION,TIME,WATER_LEVEL", "ST_A,2024-01-01 00:00:00,1.0"])
+    pipe().run_available()
+    f2 = root / "harvest" / "noaa_stationdata_water_level_2024-01-01T01_00_00.csv"
+    _write(f2, ["STATION,TIME,WATER_LEVEL", "ST_A,2024-01-01 01:00:00,2.0"])
+    pipe().run_available()
+    # both batches ingested exactly once; the committed first file is
+    # cleaned by the time the second run fetches (cleanup is async per
+    # the file source contract, so only assert on the older file)
+    assert catalog.read("gauge_data").count() == 2
+    assert not os.path.exists(f1)
