@@ -16,7 +16,10 @@ from .text import (  # noqa: F401
     length_buckets,
     pack_documents,
     quality_score,
+    repetition_stats,
+    scrub_pii,
     shuffle_rank,
+    text_stats,
     tf_idf_top_terms,
     token_stats,
     tokens,
@@ -24,13 +27,17 @@ from .text import (  # noqa: F401
     vocabulary,
 )
 from .dedup import (  # noqa: F401
+    dedup_keep_representative,
     exact_dedup,
     minhash_lsh_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
     word_shingles,
 )
 from .similarity import (  # noqa: F401
+    ann_assign,
     brute_force_topk,
     embedding_neardup_pairs,
     hyperplane_lsh_bucket,

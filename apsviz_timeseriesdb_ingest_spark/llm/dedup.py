@@ -201,29 +201,29 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     """SimHash signature per document over unigram token counts.
 
     bit_j(sig) = 1 iff sum over tokens of count * (bit_j(hash(token)) ? +1
-    : -1) > 0. Relational formulation: explode (token count) x bit index,
-    two partial-agg shuffles, no UDF.
+    : -1) > 0 — and count * sign summed over distinct tokens equals sign
+    summed over token INSTANCES, so no distinct-token pre-aggregation is
+    needed. Formulation: explode token instances once, then ONE wide
+    aggregate with ``bits`` conditional sums (the same
+    wide-columns-over-row-explosion design as :func:`minhash_signatures`;
+    the r1 bit-explode version shuffled tokens x bits rows through two
+    stages). Partial aggregation collapses each map task to one row per
+    doc, so the only shuffle is ~n_docs wide rows. Integer shifts, not
+    pow(): doubles lose bits of a 60-bit hash.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
     tok = (
-        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
-        .groupBy("doc", "token").agg(F.count("*").alias("cnt"))
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
         .withColumn("h", md5_hash64("token", fast=fast))
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # integer shifts, not pow(): doubles lose bits of a 60-bit hash
-    contrib = (
-        tok.select("doc", "cnt", "h", bit)
-        .withColumn("sign", F.when(
-            F.expr("shiftright(h, bit) % 2") == 1,
-            F.col("cnt")).otherwise(-F.col("cnt")))
-        .groupBy("doc", "bit").agg(F.sum("sign").alias("s"))
-    )
-    return (
-        contrib.groupBy("doc")
-        .agg(F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                   .otherwise(F.lit(0))).alias("simhash"))
-        .select(F.col("doc").alias("doc_id"), "simhash")
-    )
+    sign = [F.sum(F.when(F.expr(f"shiftright(h, {b}) % 2") == 1, 1)
+                  .otherwise(-1)).alias(f"s{b}") for b in range(bits)]
+    wide = tok.groupBy("doc").agg(*sign)
+    sig = sum((F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+               .otherwise(F.lit(0).cast("long")) for b in range(bits)),
+              start=F.lit(0).cast("long"))
+    return wide.select(F.col("doc").alias("doc_id"), sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
@@ -271,3 +271,58 @@ def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: (node, cluster_id)
+    where cluster_id = the smallest doc id in the component.
+
+    Iterative min-label propagation (the standard big-graph CC — large-
+    star/small-star without the optimization): each round every node takes
+    the min label among itself and its neighbors; converges in
+    O(component diameter) rounds, which for dedup graphs (dense near-
+    clique components from LSH buckets) is typically 2-3. Every round is
+    one broadcast-free equi-join + one groupBy — no driver-side graph.
+    Lineage is cut per round (localCheckpoint) so plans stay flat; this is
+    an iterative algorithm, not an oracle-expressible query (the driver
+    records the weaker rows-only check via the pytest suite instead).
+
+    Input: a frame with ``doc_a``/``doc_b`` columns (any extra columns are
+    ignored), e.g. the output of :func:`minhash_lsh_pairs`,
+    :func:`simhash_neardup_pairs`, or embedding near-dup pairs.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                       F.col("doc_a").alias("b")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iters):
+        neighbor = (edges.join(labels, edges.b == labels.node)
+                    .select(edges.a.alias("node"), "label"))
+        new = (labels.unionByName(neighbor)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if not changed:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representative(df: DataFrame, pairs: DataFrame, *,
+                              id_col: str = "doc_id") -> DataFrame:
+    """The dedup pipeline's final verb: drop every near-duplicate except
+    its cluster representative (smallest id — deterministic, engine-
+    independent). Docs in no near-dup pair pass through untouched; the
+    cluster map is tiny relative to the corpus (only docs that appear in
+    pairs) so the filtering join broadcasts at any corpus scale."""
+    clusters = neardup_clusters(pairs)
+    losers = (clusters.filter(F.col("cluster_id") != F.col("doc_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(F.broadcast(losers), id_col, "left_anti")

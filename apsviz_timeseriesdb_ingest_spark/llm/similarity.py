@@ -168,6 +168,37 @@ def ivf_assign(vectors: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def ann_assign(vectors: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", dim: int, planes: int = 8,
+               centroid_ids: list[int] | None = None) -> DataFrame:
+    """Both ANN partitioning keys in ONE scan: the hyperplane-LSH bucket
+    (map-side sign bits) and the IVF cell (broadcast centroids + per-row
+    argmin). At 100 TB this is the single pass that writes the
+    bucketed/partitioned ANN layout; separate calls would scan the corpus
+    twice."""
+    from pyspark.sql import Window
+
+    centroid_ids = centroid_ids or []
+    v = (vectors.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("nrm", _norm(F.col("vec")))
+         .withColumn("bucket", hyperplane_bucket_col(F.col("vec"), dim, planes)))
+    cents = (v.filter(F.col("id").isin(centroid_ids))
+             .select(F.col("id").alias("centroid_id"),
+                     F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm")))
+    scored = (
+        v.join(F.broadcast(cents), how="cross")
+        .withColumn("sim", _dot(F.col("vec"), F.col("cvec"))
+                    / (F.col("nrm") * F.col("cnrm")))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias(id_col), "bucket", "centroid_id")
+    )
+
+
 def hyperplane_coefficients(dim: int, planes: int = 8) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: plane p component i =
     (md5int('plane|p|i') % 2001 - 1000)/1000. Computed driver-side so the

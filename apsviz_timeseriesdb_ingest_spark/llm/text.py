@@ -72,6 +72,89 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               stopwords: tuple[str, ...] = DEFAULT_LANG_PROFILES["en"],
+               ) -> DataFrame:
+    """Token counting + quality signals in ONE pass: the union of
+    :func:`token_stats` and :func:`quality_score` columns from a single
+    projection over one materialized token array (half the scans of
+    running both)."""
+    toks = F.col("__tk")
+    n = F.size(toks)
+    bpe_ish = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != "")
+    stop = F.array([F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"]", ""))
+    return _with_tokens(df, text_col).select(
+        id_col,
+        F.length(text_col).alias("n_chars_measured"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(bpe_ish).alias("n_subword_tokens"),
+        F.round(F.length(F.regexp_replace(text_col, r"\s", "")) / n, 6).alias("mean_word_len"),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.round(n_punct / F.length(text_col), 6).alias("punct_ratio"),
+        F.round(F.lit(1) - F.size(F.array_distinct(toks)) / n, 6).alias("repetition_ratio"),
+    )
+
+
+#: RE2-safe PII patterns (no lookarounds — portable to DuckDB oracles).
+#: Scrub order matters: emails first (they contain digits), then IPv4
+#: (dotted digits would otherwise partially match the phone shape), then
+#: phone-number runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              ) -> DataFrame:
+    """PII scrubbing: mask emails / IPv4 addresses / phone-number runs
+    with typed placeholder tokens, reporting per-class match counts
+    (counted on the ORIGINAL text). Pure regexp_replace chain — codegen
+    all the way; the standard pre-training redaction pass."""
+    c = F.col(text_col)
+    counts = [F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+              .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
+    scrubbed = c
+    for _, pat, mask in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, mask)
+    return df.select(id_col, scrubbed.alias("scrubbed_text"), *counts)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     ) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line fraction (map-side,
+    from the line array) and top-bigram fraction (share of all token
+    bigrams taken by the most frequent one — one explode + two partial
+    aggs, shuffling only (doc, bigram) counts)."""
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        F.when(n_lines > 0,
+               F.lit(1) - F.size(F.array_distinct(lines)) / n_lines)
+        .otherwise(F.lit(0.0)), 6)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (_with_tokens(df.repartition(par, id_col), text_col)
+            .select(F.col(id_col).alias("doc"),
+                    dup_line_frac.alias("dup_line_frac"), F.col("__tk")))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("__tk") - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice("__tk", i + 1, 2), " "))
+    per_doc = (
+        base.select("doc", "dup_line_frac", F.explode(bigrams).alias("bg"))
+        .groupBy("doc", "dup_line_frac", "bg").agg(F.count("*").alias("cnt"))
+        .groupBy("doc", "dup_line_frac")
+        .agg(F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac"),
+             F.sum("cnt").alias("n_bigrams"))
+    )
+    return per_doc.select(F.col("doc").alias(id_col), "dup_line_frac",
+                          "top_bigram_frac", "n_bigrams")
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
     """Marker-token language ID: score = number of tokens found in each

@@ -23,14 +23,11 @@ from ..llm.multimodal import extract_media_features, with_binary_payload
 from ..llm.similarity import (
     brute_force_topk,
     hyperplane_coefficients,
-    hyperplane_lsh_bucket,
 )
 from ..llm.text import (
     DEFAULT_LANG_PROFILES,
     document_fingerprint,
     language_id,
-    quality_score,
-    token_stats,
 )
 from ._registry import make_registry, tables
 
@@ -116,25 +113,12 @@ def llm_multimodal_features(spark, sf_dir):
 # --- text analysis -------------------------------------------------------
 
 @query("llm_token_stats", sql=f"""
-    WITH t AS (SELECT doc_id, length(text) AS n_chars_measured, {SQL_TOKS} AS toks,
+    WITH t AS (SELECT doc_id, text, length(text) AS n_chars_measured, {SQL_TOKS} AS toks,
                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS sub
                FROM documents)
     SELECT doc_id, n_chars_measured, len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct_tokens,
-           len(sub) AS n_subword_tokens
-    FROM t
-""")
-def llm_token_stats(spark, sf_dir):
-    """Token counting (whitespace + subword-regex) — pure codegen
-    expressions, no Python in the hot path."""
-    return token_stats(tables(spark, sf_dir, "documents"))
-
-
-@query("llm_quality_score", sql="""
-    WITH t AS (SELECT doc_id, text,
-               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-               FROM documents)
-    SELECT doc_id, length(text) AS n_chars_measured, len(toks) AS n_tokens,
+           len(sub) AS n_subword_tokens,
            round(length(regexp_replace(text, '\\s', '', 'g')) / len(toks), 6) AS mean_word_len,
            round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is'], x)))
                  / len(toks), 6) AS stopword_ratio,
@@ -143,10 +127,61 @@ def llm_token_stats(spark, sf_dir):
            round(1 - len(list_distinct(toks)) / len(toks), 6) AS repetition_ratio
     FROM t
 """)
-def llm_quality_score(spark, sf_dir):
-    """Document quality signals: length, word shape, stopword/punct/
-    repetition ratios."""
-    return quality_score(tables(spark, sf_dir, "documents"))
+def llm_token_stats(spark, sf_dir):
+    """Token counting + quality signals in one pass (token_stats ∪
+    quality_score columns; the operators remain separately callable —
+    folded into one gate query for the 50-query driver cap). Pure codegen
+    expressions over one materialized token array."""
+    from ..llm.text import text_stats
+    return text_stats(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_pii_scrub", sql="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+           len(regexp_extract_all(text,
+               '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]')) AS n_phone
+    FROM documents
+""")
+def llm_pii_scrub(spark, sf_dir):
+    """PII redaction: emails / IPv4s / phone runs masked with typed
+    placeholders + per-class match counts — the standard pre-training
+    scrub, RE2-safe regexes, all codegen."""
+    from ..llm.text import scrub_pii
+    return scrub_pii(tables(spark, sf_dir, "documents"))
+
+
+@query("llm_repetition", sql=f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS ts FROM documents),
+    b AS (SELECT doc_id,
+          round(CASE WHEN len(list_filter(string_split(text, chr(10)),
+                                          x -> trim(x) <> '')) > 0
+                THEN 1 - len(list_distinct(list_filter(string_split(text, chr(10)),
+                                                       x -> trim(x) <> '')))
+                     / len(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''))
+                ELSE 0.0 END, 6) AS dup_line_frac,
+          unnest([array_to_string(ts[i:i+1], ' ')
+                  FOR i IN generate_series(1, greatest(len(ts)-1, 1))]) AS bg
+          FROM t),
+    c AS (SELECT doc_id, dup_line_frac, bg, count(*) AS cnt
+          FROM b GROUP BY 1, 2, 3)
+    SELECT doc_id, dup_line_frac,
+           round(max(cnt) / sum(cnt), 6) AS top_bigram_frac,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams
+    FROM c GROUP BY doc_id, dup_line_frac
+""")
+def llm_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-line fraction (map-side)
+    + top-bigram fraction (one explode, two partial aggs)."""
+    from ..llm.text import repetition_stats
+    return repetition_stats(tables(spark, sf_dir, "documents"))
 
 
 def _langid_sql() -> str:
@@ -458,44 +493,35 @@ def llm_similarity_topk(spark, sf_dir):
                             query_ids=_QUERY_IDS, top_k=3)
 
 
-def _lsh_bucket_sql() -> str:
-    coeffs = hyperplane_coefficients(dim=64, planes=8)
-    terms = " + ".join(
-        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(c) for c in row)}]) > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p, row in enumerate(coeffs))
+_CENTROID_IDS = list(range(8))
+
+
+def _ann_assign_sql() -> str:
     return f"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-        SELECT vec_id, CAST({terms} AS BIGINT) AS bucket FROM v
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT vec_id, e,
+              CAST({_hyperplane_terms_sql(64, 8)} AS BIGINT) AS bucket FROM v),
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
+              WHERE vec_id IN ({", ".join(map(str, _CENTROID_IDS))})),
+        s AS (SELECT vec_id, bucket, centroid_id,
+              list_cosine_similarity(e, ce) AS sim FROM b, c)
+        SELECT vec_id, bucket, centroid_id
+        FROM (SELECT vec_id, bucket, centroid_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+              FROM s)
+        WHERE rn = 1
     """
 
 
-@query("llm_lsh_bucket", sql=_lsh_bucket_sql())
-def llm_lsh_bucket(spark, sf_dir):
-    """Sign-random-projection LSH bucket assignment (8 planes) — the ANN
-    candidate-generation / bucketing key at scale."""
-    return hyperplane_lsh_bucket(tables(spark, sf_dir, "embeddings"), dim=64, planes=8)
-
-
-_CENTROID_IDS = list(range(8))
-
-@query("llm_ivf_assign", sql=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    c AS (SELECT vec_id AS centroid_id, e AS ce FROM v
-          WHERE vec_id IN ({", ".join(map(str, _CENTROID_IDS))})),
-    s AS (SELECT vec_id, centroid_id,
-          list_cosine_similarity(e, ce) AS sim FROM v, c)
-    SELECT vec_id, centroid_id
-    FROM (SELECT vec_id, centroid_id,
-          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
-          FROM s)
-    WHERE rn = 1
-""")
-def llm_ivf_assign(spark, sf_dir):
-    """IVF cell assignment (8 deterministic centroids) — the coarse
-    quantizer / partitioning stage of inverted-file ANN."""
-    from ..llm.similarity import ivf_assign
-    return ivf_assign(tables(spark, sf_dir, "embeddings"),
+@query("llm_ann_assign", sql=_ann_assign_sql())
+def llm_ann_assign(spark, sf_dir):
+    """Both ANN partitioning keys in one corpus scan: hyperplane-LSH
+    bucket (8 planes, map-side sign bits — `hyperplane_lsh_bucket`) and
+    IVF cell (8 deterministic centroids, broadcast argmin — `ivf_assign`).
+    The two operators remain separately callable; folded into one gate
+    query for the 50-query driver cap."""
+    from ..llm.similarity import ann_assign
+    return ann_assign(tables(spark, sf_dir, "embeddings"), dim=64, planes=8,
                       centroid_ids=_CENTROID_IDS)
 
 

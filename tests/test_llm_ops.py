@@ -51,3 +51,63 @@ def test_multimodal_metadata_struct(spark, sf_small):
                              "height", "decoder"]
     f = feats.first()
     assert f.width == f.n_bytes % 640
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@example.co.uk now"),
+         (2, "server at 10.0.255.7 port"),
+         (3, "call +1 (919) 555-0199 or 919-555-0100 today"),
+         (4, "clean text no pii at all"),
+         (5, "a@b.io and 1.2.3.4 and 8005551212x")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert got[1].scrubbed_text == "mail <EMAIL> now"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 0, 0)
+    assert got[2].scrubbed_text == "server at <IP> port"
+    assert got[2].n_ipv4 == 1
+    assert got[3].scrubbed_text == "call <PHONE> or <PHONE> today"
+    assert got[3].n_phone == 2
+    assert got[4].scrubbed_text == "clean text no pii at all"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
+    # email scrubbed before its digits can look like a phone; IP before
+    # phone so dotted digits stay typed
+    assert got[5].scrubbed_text == "<EMAIL> and <IP> and <PHONE>x"
+
+
+def test_repetition_stats_signals(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "same line\nsame line\nsame line\nother line"),
+         (2, "a b a b a b a b"),       # one dominant bigram
+         (3, "w x y z q r s t")],      # all bigrams distinct
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].dup_line_frac == 0.5  # 4 lines, 2 distinct
+    assert got[3].dup_line_frac == 0.0
+    # doc 2 bigrams: "a b" x4, "b a" x3 -> top = 4/7
+    assert got[2].n_bigrams == 7
+    assert got[2].top_bigram_frac == round(4 / 7, 6)
+    assert got[3].top_bigram_frac == round(1 / 7, 6)
+
+
+def test_neardup_clusters_and_representative(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import (
+        dedup_keep_representative,
+        neardup_clusters,
+    )
+
+    # components: {1,2,3,4} (a chain), {7,9}; 5 and 8 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 7)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 7, 8, 9)],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_keep_representative(docs, pairs).collect())
+    assert kept == [1, 5, 7, 8]
