@@ -262,5 +262,27 @@ class ModelIngest:
                 "apsviz_station_file_meta")
         return len(entries)
 
+    def cleanup_run_dir(self, model_run_id: str) -> bool:
+        """M5 model-path parity: the reference removes the per-run ingest
+        directory after a successful run (``run/runModelIngest.py:575-580``,
+        ``shutil.rmtree(ingestPath)``). Removes
+        ``<harvest_dir>/<model_run_id>/`` only when every file the run
+        ledgered is flipped ``ingested=True`` — a crashed run keeps its
+        staging dir for replay, and a rerun after cleanup is a no-op.
+        Returns whether the directory was removed."""
+        import shutil
+
+        run_dir = os.path.join(self.harvest_dir, model_run_id)
+        if not os.path.isdir(run_dir):
+            return False
+        ledger = self.catalog.read(LEDGER, HARVEST_MODEL_FILE_META)
+        pending = (ledger.filter((F.col("dir_path") == run_dir)
+                                 & ~F.col("ingested"))
+                   .limit(1).count())
+        if pending:
+            return False
+        shutil.rmtree(run_dir)
+        return True
+
     def model_data(self) -> DataFrame:
         return self.catalog.read(FACT, MODEL_DATA)

@@ -158,3 +158,20 @@ def test_x4_nowcast_pivot(env):
     assert [r["time_stamp"] for r in payload] == [
         "2024-01-01 10:00:00", "2024-01-01 11:00:00"]
     assert [r["NOWCAST_NCSC_SAB_V123"] for r in payload] == [0.3, 0.4]
+
+
+def test_cleanup_run_dir(env, spark):
+    # M5 model-path parity (runModelIngest.py:575-580): the per-run
+    # staging dir is removed once every ledgered file is flipped; a rerun
+    # after cleanup is a no-op. Runs LAST in this module - it deletes the
+    # shared run dir.
+    import os
+
+    pipe = ModelIngest(spark, env["catalog"], env["harvest"])
+    run_dir = os.path.join(env["harvest"], RUN_ID)
+    assert os.path.isdir(run_dir)
+    assert pipe.cleanup_run_dir(RUN_ID) is True
+    assert not os.path.exists(run_dir)
+    assert pipe.cleanup_run_dir(RUN_ID) is False  # idempotent
+    # fact data untouched
+    assert pipe.model_data().count() == 5
