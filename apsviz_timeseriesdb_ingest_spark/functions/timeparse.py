@@ -18,10 +18,16 @@ TIMEMARK_RE = r"(\d+-\d+-\d+T\d+[:_]\d+[:_]\d+)"
 
 
 def timemark_from_filename(path_col: Column | str) -> Column:
-    """Extract the timemark timestamp from a harvest file path/name (F1)."""
+    """Extract the timemark timestamp from a harvest file path/name (F1).
+
+    ``try_to_timestamp``, not ``to_timestamp``: under ANSI mode (Spark 4
+    default) the strict form THROWS on a name with no timemark — one
+    stray file in a streamed directory would kill the whole query.
+    NULL-on-no-match mirrors the reference's driver-side null guard
+    (``run/createHarvestObsFileMeta.py:159-164``)."""
     c = F.col(path_col) if isinstance(path_col, str) else path_col
     raw = F.translate(F.regexp_extract(c, TIMEMARK_RE, 1), "_", ":")
-    return F.to_timestamp(raw, "yyyy-MM-dd'T'HH:mm:ss")
+    return F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss"))
 
 
 def timemark_iso_z(ts_col: Column | str) -> Column:

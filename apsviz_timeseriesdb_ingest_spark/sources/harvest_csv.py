@@ -48,7 +48,11 @@ def read_harvest_csv(spark: SparkSession, paths: Sequence[str], source_variable:
         df.withColumnRenamed("station", "station_name")
         .withColumnRenamed("TIME", "time_raw")  # rename first: drop("TIME") would
         # also remove the new "time" column under case-insensitive resolution
-        .withColumn("time", F.to_timestamp_ntz(F.col("time_raw"), F.lit("yyyy-MM-dd HH:mm:ss")))
+        # try_cast, not to_timestamp_ntz: under ANSI mode (Spark 4 default)
+        # one malformed TIME cell would abort the whole distributed read —
+        # the reference's per-file pandas crash, amplified. NULL rows are
+        # dropped by the pipelines' time-notnull filter instead.
+        .withColumn("time", F.col("time_raw").try_cast("timestamp_ntz"))
         .drop("time_raw")
         .withColumn("timemark", timemark_from_filename("file_name").cast("timestamp_ntz"))
     )

@@ -138,8 +138,9 @@ class StreamingObsIngest:
                            F.element_at(F.split(F.input_file_name(), "/"), -1))
             .withColumnRenamed("station", "station_name")
             .withColumnRenamed("TIME", "time_raw")
-            .withColumn("time", F.to_timestamp_ntz(F.col("time_raw"),
-                                                   F.lit("yyyy-MM-dd HH:mm:ss")))
+            # try_cast: one malformed TIME cell must not kill the stream
+            # under ANSI mode (see sources/harvest_csv)
+            .withColumn("time", F.col("time_raw").try_cast("timestamp_ntz"))
             .drop("time_raw")
             .withColumn("timemark", timemark_from_filename("file_name").cast("timestamp_ntz"))
         )

@@ -346,3 +346,36 @@ def test_pivot_empty_range(env):
     df = get_obs_timeseries_station_data(env["catalog"], "ST_A",
                                          "2030-01-01 00:00:00", "2030-01-02 00:00:00")
     assert json.loads(to_json_array(df)) == []
+
+
+def test_malformed_harvest_rows_degrade_gracefully(spark, tmp_path_factory):
+    # The reference's pandas read aborts the subprocess on a malformed
+    # CSV; the declared-schema Spark read (PERMISSIVE) nulls unparseable
+    # cells instead, the time.isNotNull filter drops them, and parseable
+    # rows in the same file still ingest. Extra columns are ignored by
+    # the positional schema.
+    root = tmp_path_factory.mktemp("obsbadrows")
+    (root / "harvest").mkdir()
+    _write(str(root / "stations.csv"),
+           ["ST_A,34.1,-77.1,gmt,NOAA/NOS,Alpha,tidal,us,nc,NH,01A"])
+    _write(str(root / "meta.csv"), [SOURCE_META_HEADER, SOURCE_META_ROWS[0]])
+    catalog = Catalog(spark, str(root / "warehouse"))
+    bootstrap(spark, catalog, station_csvs=[str(root / "stations.csv")],
+              source_meta_csv=str(root / "meta.csv"))
+    harvest = str(root / "harvest")
+    _write(os.path.join(harvest,
+                        "noaa_stationdata_water_level_2024-01-01T02:00:00.csv"),
+           ["STATION,TIME,WATER_LEVEL",
+            "ST_A,2024-01-01 00:00:00,1.0",
+            "ST_A,not-a-timestamp,2.0",          # unparseable time -> dropped
+            "ST_A,2024-01-01 01:00:00,oops",      # unparseable value -> null measure
+            "ST_A,2024-01-01 02:00:00,3.0,extra,columns",  # extra cols ignored
+            "ST_A,2024-01-01 03:00:00,4.0"])
+    pipe = ObsIngest(spark, catalog, harvest)
+    out = pipe.run_sequence_ingest()
+    assert out["ingested"] == 1
+    rows = {str(r.time): r.water_level for r in pipe.gauge_data().collect()}
+    assert rows == {"2024-01-01 00:00:00": 1.0,
+                    "2024-01-01 01:00:00": None,
+                    "2024-01-01 02:00:00": 3.0,
+                    "2024-01-01 03:00:00": 4.0}
