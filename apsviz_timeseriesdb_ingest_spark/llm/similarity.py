@@ -145,10 +145,12 @@ def ivf_assign(vectors: DataFrame, *, id_col: str = "vec_id",
     Centroids here are corpus vectors chosen by id (a deterministic,
     engine-reproducible stand-in for k-means training — swap in trained
     centroids without changing the plan). The assignment is a broadcast
-    join + per-row argmin: the partition/bucketing key that turns ANN into
-    'search your cell (and n probe neighbors) only' at 100 TB."""
-    from pyspark.sql import Window
-
+    join + argmin-by-aggregation: ``max_by`` over struct(sim, -id) keeps
+    the best centroid per vector with a deterministic tie-break, and the
+    partial aggregate collapses the n x k scored rows back to n map-side
+    — no Window sort, no n x k shuffle. This is the partition/bucketing
+    key that turns ANN into 'search your cell (and n probe neighbors)
+    only' at 100 TB."""
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))
          .withColumn("nrm", _norm(F.col("vec"))))
@@ -160,10 +162,10 @@ def ivf_assign(vectors: DataFrame, *, id_col: str = "vec_id",
         .withColumn("sim", _dot(F.col("vec"), F.col("cvec"))
                     / (F.col("nrm") * F.col("cnrm")))
     )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    best = F.max_by(
+        F.col("centroid_id"), F.struct(F.col("sim"), -F.col("centroid_id")))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("id").agg(best.alias("centroid_id"))
         .select(F.col("id").alias(id_col), "centroid_id")
     )
 
@@ -172,12 +174,10 @@ def ann_assign(vectors: DataFrame, *, id_col: str = "vec_id",
                vec_col: str = "embedding", dim: int, planes: int = 8,
                centroid_ids: list[int] | None = None) -> DataFrame:
     """Both ANN partitioning keys in ONE scan: the hyperplane-LSH bucket
-    (map-side sign bits) and the IVF cell (broadcast centroids + per-row
-    argmin). At 100 TB this is the single pass that writes the
-    bucketed/partitioned ANN layout; separate calls would scan the corpus
-    twice."""
-    from pyspark.sql import Window
-
+    (map-side sign bits) and the IVF cell (broadcast centroids +
+    argmin-by-max_by aggregation, see :func:`ivf_assign`). At 100 TB this
+    is the single pass that writes the bucketed/partitioned ANN layout;
+    separate calls would scan the corpus twice."""
     centroid_ids = centroid_ids or []
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))
@@ -191,10 +191,10 @@ def ann_assign(vectors: DataFrame, *, id_col: str = "vec_id",
         .withColumn("sim", _dot(F.col("vec"), F.col("cvec"))
                     / (F.col("nrm") * F.col("cnrm")))
     )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    best = F.max_by(
+        F.col("centroid_id"), F.struct(F.col("sim"), -F.col("centroid_id")))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("id", "bucket").agg(best.alias("centroid_id"))
         .select(F.col("id").alias(id_col), "bucket", "centroid_id")
     )
 
