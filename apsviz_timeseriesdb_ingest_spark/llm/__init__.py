@@ -44,3 +44,8 @@ from .similarity import (  # noqa: F401
     ivf_assign,
 )
 from .multimodal import extract_media_features, with_binary_payload  # noqa: F401
+from .pipeline import (  # noqa: F401
+    attrition_report,
+    corpus_signals,
+    prepare_training_corpus,
+)

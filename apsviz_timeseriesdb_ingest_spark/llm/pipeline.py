@@ -1,0 +1,216 @@
+"""End-to-end training-corpus preparation: the composition every
+large-scale pipeline runs, expressed as ONE Spark lineage.
+
+``prepare_training_corpus`` chains the package's operators the way a
+production pre-training data pipeline does:
+
+    clean -> PII scrub -> quality gates -> language gate
+          -> exact dedup -> MinHash-LSH near-dedup
+          -> benchmark decontamination -> train/eval split
+
+Design points (the 100 TB shape):
+
+- **Tag, don't filter.** Every document gets a ``drop_reason`` (NULL =
+  kept) instead of being progressively discarded, so the final corpus AND
+  the per-stage attrition stats come from the same lineage — one job for
+  stats, one for the corpus, no per-stage ``count()`` actions. At scale
+  this also yields the audit trail (why did doc X disappear?) for free.
+- **One projection for all per-row signals.** Cleaning, scrubbing,
+  tokenization, quality ratios, and language scores are map-side Column
+  expressions folded into a single narrow stage — not per-operator
+  DataFrame joins (each of which would shuffle the corpus on id).
+  The token array is materialized once in its own projection (Catalyst
+  re-evaluates multi-referenced non-cheap expressions otherwise; see
+  ``dedup.shingles_from_tokens``).
+- **Dedup/decontaminate reuse the bucketed operators** — MinHash-LSH
+  band-bucket equi-join (no O(n^2) stage), connected components by
+  min-label propagation, broadcast shingle semi-join. Later stages only
+  see earlier-stage survivors, so the expensive near-dup pass never runs
+  over documents that quality gates already rejected.
+
+Reference parity note: the reference engine (RENCI/apsviz-timeseriesdb-
+ingest) has no training-data pipeline; this module is part of the
+training-data extension suite (SURVEY.md "Training-data extensions").
+The stages themselves are individually driver-gated (llm_clean_text,
+llm_pii_scrub, llm_quality_score, llm_language_id, llm_exact_dedup,
+llm_minhash_lsh_pairs, llm_decontaminate, llm_train_split); the
+composition contains the iterative connected-components step, which is
+not expressible as a single SQL oracle — pytest covers it end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import minhash_lsh_pairs, neardup_clusters
+from .text import (
+    DEFAULT_LANG_PROFILES,
+    clean_text_expr,
+    language_pred_col,
+    language_score_cols,
+    scrub_pii_expr,
+    tokens,
+    train_split_cols,
+)
+
+#: drop reasons in decision order (first failing stage wins)
+DROP_REASONS = ("too_short", "too_long", "repetitive", "language",
+                "exact_dup", "near_dup", "contaminated")
+
+
+def corpus_signals(docs: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   profiles: dict[str, tuple[str, ...]] | None = None,
+                   ) -> DataFrame:
+    """Per-document signal frame in one map-side stage: cleaned+scrubbed
+    text, token count, repetition ratio, predicted language.
+
+    Output: (id, text, n_tokens, repetition_ratio, predicted_lang) where
+    ``text`` is the cleaned+scrubbed form downstream stages consume.
+    """
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    scrubbed = scrub_pii_expr(clean_text_expr(F.col(text_col)))
+    toks = F.col("__tk")
+    n = F.size(toks)
+    scores = language_score_cols(toks, profiles)
+    return (
+        docs.select(F.col(id_col).alias(id_col), scrubbed.alias("text"))
+        .select(id_col, "text", tokens("text").alias("__tk"))
+        .select(
+            id_col, "text",
+            n.alias("n_tokens"),
+            F.when(n > 0, F.round(F.lit(1) - F.size(F.array_distinct(toks)) / n, 6))
+            .otherwise(F.lit(0.0)).alias("repetition_ratio"),
+            *[s.alias(f"score_{lang}") for lang, s in scores.items()],
+        )
+        .withColumn("predicted_lang", language_pred_col(sorted(profiles)))
+        .drop(*[f"score_{lang}" for lang in profiles])
+    )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_repetition_ratio: float = 0.9,
+    languages: tuple[str, ...] = ("en",),
+    profiles: dict[str, tuple[str, ...]] | None = None,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    train_pct: int = 95,
+    fast: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full corpus-preparation pipeline.
+
+    Returns ``(corpus, audit)``:
+
+    - ``corpus``: kept documents — (id, text, n_tokens, predicted_lang,
+      split_bucket, split) with cleaned+scrubbed text and the
+      deterministic hash split.
+    - ``audit``: EVERY input document with its ``drop_reason`` (NULL for
+      kept docs) — ``audit.groupBy("drop_reason").count()`` is the
+      attrition report.
+
+    ``benchmark`` is the eval-set frame to decontaminate against (same
+    text/id columns); None skips that stage. ``fast=True`` switches the
+    dedup hashing to xxhash64 (production mode, no oracle parity).
+    """
+    sig = corpus_signals(docs, text_col=text_col, id_col=id_col,
+                         profiles=profiles)
+    quality_reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("repetition_ratio") > max_repetition_ratio, F.lit("repetitive"))
+        .when(~F.col("predicted_lang").isin(*languages), F.lit("language"))
+    )
+    tagged = sig.withColumn("q_reason", quality_reason)
+    clean = tagged.filter(F.col("q_reason").isNull())
+
+    # exact dedup over quality survivors: losers = docs whose id is not
+    # the keeper of their identical-text group. One hash-groupBy; the
+    # loser set is a subset of the corpus (usually small) -> equi-joins
+    # below broadcast under AQE when they are.
+    exact_losers = (
+        clean.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min(id_col).alias("kept"), F.collect_list(id_col).alias("ids"))
+        .select(F.explode("ids").alias(id_col), "kept")
+        .filter(F.col(id_col) != F.col("kept"))
+        .select(id_col)
+        .withColumn("r_exact", F.lit(True))
+    )
+    exact_kept = clean.join(exact_losers.select(id_col), id_col, "left_anti")
+
+    # near-dedup over exact survivors: LSH band buckets -> connected
+    # components -> keep the smallest id per cluster.
+    pairs = minhash_lsh_pairs(exact_kept, text_col="text", id_col=id_col,
+                              k=shingle_k, num_hashes=num_hashes,
+                              bands=bands, fast=fast)
+    near_losers = (
+        neardup_clusters(pairs)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias(id_col))
+        .withColumn("r_near", F.lit(True))
+    )
+    near_kept = exact_kept.join(near_losers.select(id_col), id_col, "left_anti")
+
+    if benchmark is not None:
+        from .text import decontaminate
+
+        bench_clean = corpus_signals(benchmark, text_col=text_col,
+                                     id_col=id_col, profiles=profiles)
+        contaminated = (
+            decontaminate(near_kept, bench_clean, text_col="text",
+                          id_col=id_col, k=shingle_k)
+            .filter(F.col("contaminated"))
+            .select(id_col)
+            .withColumn("r_contam", F.lit(True))
+        )
+    else:
+        spark = docs.sparkSession
+        contaminated = spark.createDataFrame(
+            [], f"{id_col} long, r_contam boolean")
+
+    audit = (
+        tagged
+        .join(exact_losers, id_col, "left")
+        .join(near_losers, id_col, "left")
+        .join(contaminated, id_col, "left")
+        .select(
+            id_col, "text", "n_tokens", "repetition_ratio", "predicted_lang",
+            F.coalesce(
+                F.col("q_reason"),
+                F.when(F.col("r_exact"), F.lit("exact_dup")),
+                F.when(F.col("r_near"), F.lit("near_dup")),
+                F.when(F.col("r_contam"), F.lit("contaminated")),
+            ).alias("drop_reason"),
+        )
+    )
+    corpus = (
+        audit.filter(F.col("drop_reason").isNull())
+        .select(id_col, "text", "n_tokens", "predicted_lang",
+                *train_split_cols(id_col, train_pct))
+    )
+    return corpus, audit
+
+
+def attrition_report(audit: DataFrame) -> DataFrame:
+    """Per-stage attrition counts from the audit frame: one row per drop
+    reason (plus 'kept'), with count and fraction of the input corpus.
+    The global-total window runs over the already-aggregated stage rows
+    (at most len(DROP_REASONS)+1 of them), not the corpus."""
+    from pyspark.sql import Window
+
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        audit.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept"))
+                      .alias("stage"))
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("fraction", F.round(F.col("n_docs") / total, 6))
+        .orderBy(F.col("stage"))
+    )

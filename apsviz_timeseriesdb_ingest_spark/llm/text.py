@@ -110,19 +110,24 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def scrub_pii_expr(c: Column) -> Column:
+    """The PII-masking expression chain (see :data:`PII_PATTERNS`).
+    Exposed as a Column builder for pipeline compositions."""
+    for _, pat, mask in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, mask)
+    return c
+
+
 def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               ) -> DataFrame:
     """PII scrubbing: mask emails / IPv4 addresses / phone-number runs
     with typed placeholder tokens, reporting per-class match counts
     (counted on the ORIGINAL text). Pure regexp_replace chain — codegen
     all the way; the standard pre-training redaction pass."""
-    c = F.col(text_col)
     counts = [F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
               .alias(f"n_{name}") for name, pat, _ in PII_PATTERNS]
-    scrubbed = c
-    for _, pat, mask in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, mask)
-    return df.select(id_col, scrubbed.alias("scrubbed_text"), *counts)
+    return df.select(id_col, scrub_pii_expr(F.col(text_col)).alias("scrubbed_text"),
+                     *counts)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -155,26 +160,22 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
                           "top_bigram_frac", "n_bigrams")
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
-    """Marker-token language ID: score = number of tokens found in each
-    language's marker list; prediction = highest score, ties broken by
-    language code order. Deterministic and oracle-checkable; swap the
-    profiles for real char-n-gram tables in production."""
-    profiles = profiles or DEFAULT_LANG_PROFILES
-    toks = F.col("__tk")
-
+def language_score_cols(toks: Column, profiles: dict[str, tuple[str, ...]],
+                        ) -> dict[str, Column]:
+    """Per-language marker-count score expressions over a (materialized)
+    token array column, keyed by language code in sorted order."""
     def marker_count(markers: tuple[str, ...]) -> Column:
         arr = F.array([F.lit(x) for x in markers])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    scores = {lang: marker_count(markers)
-              for lang, markers in sorted(profiles.items())}
-    out = _with_tokens(df, text_col).select(
-        id_col, *[s.alias(f"score_{lang}") for lang, s in scores.items()])
-    langs = sorted(profiles)
-    # first-match when-chain: the earliest language holding the max score
-    # wins — trivially mirrored as a SQL CASE chain
+    return {lang: marker_count(markers)
+            for lang, markers in sorted(profiles.items())}
+
+
+def language_pred_col(langs: list[str]) -> Column:
+    """First-match when-chain over ``score_<lang>`` columns: the earliest
+    language holding the max score wins — trivially mirrored as a SQL
+    CASE chain."""
     pred = None
     for lang in langs:
         cond = F.lit(True)
@@ -182,20 +183,54 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             if other != lang:
                 cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    return out.withColumn("predicted_lang", pred)
+    return pred
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Marker-token language ID: score = number of tokens found in each
+    language's marker list; prediction = highest score, ties broken by
+    language code order. Deterministic and oracle-checkable; swap the
+    profiles for real char-n-gram tables in production."""
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    scores = language_score_cols(F.col("__tk"), profiles)
+    out = _with_tokens(df, text_col).select(
+        id_col, *[s.alias(f"score_{lang}") for lang, s in scores.items()])
+    return out.withColumn("predicted_lang", language_pred_col(sorted(profiles)))
+
+
+def clean_text_expr(c: Column) -> Column:
+    """The boilerplate-cleaning expression chain: strip URLs, emails,
+    HTML tags, collapse whitespace, trim. RE2-compatible patterns so
+    oracles can mirror. Exposed as a Column builder so pipeline
+    compositions can fold it into one projection."""
+    c = F.regexp_replace(c, r"https?://[^\s]+", " ")
+    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
 def clean_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                ) -> DataFrame:
     """Boilerplate cleaning: strip URLs, emails, HTML tags, collapse
     whitespace, trim. RE2-compatible patterns so oracles can mirror."""
-    c = F.col(text_col)
-    c = F.regexp_replace(c, r"https?://[^\s]+", " ")
-    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", " ")
-    c = F.regexp_replace(c, r"<[^>]*>", " ")
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = clean_text_expr(F.col(text_col))
     return df.select(id_col, c.alias("clean_text"),
                      F.length(c).alias("clean_chars"))
+
+
+def train_split_cols(id_col: str = "doc_id", train_pct: int = 90,
+                     seed: str = "split-v1") -> tuple[Column, Column]:
+    """(split_bucket, split) expressions — a pure function of the id, so
+    pipeline compositions fold them map-side instead of joining the
+    3-column :func:`train_split` frame back on id (which would shuffle
+    the corpus twice for no reason)."""
+    bucket = md5_hash64(F.col(id_col).cast("string"), seed=seed) % 100
+    return (
+        bucket.alias("split_bucket"),
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval"))
+        .alias("split"),
+    )
 
 
 def train_split(df: DataFrame, *, id_col: str = "doc_id", train_pct: int = 90,
@@ -203,12 +238,7 @@ def train_split(df: DataFrame, *, id_col: str = "doc_id", train_pct: int = 90,
     """Deterministic hash-based train/eval split: stable across runs,
     clusters, and engines (md5-derived bucket 0-99). The assignment is a
     pure function of the id — re-running never reshuffles examples."""
-    bucket = md5_hash64(F.col(id_col).cast("string"), seed=seed) % 100
-    return df.select(
-        id_col, bucket.alias("split_bucket"),
-        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval"))
-        .alias("split"),
-    )
+    return df.select(id_col, *train_split_cols(id_col, train_pct, seed))
 
 
 def vocabulary(df: DataFrame, text_col: str = "text", *, min_count: int = 1,
