@@ -1,1 +1,7 @@
 from .stream_ingest import StreamingObsIngest  # noqa: F401
+from .corpus_stream import (  # noqa: F401
+    benchmark_shingles,
+    contamination_flag,
+    run_corpus_stream,
+    stream_prepare_corpus,
+)

@@ -1,0 +1,134 @@
+"""Streaming corpus preparation: the training-data pipeline as a
+continuously-running ingest (SURVEY section 2.9 extension).
+
+The batch pipeline's per-row signal pass (``llm.pipeline.corpus_signals``)
+is pure map-side, so it runs UNCHANGED on a streaming frame — the same
+lineage serves batch backfill and live ingest, which is the whole point
+of building on the DataFrame API. The stages that need cross-row state
+get streaming-native equivalents:
+
+- **exact dedup** → ``dropDuplicatesWithinWatermark`` on md5(text): state
+  for a hash is held only until the ingest-time watermark passes, the
+  bounded-state twin of the batch hash-groupBy (an identical doc arriving
+  after the watermark re-enters — acceptable for continuous pipelines,
+  where the batch compaction pass sweeps stragglers).
+- **decontamination** → a map-side ``arrays_overlap`` against the
+  benchmark shingle set passed in as a *literal/broadcast* array. A
+  benchmark set is small by construction (it is an eval set), so this is
+  the right scale shape: no shuffle, no state, no stream-static join
+  explosion. For very large contamination lists, swap the literal for a
+  Bloom-filter column (same plan shape).
+
+Near-dedup (MinHash clustering) is intentionally NOT in-stream: connected
+components is iterative and unbounded-state; production pipelines run it
+as the periodic batch compaction over the streamed-in corpus — exactly
+what ``llm.pipeline.prepare_training_corpus`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..llm.dedup import shingles_from_tokens
+from ..llm.pipeline import corpus_signals
+from ..llm.text import tokens
+
+
+def benchmark_shingles(benchmark: DataFrame, *, text_col: str = "text",
+                       k: int = 3) -> list[str]:
+    """Collect the benchmark's distinct shingles driver-side (the eval
+    set is small; this is the broadcast build side). Applies the same
+    clean+scrub normalization as the stream so shingles actually match."""
+    sig = corpus_signals(benchmark, text_col=text_col)
+    rows = (sig.select(F.explode(shingles_from_tokens(tokens("text"), k))
+                       .alias("s"))
+            .distinct().collect())
+    return sorted(r.s for r in rows)
+
+
+def contamination_flag(text: Column, bench_shingles: list[str],
+                       *, k: int = 3) -> Column:
+    """Map-side contamination test: does the doc share any k-shingle with
+    the benchmark set? ``arrays_overlap`` against a literal array — the
+    streaming-safe (stateless) form of ``llm.text.decontaminate``."""
+    if not bench_shingles:
+        return F.lit(False)
+    bench = F.array(*[F.lit(s) for s in bench_shingles])
+    return F.arrays_overlap(shingles_from_tokens(tokens(text), k), bench)
+
+
+def stream_prepare_corpus(
+    docs: DataFrame,
+    bench_shingles: list[str] | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_repetition_ratio: float = 0.9,
+    languages: tuple[str, ...] = ("en",),
+    shingle_k: int = 3,
+    dedup_watermark: str = "1 hour",
+) -> DataFrame:
+    """The streaming corpus-prep transformation: signals -> quality and
+    language gates -> contamination gate -> in-stream exact dedup.
+
+    Works on a streaming OR batch frame: the gates are identical
+    expressions; the exact-dedup stage switches on ``df.isStreaming``
+    because Spark refuses ``dropDuplicatesWithinWatermark`` on batch
+    frames — the batch twin is the deterministic keep-lowest-id
+    hash-groupBy (what the batch pipeline does). Output columns match
+    the batch ``prepare_training_corpus`` corpus frame minus the split
+    (split is a pure id hash — apply ``train_split_cols`` at sink time
+    or downstream).
+    """
+    sig = corpus_signals(docs, text_col=text_col, id_col=id_col)
+    kept = (
+        sig.filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("repetition_ratio") <= max_repetition_ratio)
+            & F.col("predicted_lang").isin(*languages))
+    )
+    if bench_shingles:
+        kept = kept.filter(
+            ~contamination_flag(F.col("text"), bench_shingles, k=shingle_k))
+    hashed = kept.withColumn("text_md5", F.md5("text"))
+    if docs.isStreaming:
+        deduped = (
+            hashed.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", dedup_watermark)
+            .dropDuplicatesWithinWatermark(["text_md5"])
+            .drop("ingest_ts")
+        )
+    else:
+        row = F.struct(id_col, "text", "n_tokens", "predicted_lang")
+        deduped = (
+            hashed.groupBy("text_md5")
+            .agg(F.min_by(row, F.col(id_col)).alias("r"))
+            .select("r.*", "text_md5")
+        )
+    return deduped.select(id_col, "text", "text_md5", "n_tokens",
+                          "predicted_lang")
+
+
+def run_corpus_stream(spark, input_dir: str, output_dir: str,
+                      checkpoint_dir: str, *,
+                      bench_shingles: list[str] | None = None,
+                      schema: str = "doc_id long, text string",
+                      **prep_kwargs):
+    """Wire the stream end to end: file source -> prep -> parquet sink
+    with checkpointed exactly-once append. Returns the StreamingQuery
+    (caller drives with processAllAvailable/awaitTermination)."""
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    out = stream_prepare_corpus(docs, bench_shingles, **prep_kwargs)
+    return (
+        out.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

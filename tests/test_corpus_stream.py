@@ -1,0 +1,84 @@
+"""Streaming corpus preparation: gates + in-stream dedup across
+micro-batches, exactly-once restart, batch/stream lineage parity."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+    benchmark_shingles,
+    run_corpus_stream,
+    stream_prepare_corpus,
+)
+
+EN = ("the cat sat on the mat and the dog is a friend of the cat "
+      "and they walk to the park every day to see the ducks swim")
+EN2 = ("a quick brown fox jumps over the lazy dog and the fox is "
+       "happy to run in the field all day with the other animals")
+SHORT = "see https://example.com/a/b/c"
+FR = ("le chat est dans le jardin et les oiseaux sont dans une "
+      "cage et le chien est dans la maison dans une boite")
+BENCH = "what is the capital of france and the answer is paris"
+CONTAM = ("the benchmark question asks what is the capital of france "
+          "and the answer to the benchmark question is paris of course")
+
+SCHEMA = "doc_id long, text string"
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(path)
+
+
+def _bench_shingles(spark):
+    return benchmark_shingles(
+        spark.createDataFrame([(100, BENCH)], SCHEMA))
+
+
+def test_stream_gates_and_cross_batch_dedup(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, src, [(1, EN), (3, SHORT), (5, FR), (8, CONTAM)])
+    q = run_corpus_stream(spark, src, out, ckpt,
+                          bench_shingles=_bench_shingles(spark))
+    q.awaitTermination(120)
+    # batch 2: a new doc, an exact dup of doc 1, an in-batch dup pair
+    _write(spark, src, [(2, EN2), (9, EN), (10, EN2)])
+    q2 = run_corpus_stream(spark, src, out, ckpt,
+                           bench_shingles=_bench_shingles(spark))
+    q2.awaitTermination(120)
+    rows = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # 1 kept; 3 too short, 5 wrong language, 8 contaminated,
+    # 9 dup of 1 (cross-batch state), 2 kept, 10 dup of 2 (in-batch)
+    assert rows == {1, 2}
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, src, [(1, EN)])
+    q = run_corpus_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    # restart with no new input: no duplicate output rows
+    q2 = run_corpus_stream(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
+
+
+def test_stream_prep_matches_batch_lineage(spark):
+    docs = spark.createDataFrame(
+        [(1, EN), (2, EN2), (3, SHORT), (5, FR), (9, EN)], SCHEMA)
+    out = stream_prepare_corpus(docs)  # batch frame through the same fn
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_tokens == 28 and rows[1].predicted_lang == "en"
+
+
+def test_contamination_literal_matches_batch_decontaminate(spark):
+    docs = spark.createDataFrame([(1, EN), (8, CONTAM)], SCHEMA)
+    out = stream_prepare_corpus(docs, _bench_shingles(spark))
+    assert {r.doc_id for r in out.collect()} == {1}
