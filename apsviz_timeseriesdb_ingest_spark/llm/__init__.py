@@ -10,9 +10,11 @@ an ``fast=True`` xxhash64 switch for production scale.
 
 from .text import (  # noqa: F401
     clean_text,
+    corpus_profile,
     decontaminate,
     document_fingerprint,
     language_id,
+    language_mix,
     length_buckets,
     pack_documents,
     quality_score,

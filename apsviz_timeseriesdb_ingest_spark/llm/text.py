@@ -253,6 +253,55 @@ def vocabulary(df: DataFrame, text_col: str = "text", *, min_count: int = 1,
             .filter(F.col("term_count") >= min_count))
 
 
+def corpus_profile(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Per-group corpus statistics: doc/token/char totals, mean and EXACT
+    token-count percentiles (p50/p90/p99, linear interpolation — the
+    convention DuckDB's ``quantile_cont`` shares, so the operator is
+    oracle-checkable). One map-side projection + one groupBy; the
+    percentile aggregate holds a per-group value buffer, which is fine
+    for profiling jobs (thousands of groups x corpus rows each) — for
+    billions-of-rows-per-group dashboards swap in ``percentile_approx``
+    (t-digest, bounded memory, no exact oracle)."""
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.size(tokens(text_col)).alias("n_tokens"),
+                     F.length(text_col).alias("n_chars"))
+    return (
+        base.groupBy(F.col("grp").alias(group_col))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+             F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+             F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
+             F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99_tokens"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def language_mix(df: DataFrame, text_col: str = "text",
+                 group_col: str = "source",
+                 profiles: dict[str, tuple[str, ...]] | None = None,
+                 ) -> DataFrame:
+    """Language composition per group: (group, predicted_lang, n_docs,
+    fraction). The fraction window runs over the aggregated (group, lang)
+    rows — #groups x #languages of them — not the corpus."""
+    from pyspark.sql import Window
+
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    scores = language_score_cols(F.col("__tk"), profiles)
+    sig = (
+        _with_tokens(df, text_col)
+        .select(F.col(group_col).alias("grp"),
+                *[s.alias(f"score_{lang}") for lang, s in scores.items()])
+        .withColumn("predicted_lang", language_pred_col(sorted(profiles)))
+    )
+    counts = (sig.groupBy(F.col("grp").alias(group_col), "predicted_lang")
+              .agg(F.count("*").alias("n_docs")))
+    total = F.sum("n_docs").over(Window.partitionBy(group_col))
+    return counts.withColumn(
+        "fraction", F.round(F.col("n_docs") / total, 6))
+
+
 def length_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    *, bucket_chars: int = 100, max_bucket: int = 8) -> DataFrame:
     """Bucket documents by character length — the partitioning most

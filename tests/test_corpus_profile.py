@@ -1,0 +1,87 @@
+"""corpus_profile / language_mix: DuckDB-recomputed parity on the
+documents table (same pattern as the j7 keep-latest pytest oracle) plus
+behavioral checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apsviz_timeseriesdb_ingest_spark.llm.text import (
+    DEFAULT_LANG_PROFILES,
+    corpus_profile,
+    language_mix,
+)
+from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+from tests.oracle_harness import compare, duckdb_conn
+
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+PROFILE_SQL = f"""
+    WITH base AS (SELECT source, len({SQL_TOKS}) AS n_tokens,
+                         length(text) AS n_chars FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens,
+           round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+           round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens,
+           sum(n_chars) AS total_chars
+    FROM base GROUP BY source
+"""
+
+
+def _mix_sql() -> str:
+    langs = sorted(DEFAULT_LANG_PROFILES)
+    score_exprs = ", ".join(
+        "len(list_filter(ts, t -> t IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in DEFAULT_LANG_PROFILES[lang]), lang)
+        for lang in langs)
+    case = "CASE "
+    for lang in langs:
+        conds = " AND ".join(f"score_{lang} >= score_{o}"
+                             for o in langs if o != lang)
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += "END"
+    return f"""
+        WITH toks AS (SELECT source, {SQL_TOKS} AS ts FROM documents),
+        scored AS (SELECT source, {score_exprs} FROM toks),
+        pred AS (SELECT source, {case} AS predicted_lang FROM scored),
+        counts AS (SELECT source, predicted_lang, count(*) AS n_docs
+                   FROM pred GROUP BY source, predicted_lang)
+        SELECT source, predicted_lang, n_docs,
+               round(n_docs / sum(n_docs) OVER (PARTITION BY source), 6)
+                   AS fraction
+        FROM counts
+    """
+
+
+def test_corpus_profile_duckdb_parity(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    out = corpus_profile(docs)
+    con = duckdb_conn(sf_oracle)
+    compare(out, con, PROFILE_SQL, name="corpus_profile")
+
+
+def test_language_mix_duckdb_parity(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    out = language_mix(docs)
+    con = duckdb_conn(sf_oracle)
+    compare(out, con, _mix_sql(), name="language_mix")
+
+
+def test_language_mix_fractions_sum_to_one(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    sums = (language_mix(docs).groupBy("source")
+            .agg(F.sum("fraction").alias("s")).collect())
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-4
+
+
+def test_corpus_profile_single_group(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "a b c d e", "s"), (3, "a", "s")],
+        "doc_id long, text string, source string")
+    row = corpus_profile(docs).collect()[0]
+    assert (row.n_docs, row.total_tokens) == (3, 9)
+    assert row.p50_tokens == 3.0

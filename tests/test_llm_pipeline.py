@@ -124,6 +124,19 @@ def test_pipeline_runs_on_documents_table(spark, sf_small):
     assert audit.filter(F.col("drop_reason").isNull()).count() == n_kept
 
 
+def test_pipeline_empty_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    corpus, audit = prepare_training_corpus(empty, None)
+    assert corpus.count() == 0 and audit.count() == 0
+    assert attrition_report(audit).count() == 0
+    # empty benchmark frame: nothing is contaminated, pipeline still runs
+    docs = _docs(spark)
+    c2, a2 = prepare_training_corpus(docs, empty, min_tokens=10,
+                                     max_repetition_ratio=0.5)
+    reasons = {r.doc_id: r.drop_reason for r in a2.collect()}
+    assert reasons[8] is None
+
+
 def test_corpus_signals_single_map_stage(spark):
     """The per-row signal pass must not shuffle: no exchange in the plan."""
     plan = corpus_signals(_docs(spark))._jdf.queryExecution() \
