@@ -181,6 +181,32 @@ def get_nowcast_timeseries_station_data(catalog: Catalog, station_name: str,
                              {data_source: sanitize_pivot_label(data_source)})
 
 
+def get_model_vs_obs_asof(catalog: Catalog, station_name: str,
+                          start_date: str, end_date: str,
+                          tolerance: str | None = "'1' HOUR") -> DataFrame:
+    """Model points aligned to the latest observation at-or-before each
+    forecast time (as-of join) — the cross-cadence generalization of the
+    reference's equal-timestamp pivots (its crosstabs only align rows
+    whose times match exactly; `scripts/get_obs_timeseries_station_data.sql`).
+
+    Returns one row per model point: (station_name, data_source, time,
+    model water_level, time_asof, obs water_level_asof). ``tolerance``
+    nulls observations older than the interval (default 1 hour — a gauge
+    that stopped reporting should not be carried forward for days)."""
+    from ..operators.asof import asof_join
+
+    model = (_time_range(model_view(catalog), start_date, end_date)
+             .filter(F.col("station_name") == station_name)
+             .select("station_name", "data_source", "time",
+                     F.col("water_level").alias("model_water_level")))
+    obs = (_time_range(obs_view(catalog), start_date, end_date)
+           .filter(F.col("station_name") == station_name)
+           .select("station_name", "time", "water_level"))
+    return asof_join(model, obs, on=["station_name"], left_ts="time",
+                     right_ts="time", value_cols=["water_level"],
+                     tolerance=tolerance)
+
+
 def to_json_array(pivoted: DataFrame) -> str:
     """JSON_AGG parity (A6): the pivoted frame as one JSON array string,
     rows ordered by time_stamp, nulls preserved — the reference's return

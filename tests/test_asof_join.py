@@ -79,6 +79,93 @@ def test_asof_duckdb_parity(spark, sf_oracle):
     compare(out, duckdb_conn(sf_oracle), sql, name="asof_join")
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Cross-check against pandas merge_asof (the de-facto reference
+    semantic) on seeded random frames."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    left = [("K%d" % rng.randint(0, 3), _ts(rng.randint(0, 500)))
+            for _ in range(200)]
+    right = [("K%d" % rng.randint(0, 3), _ts(rng.randint(0, 500)),
+              float(i)) for i in range(150)]
+    l_df = spark.createDataFrame(left, "k string, ts timestamp_ntz")
+    r_df = spark.createDataFrame(right, "k string, ts timestamp_ntz, v double")
+    got = {(r.k, r.ts): (r.ts_asof, r.v_asof)
+           for r in asof_join(l_df, r_df, on=["k"]).collect()}
+
+    lp = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts")
+    rp = (pd.DataFrame(right, columns=["k", "ts", "v"])
+          .sort_values(["ts", "v"]))  # equal (k, ts): keep the LAST right
+    rp["rts"] = rp["ts"]  # merge_asof drops the right 'on' column
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                        suffixes=("", "_asof"))
+    for row in exp.itertuples():
+        e_ts = None if pd.isna(row.rts) else row.rts.to_pydatetime()
+        e_v = None if pd.isna(row.v) else row.v
+        g_ts, g_v = got[(row.k, row.ts.to_pydatetime())]
+        assert g_ts == e_ts
+        # equal-(k, ts) right rows are a genuine tie; both engines must
+        # agree on the timestamp, the value may differ between tied rows
+        if e_ts is not None:
+            assert g_v is not None
+
+
+def test_model_vs_obs_asof_domain(spark, tmp_path_factory):
+    """Domain helper: every model point gets the latest gauge reading
+    at-or-before it, across cadences the equal-time pivots cannot align."""
+    from apsviz_timeseriesdb_ingest_spark.plans.bootstrap import bootstrap
+    from apsviz_timeseriesdb_ingest_spark.plans.model_ingest import ModelIngest
+    from apsviz_timeseriesdb_ingest_spark.plans.obs_ingest import ObsIngest
+    from apsviz_timeseriesdb_ingest_spark.plans.read_api import (
+        get_model_vs_obs_asof,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from tests.test_model_pipeline import PROPS, RUN_ID, _write
+
+    root = tmp_path_factory.mktemp("asofenv")
+    (root / "harvest").mkdir()
+    _write(str(root / "stations.csv"),
+           ["ST_A,34.1,-77.1,gmt,NOAA/NOS,Alpha,tidal,us,nc,NH,01A"])
+    _write(str(root / "meta.csv"), [
+        "data_source,source_name,source_archive,source_variable,"
+        "filename_prefix,location_type,units",
+        "tidal_gauge,noaa,noaa,water_level,noaa_stationdata_water_level,"
+        "tidal,m"])
+    catalog = Catalog(spark, str(root / "warehouse"))
+    bootstrap(spark, catalog, station_csvs=[str(root / "stations.csv")],
+              source_meta_csv=str(root / "meta.csv"))
+    # obs on the half-hour
+    _write(str(root / "harvest" /
+               "noaa_stationdata_water_level_2024-01-01T14:00:00.csv"),
+           ["STATION,TIME,WATER_LEVEL",
+            "ST_A,2024-01-01 11:30:00,1.1",
+            "ST_A,2024-01-01 12:30:00,1.2"])
+    ObsIngest(spark, catalog, str(root / "harvest")).run_sequence_ingest()
+    # model on the hour
+    run_dir = root / "harvest" / RUN_ID
+    run_dir.mkdir(parents=True)
+    _write(str(run_dir / "FORECAST_NOAASTATIONS.csv"),
+           ["STATION,TIME,WATER_LEVEL",
+            "ST_A,2024-01-01 12:00:00,0.5",
+            "ST_A,2024-01-01 13:00:00,0.6"])
+    items = [(4420, "21ab3d_gfs", k, v) for k, v in PROPS.items()]
+    config = spark.createDataFrame(
+        items, "instance_id long, uid string, key string, value string")
+    ModelIngest(spark, catalog, str(root / "harvest")).ingest_run(RUN_ID, config)
+
+    out = get_model_vs_obs_asof(catalog, "ST_A", "2024-01-01 00:00:00",
+                                "2024-01-02 00:00:00")
+    rows = {str(r.time): (r.model_water_level, r.water_level_asof,
+                          str(r.time_asof)) for r in out.collect()}
+    assert rows == {
+        "2024-01-01 12:00:00": (0.5, 1.1, "2024-01-01 11:30:00"),
+        "2024-01-01 13:00:00": (0.6, 1.2, "2024-01-01 12:30:00"),
+    }
+
+
 def test_asof_plan_single_shuffle_no_range_join(spark):
     obs, fc = _frames(spark)
     plan = asof_join(fc, obs, on=["station"])._jdf.queryExecution() \
