@@ -45,7 +45,12 @@ from .similarity import (  # noqa: F401
     hyperplane_lsh_bucket,
     ivf_assign,
 )
-from .multimodal import extract_media_features, with_binary_payload  # noqa: F401
+from .multimodal import (  # noqa: F401
+    extract_media_features,
+    resize_images,
+    sample_frames,
+    with_binary_payload,
+)
 from .pipeline import (  # noqa: F401
     attrition_report,
     corpus_signals,

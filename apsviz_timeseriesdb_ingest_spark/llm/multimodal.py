@@ -67,3 +67,73 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id",
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+#: output schema of the frame sampler — one row PER FRAME
+FRAME_SCHEMA = ("doc_id long, frame_idx int, frame_payload binary, "
+                "frame_ms int, decoder string")
+
+
+def sample_frames(df: DataFrame, *, n_frames: int = 4,
+                  id_col: str = "doc_id", payload_col: str = "payload",
+                  frame_interval_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: each payload row EXPLODES into
+    ``n_frames`` frame rows — the one-to-many ``mapInPandas`` shape
+    (yielding more rows than arrive) that real frame extraction uses.
+
+    STUB decode: frame i is the i-th contiguous byte slice of the
+    payload (deterministic); production swaps the slicing for
+    ffmpeg/PyAV keyframe extraction without touching the plan. At scale
+    the output is written partitioned by (doc bucket) so per-video frame
+    groups stay co-located for the encoder stage."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                step = max(1, n // n_frames)
+                for i in range(n_frames):
+                    rows.append({
+                        "doc_id": doc_id,
+                        "frame_idx": i,
+                        "frame_payload": bytes(payload[i * step:(i + 1) * step]),
+                        "frame_ms": i * frame_interval_ms,
+                        "decoder": "stub-v1",
+                    })
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "frame_payload", "frame_ms",
+                                              "decoder"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+#: output schema of the resizer — transformed payload + new dimensions
+RESIZE_SCHEMA = ("doc_id long, payload binary, width int, height int, "
+                 "decoder string")
+
+
+def resize_images(df: DataFrame, *, width: int, height: int,
+                  id_col: str = "doc_id", payload_col: str = "payload",
+                  ) -> DataFrame:
+    """Image resize plumbing: payload-in, payload-out transform at a
+    fixed target size — the one-to-one ``mapInPandas`` shape.
+
+    STUB decode: output payload is the input truncated/padded to
+    width*height bytes (deterministic); production replaces the body
+    with PIL ``Image.resize``. Binary in AND out exercises Arrow's
+    binary columns in both directions."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p[:target]).ljust(target, b"\0")
+                        for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "payload": payloads,
+                "width": width,
+                "height": height,
+                "decoder": "stub-v1",
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)

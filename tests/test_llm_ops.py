@@ -53,6 +53,41 @@ def test_multimodal_metadata_struct(spark, sf_small):
     assert f.width == f.n_bytes % 640
 
 
+def test_frame_sampling_explodes_rows(spark, sf_small):
+    from apsviz_timeseriesdb_ingest_spark.llm.multimodal import sample_frames
+
+    docs = with_binary_payload(load_table(spark, sf_small, "documents"))
+    n_docs = docs.count()
+    frames = sample_frames(docs, n_frames=4)
+    assert frames.count() == n_docs * 4
+    one = {r.frame_idx: r for r in
+           frames.join(docs.select("doc_id", "payload"), "doc_id")
+           .filter(F.col("doc_id") == docs.first().doc_id).collect()}
+    assert sorted(one) == [0, 1, 2, 3]
+    assert one[1].frame_ms == 1000
+    # frame 0 is the leading byte slice of the source payload
+    src = bytes(one[0].payload)
+    step = max(1, len(src) // 4)
+    assert bytes(one[0].frame_payload) == src[:step]
+    # deterministic across runs
+    a = {(r.doc_id, r.frame_idx): bytes(r.frame_payload)
+         for r in sample_frames(docs, n_frames=2).collect()}
+    b = {(r.doc_id, r.frame_idx): bytes(r.frame_payload)
+         for r in sample_frames(docs, n_frames=2).collect()}
+    assert a == b
+
+
+def test_resize_images_fixed_payload_size(spark, sf_small):
+    from apsviz_timeseriesdb_ingest_spark.llm.multimodal import resize_images
+
+    docs = with_binary_payload(load_table(spark, sf_small, "documents"))
+    out = resize_images(docs, width=16, height=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(len(bytes(r.payload)) == 16 * 8 for r in rows)
+    assert all((r.width, r.height) == (16, 8) for r in rows)
+
+
 def test_scrub_pii_masks_and_counts(spark):
     from apsviz_timeseriesdb_ingest_spark.llm.text import scrub_pii
 
