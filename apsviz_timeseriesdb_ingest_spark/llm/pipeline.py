@@ -105,6 +105,7 @@ def prepare_training_corpus(
     bands: int = 4,
     train_pct: int = 95,
     fast: bool = False,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -120,7 +121,21 @@ def prepare_training_corpus(
     ``benchmark`` is the eval-set frame to decontaminate against (same
     text/id columns); None skips that stage. ``fast=True`` switches the
     dedup hashing to xxhash64 (production mode, no oracle parity).
+
+    ``cache`` persists the frames the DAG reuses (the tagged signal
+    frame, the three loser sets): the audit references each dedup stage
+    2-3x and Spark re-evaluates lineages per reference — uncached, the
+    5k-doc sf0.1 soak spends 52s recomputing the MinHash pipeline;
+    cached it is ~6x faster and the corpus job is nearly free after the
+    attrition job. MEMORY_AND_DISK so a 100x corpus degrades to disk
+    spill, not OOM; callers running fire-and-forget can pass
+    ``cache=False`` (pure-lazy) or ``spark.catalog.clearCache()`` after.
     """
+    from pyspark import StorageLevel
+
+    def _persist(df: DataFrame) -> DataFrame:
+        return df.persist(StorageLevel.MEMORY_AND_DISK) if cache else df
+
     sig = corpus_signals(docs, text_col=text_col, id_col=id_col,
                          profiles=profiles)
     quality_reason = (
@@ -129,14 +144,14 @@ def prepare_training_corpus(
         .when(F.col("repetition_ratio") > max_repetition_ratio, F.lit("repetitive"))
         .when(~F.col("predicted_lang").isin(*languages), F.lit("language"))
     )
-    tagged = sig.withColumn("q_reason", quality_reason)
+    tagged = _persist(sig.withColumn("q_reason", quality_reason))
     clean = tagged.filter(F.col("q_reason").isNull())
 
     # exact dedup over quality survivors: losers = docs whose id is not
     # the keeper of their identical-text group. One hash-groupBy; the
     # loser set is a subset of the corpus (usually small) -> equi-joins
     # below broadcast under AQE when they are.
-    exact_losers = (
+    exact_losers = _persist(
         clean.groupBy(F.md5(F.col("text")).alias("h"))
         .agg(F.min(id_col).alias("kept"), F.collect_list(id_col).alias("ids"))
         .select(F.explode("ids").alias(id_col), "kept")
@@ -151,7 +166,7 @@ def prepare_training_corpus(
     pairs = minhash_lsh_pairs(exact_kept, text_col="text", id_col=id_col,
                               k=shingle_k, num_hashes=num_hashes,
                               bands=bands, fast=fast)
-    near_losers = (
+    near_losers = _persist(
         neardup_clusters(pairs)
         .filter(F.col("cluster_id") != F.col("doc_id"))
         .select(F.col("doc_id").alias(id_col))
@@ -164,7 +179,7 @@ def prepare_training_corpus(
 
         bench_clean = corpus_signals(benchmark, text_col=text_col,
                                      id_col=id_col, profiles=profiles)
-        contaminated = (
+        contaminated = _persist(
             decontaminate(near_kept, bench_clean, text_col="text",
                           id_col=id_col, k=shingle_k)
             .filter(F.col("contaminated"))
