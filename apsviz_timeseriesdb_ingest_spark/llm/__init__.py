@@ -26,6 +26,7 @@ from .text import (  # noqa: F401
     token_stats,
     tokens,
     train_split,
+    weighted_sample,
     vocabulary,
 )
 from .dedup import (  # noqa: F401

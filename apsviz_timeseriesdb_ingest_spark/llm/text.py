@@ -241,6 +241,24 @@ def train_split(df: DataFrame, *, id_col: str = "doc_id", train_pct: int = 90,
     return df.select(id_col, *train_split_cols(id_col, train_pct, seed))
 
 
+def weighted_sample(df: DataFrame, *, id_col: str = "doc_id",
+                    weight_col: str | None = None, rate: float = 0.5,
+                    seed: str = "sample-v1") -> DataFrame:
+    """Deterministic (re-runnable, engine-reproducible) sampling: keep a
+    document iff hash(id) lands below rate * weight. With a weight
+    column (0..1 quality scores), high-quality docs survive
+    proportionally more — the standard quality-weighted downsampling
+    pass. Pure function of (id, weight): the same doc set survives on
+    every run, cluster, and engine — unlike ``df.sample``, whose output
+    depends on partitioning.
+
+    The hash unit interval is md5-derived (portable): u = h(id)/2^60
+    uniform on [0,1); keep iff u < rate * weight."""
+    u = md5_hash64(F.col(id_col).cast("string"), seed=seed) / F.lit(float(2 ** 60))
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    return df.filter(u < F.lit(rate) * w)
+
+
 def vocabulary(df: DataFrame, text_col: str = "text", *, min_count: int = 1,
                ) -> DataFrame:
     """Corpus vocabulary with term counts and document frequency — two

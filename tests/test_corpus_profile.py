@@ -78,6 +78,41 @@ def test_language_mix_fractions_sum_to_one(spark, sf_small):
         assert abs(r.s - 1.0) < 1e-4
 
 
+def test_weighted_sample_duckdb_parity(spark, sf_oracle):
+    from apsviz_timeseriesdb_ingest_spark.functions.portable_hash import (
+        md5_hash64_sql,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.text import weighted_sample
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = weighted_sample(docs, rate=0.3).select("doc_id")
+    h = md5_hash64_sql("doc_id", seed="sample-v1")
+    sql = f"""
+        SELECT doc_id FROM documents
+        WHERE {h} / CAST(pow(2, 60) AS DOUBLE) < 0.3
+    """
+    compare(out, duckdb_conn(sf_oracle), sql, name="weighted_sample")
+
+
+def test_weighted_sample_behavior(spark, sf_small):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import weighted_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    kept = weighted_sample(docs, rate=0.5).count()
+    assert 0.35 * n < kept < 0.65 * n  # ~rate, hash-uniform
+    # deterministic: identical survivors across runs
+    a = {r.doc_id for r in weighted_sample(docs, rate=0.5).collect()}
+    b = {r.doc_id for r in weighted_sample(docs, rate=0.5).collect()}
+    assert a == b
+    # weight scales survival: weight 0 kills everything, 1.0 = unweighted
+    w = docs.withColumn("wt", F.lit(0.0))
+    assert weighted_sample(w, weight_col="wt", rate=0.9).count() == 0
+    w1 = docs.withColumn("wt", F.lit(1.0))
+    assert ({r.doc_id for r in
+             weighted_sample(w1, weight_col="wt", rate=0.5).collect()} == a)
+
+
 def test_corpus_profile_single_group(spark):
     docs = spark.createDataFrame(
         [(1, "a b c", "s"), (2, "a b c d e", "s"), (3, "a", "s")],
