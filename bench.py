@@ -35,8 +35,12 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
     names += [n for n in sorted(queries) if n.startswith("llm_") and n not in names]
 
-    # warm the JVM + parquet footers once so timings measure the query, not startup
+    # warm the JVM + parquet footers + the Python worker pool once so
+    # timings measure the query, not process startup (the Arrow-batched
+    # paths pay ~1s of daemon spawn on the session's first Python stage)
     queries[names[0]](spark, sf_dir).count()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in names:
