@@ -148,13 +148,16 @@ def prepare_training_corpus(
     clean = tagged.filter(F.col("q_reason").isNull())
 
     # exact dedup over quality survivors: losers = docs whose id is not
-    # the keeper of their identical-text group. One hash-groupBy; the
-    # loser set is a subset of the corpus (usually small) -> equi-joins
-    # below broadcast under AQE when they are.
+    # the keeper of their identical-text group. Keeper map via
+    # hash-groupBy + equi-join back on the hash — NOT collect_list of
+    # ids per group, which turns a million identical docs into one
+    # giant row; the join row count equals the corpus either way and
+    # every stage stays bounded. The loser set is a subset of the
+    # corpus (usually small) -> equi-joins below broadcast under AQE.
+    hashed = clean.select(F.col(id_col), F.md5(F.col("text")).alias("h"))
+    keepers = hashed.groupBy("h").agg(F.min(id_col).alias("kept"))
     exact_losers = _persist(
-        clean.groupBy(F.md5(F.col("text")).alias("h"))
-        .agg(F.min(id_col).alias("kept"), F.collect_list(id_col).alias("ids"))
-        .select(F.explode("ids").alias(id_col), "kept")
+        hashed.join(keepers, "h")
         .filter(F.col(id_col) != F.col("kept"))
         .select(id_col)
         .withColumn("r_exact", F.lit(True))
