@@ -35,3 +35,12 @@ def test_every_query_has_oracle_or_is_flagged():
     # explicit so additions are conscious decisions
     allowed_missing = set()
     assert set(missing) <= allowed_missing, f"queries without oracle: {missing}"
+
+
+def test_registry_respects_driver_cap():
+    # the driver records CORRECTNESS rows for at most 50 queries; r1
+    # registered 52 and the overflow pair was silently never verified.
+    # Adding a query must FOLD an existing one, not exceed the cap.
+    assert len(QUERIES) == 50, (
+        f"{len(QUERIES)} queries registered; the driver caps at 50 — "
+        "fold same-shape queries instead of exceeding the cap")
