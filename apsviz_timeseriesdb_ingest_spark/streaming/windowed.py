@@ -62,6 +62,35 @@ def dedup_within_watermark(events: DataFrame, keys: list[str],
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def correlate_streams(left: DataFrame, right: DataFrame, *,
+                      key: str = "user_id", within: str = "1 hour",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join bounded by event time: pair left/right
+    events on the same key whose timestamps are within ``within`` of
+    each other (right at-or-after left).
+
+    Both sides are watermarked, and the time-range condition is what
+    lets Spark BOUND the join state: a buffered left row can be dropped
+    once the right watermark passes left.ts + within (and vice versa) —
+    without the range predicate the state store grows forever. This is
+    the streaming twin of :func:`operators.rangejoin.overlap_join`'s
+    batch formulation. Works on batch frames too (same lineage, the
+    watermarks are no-ops there).
+    """
+    l_w = left.withWatermark("ts", watermark).select(
+        F.col(key), F.col("ts").alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns
+          if c not in (key, "ts")])
+    r_w = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("__rk"), F.col("ts").alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns
+          if c not in (key, "ts")])
+    cond = ((F.col(key) == F.col("__rk"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")))
+    return l_w.join(r_w, cond).drop("__rk")
+
+
 _STATE_SCHEMA = "total long"
 _OUTPUT_SCHEMA = "user_id long, batch_events long, total_events long"
 
