@@ -64,6 +64,10 @@ def overlap_join(left: DataFrame, right: DataFrame, *,
     Right-side columns that collide with left names get an ``_r`` suffix
     (ids and ``on`` keys keep their names).
     """
+    if right_id in left.columns:
+        raise ValueError(
+            f"right_id {right_id!r} collides with a left column — alias one "
+            "side before joining (the pair dedup needs both ids unambiguous)")
     step = _bucket_seconds(bucket)
     keys = list(on)
     l_b = _bucketed(left, left_begin, left_end, step)

@@ -80,6 +80,17 @@ def test_overlap_duckdb_parity(spark, sf_oracle):
     compare(out, duckdb_conn(sf_oracle), sql, name="overlap_join")
 
 
+def test_overlap_rejects_ambiguous_ids(spark):
+    import pytest
+
+    left = _iv(spark, [(1, 0, 2)], "rid")  # same id name both sides
+    right = _iv(spark, [(10, 1, 3)], "rid")
+    with pytest.raises(ValueError, match="collides"):
+        overlap_join(left, right, left_begin="begin", left_end="end",
+                     right_begin="begin", right_end="end",
+                     left_id="rid", right_id="rid")
+
+
 def test_overlap_plan_no_nested_loop(spark):
     left = _iv(spark, [(1, 0, 2)], "lid")
     right = _iv(spark, [(10, 1, 3)], "rid")
