@@ -32,6 +32,8 @@ from .text import (  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_keep_representative,
     exact_dedup,
+    lsh_pairs_from_buckets,
+    minhash_band_buckets,
     minhash_lsh_pairs,
     neardup_clusters,
     ngram_jaccard_pairs,
@@ -51,6 +53,10 @@ from .multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
     with_binary_payload,
+)
+from .incremental import (  # noqa: F401
+    build_dedup_index,
+    dedup_increment,
 )
 from .pipeline import (  # noqa: F401
     attrition_report,

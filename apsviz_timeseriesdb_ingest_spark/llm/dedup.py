@@ -172,15 +172,15 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
     return sh.groupBy("doc").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
-                      id_col: str = "doc_id", k: int = 3, num_hashes: int = 16,
-                      bands: int = 4, fast: bool = False) -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one band bucket (a < b).
-
-    Band bucket = md5 of the band's minhashes joined in seed order,
-    computed column-wise from the wide signature; the self-join runs on
-    (band, bucket) — tiny keys, no O(n^2) stage.
-    """
+def minhash_band_buckets(df: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3,
+                         num_hashes: int = 16, bands: int = 4,
+                         fast: bool = False) -> DataFrame:
+    """(doc, band, bucket) rows — the LSH index representation. Band
+    bucket = md5 of the band's minhashes joined in seed order, computed
+    column-wise from the wide signature. This frame IS the persistent
+    ANN/dedup index shape (see ``llm.incremental``): equality on
+    (band, bucket) is the candidate test."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col=text_col, id_col=id_col, k=k,
                              num_hashes=num_hashes, fast=fast)
@@ -192,10 +192,18 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
         for b in range(bands)
     ]
     stack = ", ".join(f"{b}, bucket_{b}" for b in range(bands))
-    buckets = (
+    return (
         sig.select("doc", *bucket_cols)
         .selectExpr("doc", f"stack({bands}, {stack}) AS (band, bucket)")
     )
+
+
+def lsh_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from a ``(doc, band, bucket)``
+    frame: docs sharing at least one band bucket. The self-join runs on
+    (band, bucket) — tiny keys, no O(n^2) stage. Split out so callers
+    that already hold (or persist) the bucket frame — the incremental
+    index path in :mod:`llm.incremental` — skip re-shingling."""
     return (
         buckets.alias("a")
         .join(buckets.alias("b"),
@@ -205,6 +213,19 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3, num_hashes: int = 16,
+                      bands: int = 4, fast: bool = False) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket (a < b).
+
+    The self-join runs on (band, bucket) — tiny keys, no O(n^2) stage.
+    """
+    buckets = minhash_band_buckets(df, text_col=text_col, id_col=id_col,
+                                   k=k, num_hashes=num_hashes, bands=bands,
+                                   fast=fast)
+    return lsh_pairs_from_buckets(buckets)
 
 
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",

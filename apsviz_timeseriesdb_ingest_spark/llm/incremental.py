@@ -1,0 +1,91 @@
+"""Incremental dedup: new batches against a PERSISTED MinHash-LSH index.
+
+Full-corpus dedup re-shingles everything on every run; a production
+pipeline receives increments (a crawl day, a new dump) and must answer
+"which of these are new?" in O(|increment|), not O(|corpus|). The index
+is the ``(doc, band, bucket)`` frame from
+:func:`llm.dedup.minhash_band_buckets` persisted through the Catalog
+(parquet here; the same rows land in Delta/Iceberg or a key-value store
+unchanged — the seam is ``Catalog``, as for the ingest ledger).
+
+Increment semantics (deterministic):
+
+1. Bucket ONLY the new docs (one shingling pass over the increment; the
+   bucket frame is persisted and reused for steps 2-4).
+2. A new doc colliding with the stored index on any (band, bucket) is a
+   duplicate of the corpus — rejected.
+3. Survivors are resolved among themselves (in-batch LSH pairs →
+   connected components → keep the smallest id).
+4. Accepted docs' bucket rows are APPENDED to the index.
+
+Rerunning an already-applied increment rejects everything (its docs are
+now in the index) — idempotent at the corpus level; batch-level
+exactly-once belongs to the caller's ledger, same as the harvest
+ingest's ``*_file_meta`` (reference: run/ingestObsTasks.py ledger flow).
+
+At 100 TB the join in step 2 is an equi-join of |increment|·bands rows
+against the index on tiny keys: partition the index table by a bucket
+prefix and the probe prunes to matching partitions; the corpus text is
+never re-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.catalog import Catalog
+from .dedup import (dedup_keep_representative, lsh_pairs_from_buckets,
+                    minhash_band_buckets)
+
+INDEX_SCHEMA = "doc long, band int, bucket string"
+
+
+def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
+                      table: str = "minhash_index", text_col: str = "text",
+                      id_col: str = "doc_id", **lsh_kw) -> int:
+    """(Re)build the persistent index from a full corpus. Returns the
+    number of indexed documents."""
+    buckets = minhash_band_buckets(docs, text_col=text_col, id_col=id_col,
+                                   **lsh_kw)
+    catalog.overwrite(buckets, table)
+    return catalog.read(table).select("doc").distinct().count()
+
+
+def dedup_increment(catalog: Catalog, new_docs: DataFrame, *,
+                    table: str = "minhash_index", text_col: str = "text",
+                    id_col: str = "doc_id", **lsh_kw) -> DataFrame:
+    """Dedup an increment against the stored index and extend the index
+    with the accepted docs. Returns the ACCEPTED subset of ``new_docs``
+    (all columns, lineage cut — safe to evaluate after the index grows).
+
+    Cost is O(|increment|): only new docs are shingled (once — the bucket
+    frame is persisted and reused for the corpus probe, the in-batch
+    pair join, and the index append); the corpus is touched only via the
+    (band, bucket) equi-join against the index table.
+    """
+    spark = new_docs.sparkSession
+    buckets = minhash_band_buckets(new_docs, text_col=text_col,
+                                   id_col=id_col, **lsh_kw).persist()
+    stored = (catalog.read(table) if catalog.exists(table)
+              else spark.createDataFrame([], INDEX_SCHEMA))
+    vs_corpus = (buckets.join(stored, ["band", "bucket"], "left_semi")
+                 .select("doc").distinct())
+    fresh_buckets = buckets.join(vs_corpus, "doc", "left_anti")
+    fresh = new_docs.join(
+        vs_corpus.withColumnRenamed("doc", id_col), id_col, "left_anti")
+
+    in_batch_pairs = lsh_pairs_from_buckets(fresh_buckets)
+    accepted = dedup_keep_representative(fresh, in_batch_pairs,
+                                         id_col=id_col)
+    # Cut lineage BEFORE mutating the index: the accepted plan reads the
+    # stored index (via the corpus probe); evaluating it after the append
+    # could see the increment's own freshly-appended rows and reject
+    # everything.
+    accepted = accepted.localCheckpoint(eager=True)
+
+    accepted_buckets = buckets.join(
+        accepted.select(F.col(id_col).alias("doc")), "doc", "left_semi")
+    catalog.append(accepted_buckets, table)
+    buckets.unpersist()
+    return accepted
