@@ -310,29 +310,9 @@ def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
     )
 
 
-def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
-    """Connected components over near-duplicate pairs: (node, cluster_id)
-    where cluster_id = the smallest doc id in the component.
-
-    Iterative min-label propagation (the standard big-graph CC — large-
-    star/small-star without the optimization): each round every node takes
-    the min label among itself and its neighbors; converges in
-    O(component diameter) rounds, which for dedup graphs (dense near-
-    clique components from LSH buckets) is typically 2-3. Every round is
-    one broadcast-free equi-join + one groupBy — no driver-side graph.
-    Lineage is cut per round (localCheckpoint) so plans stay flat; this is
-    an iterative algorithm, not an oracle-expressible query (the driver
-    records the weaker rows-only check via the pytest suite instead).
-
-    Input: a frame with ``doc_a``/``doc_b`` columns (any extra columns are
-    ignored), e.g. the output of :func:`minhash_lsh_pairs`,
-    :func:`simhash_neardup_pairs`, or embedding near-dup pairs.
-    """
-    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-             .unionByName(pairs.select(F.col("doc_b").alias("a"),
-                                       F.col("doc_a").alias("b")))
-             .distinct()
-             .localCheckpoint(eager=True))
+def _label_prop_components(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Min-label propagation CC: O(component diameter) rounds. ``edges``
+    is the symmetric (a, b) frame. Returns (node, label)."""
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
@@ -347,7 +327,101 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
                    .limit(1).count())
         labels = new
         if not changed:
+            return labels
+    raise RuntimeError(
+        f"label propagation did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters); raise max_iters or use "
+        "algorithm='star' (O(log n) rounds)")
+
+
+def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — public algorithm):
+    O(log n) rounds on ANY graph shape, vs O(diameter) for label
+    propagation. Each round is two (groupBy-min + equi-join) passes; no
+    step materializes a neighborhood list, so a hub node of any degree
+    is just a big group for the partial min-aggregate.
+
+    ``edges`` is the deduped (a, b) frame with a != b (direction
+    irrelevant). Returns (node, label) with label = component min; nodes
+    equal to their component min are included.
+    """
+    # Orient every edge child->parent-candidate; invariant maintained
+    # below: b < a on every kept edge (parent smaller than child).
+    work = (edges.select(F.greatest("a", "b").alias("a"),
+                         F.least("a", "b").alias("b"))
+            .distinct().localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        # Large-star: connect every neighbor v > u to m(u) = min(N(u), u).
+        sym = work.unionByName(work.select(F.col("b").alias("a"),
+                                           F.col("a").alias("b")))
+        mins = (sym.groupBy("a").agg(F.min("b").alias("mn"))
+                .select("a", F.least("a", "mn").alias("m")))
+        large = (sym.join(mins, "a")
+                 .filter(F.col("b") > F.col("a"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                 .filter(F.col("a") != F.col("b"))
+                 .distinct())
+        # Small-star: for each node u, link all its smaller neighbors
+        # (and u itself) to their min.
+        smins = (large.groupBy("a").agg(F.min("b").alias("m")))
+        small = (large.join(smins, "a")
+                 .select(F.col("b").alias("child"), F.col("m"))
+                 .unionByName(smins.select(F.col("a").alias("child"),
+                                           F.col("m")))
+                 .filter(F.col("child") != F.col("m"))
+                 .select(F.col("child").alias("a"), F.col("m").alias("b"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        converged = (small.exceptAll(work).limit(1).count() == 0
+                     and small.count() == work.count())
+        work = small
+        if converged:
             break
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {max_iters} rounds; needs about "
+            "log2(n)+1 — raise max_iters")
+    return (work.select(F.col("a").alias("node"), F.col("b").alias("label"))
+            .unionByName(work.select(F.col("b").alias("node"),
+                                     F.col("b").alias("label")))
+            .distinct())
+
+
+def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
+                     algorithm: str = "star") -> DataFrame:
+    """Connected components over near-duplicate pairs: (node, cluster_id)
+    where cluster_id = the smallest doc id in the component.
+
+    ``algorithm="star"`` (default): alternating large-star/small-star —
+    O(log n) rounds regardless of component diameter, the shape that
+    survives pathological chain components at corpus scale.
+    ``algorithm="label"``: min-label propagation — O(diameter) rounds,
+    marginally fewer shuffles per round; fine for the dense near-clique
+    components LSH buckets produce (typically 2-3 rounds).
+
+    Both are broadcast-free equi-join + groupBy rounds — no driver-side
+    graph; lineage is cut per round (localCheckpoint) so plans stay
+    flat. This is an iterative algorithm, not an oracle-expressible
+    query (the driver records the weaker rows-only check via the pytest
+    suite instead).
+
+    Input: a frame with ``doc_a``/``doc_b`` columns (any extra columns
+    are ignored), e.g. the output of :func:`minhash_lsh_pairs`,
+    :func:`simhash_neardup_pairs`, or embedding near-dup pairs.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                       F.col("doc_a").alias("b")))
+             .filter(F.col("a") != F.col("b"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    if algorithm == "star":
+        labels = _star_components(edges, max_iters)
+    elif algorithm == "label":
+        labels = _label_prop_components(edges, max_iters)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -146,3 +146,46 @@ def test_neardup_clusters_and_representative(spark):
         "doc_id long, text string")
     kept = sorted(r.doc_id for r in dedup_keep_representative(docs, pairs).collect())
     assert kept == [1, 5, 7, 8]
+
+
+def test_star_cc_matches_label_prop(spark):
+    """Large-star/small-star CC agrees with min-label propagation on
+    chain, clique, hub, and seeded-random graphs."""
+    import random
+
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import neardup_clusters
+
+    graphs = {
+        "chain": [(i, i + 1) for i in range(1, 40)],
+        "clique+chain": ([(a, b) for a in range(200, 208)
+                          for b in range(a + 1, 208)]
+                         + [(i, i + 1) for i in range(1, 20)]),
+        "hub-largest-id": [(1000, i) for i in range(1, 40)],
+    }
+    r = random.Random(7)
+    graphs["random"] = list({(r.randint(1, 60), r.randint(1, 61))
+                             for _ in range(120)} - {(i, i) for i in range(62)})
+    for name, edges in graphs.items():
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        star = sorted(map(tuple, neardup_clusters(df, algorithm="star").collect()))
+        lab = sorted(map(tuple, neardup_clusters(
+            df, algorithm="label", max_iters=100).collect()))
+        assert star == lab, name
+
+
+def test_star_cc_logarithmic_rounds(spark):
+    """A diameter-256 chain converges within ~log2(n)+1 star rounds —
+    the property label propagation (O(diameter) rounds) lacks."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 257)], "doc_a long, doc_b long")
+    got = neardup_clusters(chain, max_iters=12, algorithm="star").collect()
+    assert len(got) == 257 and all(r.cluster_id == 1 for r in got)
+    # Truncated iteration budgets fail loudly instead of mislabeling.
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, max_iters=3, algorithm="star")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(chain, max_iters=10, algorithm="label")
