@@ -47,6 +47,8 @@ from .similarity import (  # noqa: F401
     embedding_neardup_pairs,
     hyperplane_lsh_bucket,
     ivf_assign,
+    kmeans_assign,
+    train_kmeans,
 )
 from .multimodal import (  # noqa: F401
     extract_media_features,

@@ -236,3 +236,96 @@ def hyperplane_lsh_bucket(vectors: DataFrame, *, id_col: str = "vec_id",
     v = F.col(vec_col).cast("array<double>")
     return vectors.select(
         id_col, hyperplane_bucket_col(v, dim, planes).alias("bucket"))
+
+
+def _centroid_argmin_expr(centroids: list[list[float]], vec: Column,
+                          nrm: Column) -> Column:
+    """Nearest-centroid id (cosine, smallest-id tie-break) as ONE map-side
+    expression over driver-held centroids: array_max over struct(sim,
+    -cid). NaN sims (zero-norm vectors) are floored below any real
+    similarity so they fall deterministically to centroid 0."""
+    import math
+
+    entries = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        sim = _dot(vec, lit) / (nrm * F.lit(cn))
+        entries.append(F.struct(F.nanvl(sim, F.lit(-2.0)).alias("sim"),
+                                F.lit(-i).alias("negid")))
+    return (-F.array_max(F.array(*entries))["negid"]).cast("int")
+
+
+def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  ) -> DataFrame:
+    """(id, centroid_id) for TRAINED centroids (:func:`train_kmeans`).
+
+    Unlike :func:`ivf_assign` (broadcast join + shuffled argmin
+    aggregation — the right shape when k is large), this inlines the k
+    centroids as literals so assignment is a pure projection: zero
+    exchanges, pipelineable into the partitioned-layout write. Use for
+    the common IVF regime (k*dim up to a few tens of thousands — codegen
+    expression size is the bound, documented not guessed: 256x64 works;
+    far beyond that, fall back to ivf_assign with trained centroid rows).
+    """
+    v = (vectors.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("nrm", _norm(F.col("vec"))))
+    cid = _centroid_argmin_expr(centroids, F.col("vec"), F.col("nrm"))
+    return v.select(F.col("id").alias(id_col), cid.alias("centroid_id"))
+
+
+def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 8, iters: int = 10,
+                 tol: float = 1e-9) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd's) for IVF centroid training.
+
+    Deterministic init: the k smallest-id vectors. Each iteration is one
+    corpus pass: map-side nearest-centroid assignment (literal centroids,
+    no join, no shuffle) + ONE k-group aggregate of per-component sums
+    (map-side partials collapse each partition to k x dim numbers — the
+    only shuffled bytes). The driver holds just the k x dim centroid
+    matrix between iterations, never corpus rows; this is the standard
+    scalable Lloyd's shape (same as Spark MLlib's KMeans aggregation
+    strategy, re-expressed on DataFrames so it composes with
+    :func:`kmeans_assign` / the partitioned ANN layout).
+
+    Centroids are unit-normalized each round (spherical k-means — the
+    cosine-geometry variant); empty clusters keep their previous
+    centroid. Returns the k x dim list-of-lists (row i = centroid i).
+
+    Training commonly runs on a :meth:`DataFrame.sample` of the corpus;
+    pass the sample in — this function does not subsample.
+    """
+    v = (vectors.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("nrm", _norm(F.col("vec"))))
+    seed_rows = v.orderBy("id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
+    dim = len(seed_rows[0].vec)
+
+    def _unit(c: list[float]) -> list[float]:
+        import math
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    centroids = [_unit(list(r.vec)) for r in seed_rows]
+    for _ in range(iters):
+        cid = _centroid_argmin_expr(centroids, F.col("vec"), F.col("nrm"))
+        stats = (v.withColumn("cid", cid)
+                 .groupBy("cid")
+                 .agg(F.count("*").alias("n"),
+                      *[F.sum(F.col("vec")[j]).alias(f"s{j}")
+                        for j in range(dim)])
+                 .collect())
+        new = [list(c) for c in centroids]
+        for row in stats:
+            new[row.cid] = _unit([row[f"s{j}"] / row.n for j in range(dim)])
+        shift = max(abs(a - b) for nc, oc in zip(new, centroids)
+                    for a, b in zip(nc, oc))
+        centroids = new
+        if shift <= tol:
+            break
+    return centroids
