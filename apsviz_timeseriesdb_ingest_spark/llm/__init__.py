@@ -47,7 +47,9 @@ from .similarity import (  # noqa: F401
     embedding_neardup_pairs,
     hyperplane_lsh_bucket,
     ivf_assign,
+    ivf_probe,
     kmeans_assign,
+    probe_cells_for,
     train_kmeans,
 )
 from .multimodal import (  # noqa: F401

@@ -329,3 +329,77 @@ def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
         if shift <= tol:
             break
     return centroids
+
+
+def probe_cells_for(queries: list[tuple[int, list[float]]],
+                    centroids: list[list[float]], *, nprobe: int = 2,
+                    ) -> dict[int, list[int]]:
+    """nprobe nearest centroid ids per query (cosine, id tie-break).
+
+    Driver-side on purpose: the query batch and the centroid matrix are
+    both tiny; the output drives the PARTITION FILTER on the corpus, so
+    it must be a literal list at plan time (a join would rely on dynamic
+    partition pruning kicking in; a literal isin() is guaranteed)."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cents = [unit(c) for c in centroids]
+    out = {}
+    for qid, q in queries:
+        qu = unit([float(x) for x in q])
+        sims = sorted(((sum(a * b for a, b in zip(qu, c)), -i)
+                       for i, c in enumerate(cents)), reverse=True)
+        out[qid] = [-negid for _, negid in sims[:nprobe]]
+    return out
+
+
+def ivf_probe(corpus: DataFrame, queries: list[tuple[int, list[float]]],
+              centroids: list[list[float]], *, nprobe: int = 2,
+              top_k: int = 3, id_col: str = "vec_id",
+              vec_col: str = "embedding", cell_col: str = "centroid_id",
+              ) -> DataFrame:
+    """Top-k cosine neighbors per query, reading ONLY nprobe IVF cells.
+
+    ``corpus`` is the partitioned ANN layout (written via
+    :func:`kmeans_assign`/:func:`ann_assign` + ``Catalog.overwrite(
+    partition_by=cell_col)``). The probed cells become a literal
+    ``isin`` partition filter — at 100 TB the scan touches
+    nprobe/k of the corpus files, which is the entire point of the
+    layout. Per-query candidate scoring is a broadcast join (query batch
+    is small by contract); ranking windows partition by query id, so no
+    global sort. Returns (query_id, neighbor_id, rank).
+
+    Exact within the probed cells: equals :func:`brute_force_topk`
+    restricted to those cells; recall vs the full scan is the standard
+    IVF recall/nprobe trade (measured, not assumed — see
+    ``test_ivf_probe_recall``).
+    """
+    from pyspark.sql import Window
+
+    cells = probe_cells_for(queries, centroids, nprobe=nprobe)
+    all_cells = sorted({c for cs in cells.values() for c in cs})
+    spark = corpus.sparkSession
+    qcells = spark.createDataFrame(
+        [(qid, vec, cs) for (qid, vec), cs in
+         zip(queries, (cells[q] for q, _ in queries))],
+        f"query_id long, qvec array<double>, cells array<int>")
+    qcells = (qcells.select("query_id", "qvec",
+                            F.explode("cells").alias(cell_col))
+              .withColumn("qnrm", _norm(F.col("qvec"))))
+    cand = (corpus.filter(F.col(cell_col).isin(all_cells))
+            .select(F.col(id_col).alias("nid"),
+                    F.col(vec_col).cast("array<double>").alias("nvec"),
+                    cell_col)
+            .withColumn("nnrm", _norm(F.col("nvec"))))
+    scored = (cand.join(F.broadcast(qcells), cell_col)
+              .filter(F.col("nid") != F.col("query_id"))
+              .withColumn("sim", _dot(F.col("qvec"), F.col("nvec"))
+                          / (F.col("qnrm") * F.col("nnrm"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", F.col("nid").alias("neighbor_id"), "rank"))

@@ -52,3 +52,55 @@ def test_ann_probe_reads_fewer_files(spark, sf_small, tmp_path):
         return df.select(F.input_file_name()).distinct().count()
 
     assert n_files(probed) < n_files(full)
+
+
+def test_ivf_probe_exact_within_cells_and_recall(spark, sf_small, tmp_path):
+    """Full trained-IVF flow: train_kmeans -> kmeans_assign -> partitioned
+    layout -> ivf_probe. The probe must (a) read only the probed
+    partitions, (b) be EXACT within them, and (c) clear a measured
+    recall floor vs the full brute-force scan."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        brute_force_topk, ivf_probe, kmeans_assign, probe_cells_for,
+        train_kmeans)
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    cents = train_kmeans(vecs, k=8, iters=4)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    layout = vecs.join(kmeans_assign(vecs, cents), "vec_id")
+    catalog.overwrite(layout, "ann_corpus", partition_by=["centroid_id"])
+    corpus = catalog.read("ann_corpus")
+
+    qrows = [(r.vec_id, [float(x) for x in r.embedding])
+             for r in vecs.orderBy("vec_id").limit(10).collect()]
+    got = ivf_probe(corpus, qrows, cents, nprobe=3, top_k=5)
+
+    # (a) partition pruning on the probed cells
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # (b) exact within the probed cells: brute force over the same cells
+    cell_map = probe_cells_for(qrows, cents, nprobe=3)
+    got_rows = {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()}
+    for qid, _ in qrows:
+        # probed cells minus the query row, plus EXACTLY ONE query row
+        # (so brute_force_topk can extract the query vector without the
+        # row ever being double-counted as its own neighbor source)
+        sub = (corpus.filter(F.col("centroid_id").isin(cell_map[qid]))
+               .filter(F.col("vec_id") != qid)
+               .unionByName(layout.filter(F.col("vec_id") == qid)))
+        bf = brute_force_topk(sub, query_ids=[qid], top_k=5)
+        want = {(r.query_id, r.neighbor_id, r.rank) for r in bf.collect()
+                if r.query_id == qid}
+        have = {t for t in got_rows if t[0] == qid}
+        assert have == want, qid
+
+    # (c) recall@5 vs the full scan — deterministic setup, measured floor
+    full = brute_force_topk(vecs, query_ids=[q for q, _ in qrows], top_k=5)
+    truth = {}
+    for r in full.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for q, n, _ in got_rows:
+        approx.setdefault(q, set()).add(n)
+    recall = sum(len(truth[q] & approx.get(q, set())) for q in truth) / (5 * len(truth))
+    assert recall >= 0.5, recall
