@@ -52,16 +52,21 @@ def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
     return catalog.read(table).select("doc").distinct().count()
 
 
-def dedup_increment(catalog: Catalog, new_docs: DataFrame, *,
-                    table: str = "minhash_index", text_col: str = "text",
-                    id_col: str = "doc_id", **lsh_kw) -> DataFrame:
-    """Dedup an increment against the stored index and extend the index
-    with the accepted docs. Returns the ACCEPTED subset of ``new_docs``
-    (all columns, lineage cut — safe to evaluate after the index grows).
+def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
+                   table: str = "minhash_index", text_col: str = "text",
+                   id_col: str = "doc_id", **lsh_kw,
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Resolve an increment WITHOUT mutating the index. Returns
+    ``(accepted, accepted_buckets)`` — the accepted subset of
+    ``new_docs`` (all columns) and its index rows — both with lineage
+    cut, so the caller may write them in whatever order its consistency
+    story needs (see :func:`dedup_increment` for batch,
+    ``streaming.corpus_stream.run_incremental_dedup_stream`` for the
+    replay-safe streaming order).
 
     Cost is O(|increment|): only new docs are shingled (once — the bucket
     frame is persisted and reused for the corpus probe, the in-batch
-    pair join, and the index append); the corpus is touched only via the
+    pair join, and the index rows); the corpus is touched only via the
     (band, bucket) equi-join against the index table.
     """
     spark = new_docs.sparkSession
@@ -78,14 +83,27 @@ def dedup_increment(catalog: Catalog, new_docs: DataFrame, *,
     in_batch_pairs = lsh_pairs_from_buckets(fresh_buckets)
     accepted = dedup_keep_representative(fresh, in_batch_pairs,
                                          id_col=id_col)
-    # Cut lineage BEFORE mutating the index: the accepted plan reads the
-    # stored index (via the corpus probe); evaluating it after the append
-    # could see the increment's own freshly-appended rows and reject
-    # everything.
+    # Cut lineage BEFORE the caller mutates the index: the accepted plan
+    # reads the stored index (via the corpus probe); evaluating it after
+    # an append could see the increment's own freshly-appended rows and
+    # reject everything.
     accepted = accepted.localCheckpoint(eager=True)
-
-    accepted_buckets = buckets.join(
+    accepted_buckets = (buckets.join(
         accepted.select(F.col(id_col).alias("doc")), "doc", "left_semi")
-    catalog.append(accepted_buckets, table)
+        .localCheckpoint(eager=True))
     buckets.unpersist()
+    return accepted, accepted_buckets
+
+
+def dedup_increment(catalog: Catalog, new_docs: DataFrame, *,
+                    table: str = "minhash_index", text_col: str = "text",
+                    id_col: str = "doc_id", **lsh_kw) -> DataFrame:
+    """Dedup an increment against the stored index and extend the index
+    with the accepted docs. Returns the ACCEPTED subset of ``new_docs``
+    (all columns, lineage cut — safe to evaluate after the index grows).
+    """
+    accepted, accepted_buckets = plan_increment(
+        catalog, new_docs, table=table, text_col=text_col, id_col=id_col,
+        **lsh_kw)
+    catalog.append(accepted_buckets, table)
     return accepted

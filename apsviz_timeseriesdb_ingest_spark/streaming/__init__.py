@@ -3,5 +3,6 @@ from .corpus_stream import (  # noqa: F401
     benchmark_shingles,
     contamination_flag,
     run_corpus_stream,
+    run_incremental_dedup_stream,
     stream_prepare_corpus,
 )

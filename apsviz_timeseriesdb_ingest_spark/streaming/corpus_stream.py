@@ -132,3 +132,53 @@ def run_corpus_stream(spark, input_dir: str, output_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
+                                 checkpoint_dir: str,
+                                 corpus_table: str = "stream_corpus",
+                                 index_table: str = "minhash_index",
+                                 schema: str = "doc_id long, text string",
+                                 id_col: str = "doc_id", **lsh_kw):
+    """Continuous near-dedup ingest: each micro-batch probes the
+    PERSISTED MinHash-LSH index (``llm.incremental``), so cross-batch
+    near-duplicate state lives in a table, not in stream state — the
+    unbounded-state objection to in-stream near-dedup (module docstring)
+    doesn't apply: the stream holds zero dedup state and the index grows
+    with the corpus, not with time.
+
+    Replay safety (foreachBatch is at-least-once): writes are ordered
+    corpus-first, and the corpus append is made idempotent by an
+    anti-join against the already-stored ids. Crash windows:
+
+    - after corpus append, before index append → replay recomputes the
+      same accepted set (index unchanged), the anti-join drops the rows
+      already stored, the index append completes: converged.
+    - after index append (batch fully applied) → replay finds every doc
+      in the index, accepts nothing, appends nothing: converged.
+
+    This is the plain-parquet single-writer story (same seam as
+    ``Catalog.merge_keep_latest``); a transactional table format would
+    collapse the two appends into one commit.
+
+    Returns the StreamingQuery (caller drives it).
+    """
+    from ..llm.incremental import plan_increment
+
+    def _apply(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        accepted, accepted_buckets = plan_increment(
+            catalog, batch_df, table=index_table, id_col=id_col, **lsh_kw)
+        if catalog.exists(corpus_table):
+            stored_ids = catalog.read(corpus_table).select(id_col)
+            accepted = accepted.join(stored_ids, id_col, "left_anti")
+        catalog.append(accepted, corpus_table)
+        catalog.append(accepted_buckets, index_table)
+
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    return (docs.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -82,3 +82,41 @@ def test_contamination_literal_matches_batch_decontaminate(spark):
     docs = spark.createDataFrame([(1, EN), (8, CONTAM)], SCHEMA)
     out = stream_prepare_corpus(docs, _bench_shingles(spark))
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Cross-batch NEAR-dedup via the persisted LSH index: stream state is
+    zero; duplicate knowledge lives in the index table."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_dedup_stream)
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    LSH = dict(k=2, num_hashes=8, bands=4)
+
+    _write(spark, src, [(1, EN), (2, EN2)])
+    q = run_incremental_dedup_stream(spark, src, catalog,
+                                     checkpoint_dir=ckpt, **LSH)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in catalog.read("stream_corpus").collect()} == {1, 2}
+
+    # batch 2: near-dup of doc 1 (rejected via INDEX, not stream state),
+    # an in-batch near-dup pair (13/14), and a new doc
+    _write(spark, src, [(12, EN + " again"), (13, FR), (14, FR + " oui"),
+                        (15, BENCH)])
+    q2 = run_incremental_dedup_stream(spark, src, catalog,
+                                      checkpoint_dir=ckpt, **LSH)
+    q2.awaitTermination(120)
+    got = {r.doc_id for r in catalog.read("stream_corpus").collect()}
+    assert got == {1, 2, 13, 15}
+
+    # replay the WHOLE input with a fresh checkpoint: the index rejects
+    # everything — corpus unchanged (corpus-level idempotency)
+    q3 = run_incremental_dedup_stream(spark, src, catalog,
+                                      checkpoint_dir=str(tmp_path / "ckpt2"),
+                                      **LSH)
+    q3.awaitTermination(120)
+    rows = catalog.read("stream_corpus").collect()
+    assert {r.doc_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4
