@@ -40,15 +40,59 @@ from .dedup import (dedup_keep_representative, lsh_pairs_from_buckets,
 
 INDEX_SCHEMA = "doc long, band int, bucket string"
 
+#: the LSH parameters that define the index geometry — probing with ANY
+#: different value silently matches nothing (different shingle size or
+#: band layout → disjoint buckets) and would accept every duplicate
+LSH_DEFAULTS = {"k": 3, "num_hashes": 16, "bands": 4, "fast": False}
+_META_SCHEMA = "k int, num_hashes int, bands int, fast boolean"
+
+
+def _meta_table(table: str) -> str:
+    return f"{table}_meta"
+
+
+def check_or_record_params(catalog: Catalog, spark, table: str,
+                           lsh_kw: dict) -> None:
+    """Pin the index's LSH geometry in a one-row sidecar table at first
+    use; on every later probe assert the caller's params match. Config
+    drift between a long-lived index and its (possibly redeployed)
+    streaming caller otherwise fails SILENTLY — wrong-k probes collide
+    with nothing and accept everything (ADVICE r2)."""
+    unknown = set(lsh_kw) - set(LSH_DEFAULTS)
+    if unknown:
+        raise TypeError(f"unknown LSH params: {sorted(unknown)}")
+    params = {**LSH_DEFAULTS, **lsh_kw}
+    meta = _meta_table(table)
+    if catalog.exists(meta):
+        row = catalog.read(meta).collect()[0]
+        stored = {key: row[key] for key in LSH_DEFAULTS}
+        if stored != params:
+            raise ValueError(
+                f"LSH params {params} do not match index '{table}' built "
+                f"with {stored}; probing with different geometry matches "
+                "nothing — rebuild the index or fix the caller's config")
+    else:
+        catalog.overwrite(
+            spark.createDataFrame(
+                [(params["k"], params["num_hashes"], params["bands"],
+                  params["fast"])], _META_SCHEMA), meta)
+
 
 def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
                       table: str = "minhash_index", text_col: str = "text",
                       id_col: str = "doc_id", **lsh_kw) -> int:
     """(Re)build the persistent index from a full corpus. Returns the
-    number of indexed documents."""
+    number of indexed documents. The LSH geometry is pinned in the
+    ``{table}_meta`` sidecar (see :func:`check_or_record_params`)."""
     buckets = minhash_band_buckets(docs, text_col=text_col, id_col=id_col,
                                    **lsh_kw)
     catalog.overwrite(buckets, table)
+    # overwrite (not check): a rebuild REDEFINES the geometry
+    params = {**LSH_DEFAULTS, **lsh_kw}
+    catalog.overwrite(
+        docs.sparkSession.createDataFrame(
+            [(params["k"], params["num_hashes"], params["bands"],
+              params["fast"])], _META_SCHEMA), _meta_table(table))
     return catalog.read(table).select("doc").distinct().count()
 
 
@@ -56,7 +100,9 @@ def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
                    table: str = "minhash_index", text_col: str = "text",
                    id_col: str = "doc_id", **lsh_kw,
                    ) -> tuple[DataFrame, DataFrame]:
-    """Resolve an increment WITHOUT mutating the index. Returns
+    """Resolve an increment WITHOUT mutating the index (the one-row
+    ``{table}_meta`` params sidecar is recorded on first use and
+    asserted after — see :func:`check_or_record_params`). Returns
     ``(accepted, accepted_buckets)`` — the accepted subset of
     ``new_docs`` (all columns) and its index rows — both with lineage
     cut, so the caller may write them in whatever order its consistency
@@ -70,6 +116,7 @@ def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
     (band, bucket) equi-join against the index table.
     """
     spark = new_docs.sparkSession
+    check_or_record_params(catalog, spark, table, lsh_kw)
     buckets = minhash_band_buckets(new_docs, text_col=text_col,
                                    id_col=id_col, **lsh_kw).persist()
     stored = (catalog.read(table) if catalog.exists(table)

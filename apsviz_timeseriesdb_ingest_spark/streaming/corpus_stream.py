@@ -156,10 +156,19 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
       already stored, the index append completes: converged.
     - after index append (batch fully applied) → replay finds every doc
       in the index, accepts nothing, appends nothing: converged.
+    - MID index append (a crash inside the parquet job commit that
+      leaves a PARTIAL set of bucket rows for the batch): replay sees
+      the accepted docs collide with their own partial rows, rejects
+      them, and the missing bands are never indexed — those docs keep
+      reduced recall as dedup anchors permanently. Parquet job commits
+      make this window one rename, but it is not zero; a transactional
+      table format (Delta/Iceberg) closes it by making the index append
+      atomic, which is the deployment answer.
 
     This is the plain-parquet single-writer story (same seam as
     ``Catalog.merge_keep_latest``); a transactional table format would
-    collapse the two appends into one commit.
+    collapse the two appends into one commit and close the
+    partial-index window above.
 
     Returns the StreamingQuery (caller drives it).
     """
@@ -172,7 +181,12 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
             catalog, batch_df, table=index_table, id_col=id_col, **lsh_kw)
         if catalog.exists(corpus_table):
             stored_ids = catalog.read(corpus_table).select(id_col)
-            accepted = accepted.join(stored_ids, id_col, "left_anti")
+            # materialize BEFORE the append: the anti-join lazily reads
+            # the same parquet path the append writes to (safe today only
+            # because append adds files; any materializing merge strategy
+            # would read its own write)
+            accepted = accepted.join(stored_ids, id_col, "left_anti"
+                                     ).localCheckpoint(eager=True)
         catalog.append(accepted, corpus_table)
         catalog.append(accepted_buckets, index_table)
 

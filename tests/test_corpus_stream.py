@@ -43,12 +43,12 @@ def test_stream_gates_and_cross_batch_dedup(spark, tmp_path):
     _write(spark, src, [(1, EN), (3, SHORT), (5, FR), (8, CONTAM)])
     q = run_corpus_stream(spark, src, out, ckpt,
                           bench_shingles=_bench_shingles(spark))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     # batch 2: a new doc, an exact dup of doc 1, an in-batch dup pair
     _write(spark, src, [(2, EN2), (9, EN), (10, EN2)])
     q2 = run_corpus_stream(spark, src, out, ckpt,
                            bench_shingles=_bench_shingles(spark))
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     rows = {r.doc_id for r in spark.read.parquet(out).collect()}
     # 1 kept; 3 too short, 5 wrong language, 8 contaminated,
     # 9 dup of 1 (cross-batch state), 2 kept, 10 dup of 2 (in-batch)
@@ -61,10 +61,10 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     _write(spark, src, [(1, EN)])
     q = run_corpus_stream(spark, src, out, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     # restart with no new input: no duplicate output rows
     q2 = run_corpus_stream(spark, src, out, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0].doc_id == 1
 
@@ -99,7 +99,7 @@ def test_incremental_dedup_stream(spark, tmp_path):
     _write(spark, src, [(1, EN), (2, EN2)])
     q = run_incremental_dedup_stream(spark, src, catalog,
                                      checkpoint_dir=ckpt, **LSH)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     assert {r.doc_id for r in catalog.read("stream_corpus").collect()} == {1, 2}
 
     # batch 2: near-dup of doc 1 (rejected via INDEX, not stream state),
@@ -108,7 +108,7 @@ def test_incremental_dedup_stream(spark, tmp_path):
                         (15, BENCH)])
     q2 = run_incremental_dedup_stream(spark, src, catalog,
                                       checkpoint_dir=ckpt, **LSH)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     got = {r.doc_id for r in catalog.read("stream_corpus").collect()}
     assert got == {1, 2, 13, 15}
 
@@ -117,6 +117,6 @@ def test_incremental_dedup_stream(spark, tmp_path):
     q3 = run_incremental_dedup_stream(spark, src, catalog,
                                       checkpoint_dir=str(tmp_path / "ckpt2"),
                                       **LSH)
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(120)
     rows = catalog.read("stream_corpus").collect()
     assert {r.doc_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4

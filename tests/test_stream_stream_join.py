@@ -46,7 +46,7 @@ def test_correlate_streaming_cross_batch(spark, tmp_path):
              .writeStream.format("parquet")
              .option("path", out_dir).option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)
 
     run_once()
     # second micro-batch: a purchase matching the FIRST batch's click —
