@@ -98,8 +98,8 @@ def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
 
 def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
                    table: str = "minhash_index", text_col: str = "text",
-                   id_col: str = "doc_id", **lsh_kw,
-                   ) -> tuple[DataFrame, DataFrame]:
+                   id_col: str = "doc_id", max_bucket_size: int | None = None,
+                   **lsh_kw) -> tuple[DataFrame, DataFrame]:
     """Resolve an increment WITHOUT mutating the index (the one-row
     ``{table}_meta`` params sidecar is recorded on first use and
     asserted after — see :func:`check_or_record_params`). Returns
@@ -127,7 +127,8 @@ def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
     fresh = new_docs.join(
         vs_corpus.withColumnRenamed("doc", id_col), id_col, "left_anti")
 
-    in_batch_pairs = lsh_pairs_from_buckets(fresh_buckets)
+    in_batch_pairs = lsh_pairs_from_buckets(fresh_buckets,
+                                            max_bucket_size=max_bucket_size)
     accepted = dedup_keep_representative(fresh, in_batch_pairs,
                                          id_col=id_col)
     # Cut lineage BEFORE the caller mutates the index: the accepted plan

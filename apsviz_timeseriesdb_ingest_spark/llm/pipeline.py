@@ -103,6 +103,7 @@ def prepare_training_corpus(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
     train_pct: int = 95,
     fast: bool = False,
     cache: bool = True,
@@ -121,6 +122,10 @@ def prepare_training_corpus(
     ``benchmark`` is the eval-set frame to decontaminate against (same
     text/id columns); None skips that stage. ``fast=True`` switches the
     dedup hashing to xxhash64 (production mode, no oracle parity).
+    ``max_bucket_size`` caps per-LSH-bucket pair generation against
+    near-identical spam clusters (exact dedup runs first, so oversized
+    buckets are spam, not legitimate dups — see
+    ``dedup.lsh_pairs_from_buckets`` for the exactness caveat).
 
     ``cache`` persists the frames the DAG reuses (the tagged signal
     frame, the three loser sets): the audit references each dedup stage
@@ -166,9 +171,13 @@ def prepare_training_corpus(
 
     # near-dedup over exact survivors: LSH band buckets -> connected
     # components -> keep the smallest id per cluster.
+    # exact dedup already removed identical texts above, so buckets past
+    # max_bucket_size here are near-identical spam clusters — the cap
+    # bounds their pair explosion (see lsh_pairs_from_buckets)
     pairs = minhash_lsh_pairs(exact_kept, text_col="text", id_col=id_col,
                               k=shingle_k, num_hashes=num_hashes,
-                              bands=bands, fast=fast)
+                              bands=bands, fast=fast,
+                              max_bucket_size=max_bucket_size)
     near_losers = _persist(
         neardup_clusters(pairs)
         .filter(F.col("cluster_id") != F.col("doc_id"))

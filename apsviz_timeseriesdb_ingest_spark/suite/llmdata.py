@@ -430,7 +430,7 @@ def llm_minhash_lsh_pairs(spark, sf_dir):
     WITH tok AS (SELECT doc_id AS doc, unnest({SQL_TOKS}) AS token FROM documents),
     cnt AS (SELECT doc, token, count(*) AS cnt FROM tok GROUP BY doc, token),
     h AS (SELECT doc, cnt, {_md5int_sql("token")} AS h FROM cnt),
-    bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+    bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
     contrib AS (SELECT doc, bit,
                 sum(CASE WHEN (h >> bit) % 2 = 1 THEN cnt ELSE -cnt END) AS s
                 FROM h, bits GROUP BY doc, bit)
@@ -440,8 +440,9 @@ def llm_minhash_lsh_pairs(spark, sf_dir):
     FROM contrib GROUP BY doc
 """)
 def llm_simhash(spark, sf_dir):
-    """32-bit SimHash signatures from unigram counts (integer shifts,
-    relational formulation)."""
+    """60-bit SimHash signatures from unigram counts (integer shifts,
+    relational formulation; width = the portable hash's full entropy,
+    sign-safe BIGINT in both engines)."""
     return simhash(tables(spark, sf_dir, "documents"))
 
 
@@ -451,7 +452,7 @@ def llm_simhash(spark, sf_dir):
     WITH tok AS (SELECT doc_id AS doc, unnest({SQL_TOKS}) AS token FROM documents),
     cnt AS (SELECT doc, token, count(*) AS cnt FROM tok GROUP BY doc, token),
     h AS (SELECT doc, cnt, {_md5int_sql("token")} AS h FROM cnt),
-    bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+    bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
     contrib AS (SELECT doc, bit,
                 sum(CASE WHEN (h >> bit) % 2 = 1 THEN cnt ELSE -cnt END) AS s
                 FROM h, bits GROUP BY doc, bit),
@@ -463,12 +464,14 @@ def llm_simhash(spark, sf_dir):
     WHERE bit_count(xor(a.sh, b.sh)) <= 4
 """)
 def llm_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs: hamming distance <= 4 on the 32-bit
-    signature via pigeonhole block banding (5 blocks → a
-    (block_idx, block_value) equi-join; no O(n^2) nested-loop stage).
-    Results are EXACT — the oracle is the plain pairwise formulation."""
+    """SimHash near-dup pairs: hamming distance <= 4 on the 60-bit
+    signature via pigeonhole block banding (5 blocks of 12 bits → a
+    (block_idx, block_value) equi-join with ~n/4096 docs per bucket; no
+    O(n^2) nested-loop stage — see the selectivity math in
+    ``llm.dedup.simhash_neardup_pairs``). Results are EXACT — the oracle
+    is the plain pairwise formulation."""
     return simhash_neardup_pairs(tables(spark, sf_dir, "documents"),
-                                 bits=32, max_hamming=4)
+                                 bits=60, max_hamming=4)
 
 
 _QUERY_IDS = list(range(10))

@@ -189,3 +189,34 @@ def test_star_cc_logarithmic_rounds(spark):
         neardup_clusters(chain, max_iters=3, algorithm="star")
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_clusters(chain, max_iters=10, algorithm="label")
+
+
+def test_lsh_hot_bucket_cap_bounds_spam_explosion(spark):
+    """A planted spam cluster (near-identical, not byte-identical, so
+    exact dedup would NOT remove it) must not emit a quadratic pair set
+    when max_bucket_size is set, while small genuine near-dup clusters
+    keep their pairs."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn behind the quiet green hill")
+    spam = [(i, f"{base} variant {i}") for i in range(40)]
+    other = ("completely different text about tide gauges and water "
+             "levels measured hourly at coastal stations in the bay")
+    pair = [(100, other), (101, other + " addendum")]
+    lone = [(200, "unrelated short text about nothing in particular at "
+                  "all for anyone anywhere ever")]
+    docs = spark.createDataFrame(spam + pair + lone, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs).collect()
+    capped = minhash_lsh_pairs(docs, max_bucket_size=10).collect()
+
+    spam_ids = set(range(40))
+    uncapped_spam = [r for r in uncapped
+                     if r.doc_a in spam_ids and r.doc_b in spam_ids]
+    capped_spam = [r for r in capped
+                   if r.doc_a in spam_ids and r.doc_b in spam_ids]
+    # uncapped: the 40-doc cluster explodes toward 40*39/2 pairs
+    assert len(uncapped_spam) > 300
+    # capped: every bucket holding >10 docs is dropped
+    assert len(capped_spam) < len(uncapped_spam) // 4
+    # the 2-doc genuine cluster is far below the cap and survives
+    assert any(r.doc_a == 100 and r.doc_b == 101 for r in capped)

@@ -59,6 +59,19 @@ def test_simhash_neardup_no_quadratic_join(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_neardup_block_selectivity(spark, sf_small):
+    # scale guard (r2 verdict): every pigeonhole block must be >= 12
+    # bits wide, i.e. every `shiftright(sig, lo) % 2^width` modulus in
+    # the plan is >= 4096 — the 32-bit registration had 6-7-bit blocks
+    # (moduli 64/128), whose buckets go hot at corpus scale
+    import re
+
+    plan = _plan(QUERIES["llm_simhash_neardup"](spark, sf_small))
+    moduli = [int(m) for m in re.findall(r"% (\d+)\)", plan)]
+    assert moduli, "expected block moduli in the plan"
+    assert min(moduli) >= 4096, f"block modulus too small: {sorted(set(moduli))}"
+
+
 def test_embedding_neardup_bucketed_no_driver_collect(spark, sf_small):
     # LSH-bucketed path: equi-join on the hyperplane bucket, all
     # JVM-side expressions — no toPandas() collect (ExistingRDD) and no
