@@ -60,14 +60,25 @@ def brute_force_topk(vectors: DataFrame, *, id_col: str = "vec_id",
 def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
                             vec_col: str = "embedding", threshold: float = 0.9,
                             dim: int | None = None, planes: int = 0,
-                            method: str = "auto") -> DataFrame:
+                            bands: int = 1, method: str = "auto",
+                            max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    With ``planes > 0`` the self-join is restricted to LSH-bucket
-    equality first (the scale path: near-identical vectors share all sign
-    bits with high probability, so candidate generation is an equi-join);
+    With ``planes > 0`` candidates come from banded multi-table
+    sign-random-projection LSH: ``bands`` independent tables of
+    ``planes`` hyperplanes each, candidate pairs = union of per-table
+    bucket collisions, then an exact cosine verify on the candidates
+    only. More planes per band sharpen selectivity (2^planes buckets per
+    table); more bands recover recall (a true pair only needs to collide
+    in ONE band) — the standard b x r trade, the same shape as MinHash
+    band-buckets in ``llm.dedup``. A single 4-plane table (r2's
+    registered form) has only 16 buckets, dividing all-pairs work by
+    ~16 at ANY corpus size; 12 bands x 8 planes is measured on the
+    testdata to give ~2x the recall at FEWER candidates (see
+    ``tests/test_llm_ops.py::test_banded_lsh_beats_single_table``).
     ``planes = 0`` is the exact quadratic baseline for small corpora /
-    verification.
+    verification. ``max_bucket_size`` caps per-bucket candidate
+    explosion exactly as in ``llm.dedup.lsh_pairs_from_buckets``.
 
     ``method``: 'expr' folds dot products in codegen (bit-reproducible vs
     a SQL oracle); 'blas' broadcasts the corpus matrix and runs a blocked
@@ -79,27 +90,47 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     if method == "blas" and not planes:
         return _neardup_blas(vectors, id_col=id_col, vec_col=vec_col,
                              threshold=threshold)
-    # norms precomputed once per vector: the O(n^2) stage folds only the
-    # dot product (3x cheaper than recomputing both norms per pair)
+    # norms precomputed once per vector: pair stages fold only the dot
+    # product (3x cheaper than recomputing both norms per pair)
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("vec"))
     v = v.withColumn("nrm", _norm(F.col("vec")))
-    if planes:
-        assert dim is not None
-        # bucket is a pure map-side expression on the vector itself — no
-        # join back to a separately-bucketed frame
-        v = v.withColumn("bucket", hyperplane_bucket_col(F.col("vec"), dim, planes))
-        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-    else:
-        cond = F.col("a.id") < F.col("b.id")
     sim = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
-    pairs = (
-        v.alias("a").join(v.alias("b"), cond)
-        .withColumn("sim", F.round(sim, 6))
+    if not planes:
+        return (
+            v.alias("a").join(v.alias("b"), F.col("a.id") < F.col("b.id"))
+            .withColumn("sim", F.round(sim, 6))
+            .filter(F.col("sim") >= threshold)
+            .select(F.col("a.id").alias("vec_id_a"),
+                    F.col("b.id").alias("vec_id_b"), "sim")
+        )
+    assert dim is not None
+    from .dedup import lsh_pairs_from_buckets
+
+    # per-band buckets are pure map-side expressions over the vector;
+    # band t uses hyperplanes [t*planes, (t+1)*planes) of one shared
+    # deterministic family, so Spark and any oracle agree literally
+    coeffs = hyperplane_coefficients(dim, bands * planes)
+    bucket_cols = [
+        _bucket_from_rows(F.col("vec"),
+                          coeffs[t * planes:(t + 1) * planes]).alias(f"bucket_{t}")
+        for t in range(bands)]
+    stack = ", ".join(f"{t}, bucket_{t}" for t in range(bands))
+    buckets = (v.select("id", *bucket_cols)
+               .selectExpr("id AS doc", f"stack({bands}, {stack}) AS (band, bucket)"))
+    cand = lsh_pairs_from_buckets(buckets, max_bucket_size=max_bucket_size)
+    return (
+        cand
+        .join(v.select(F.col("id").alias("doc_a"), F.col("vec").alias("avec"),
+                       F.col("nrm").alias("anrm")), "doc_a")
+        .join(v.select(F.col("id").alias("doc_b"), F.col("vec").alias("bvec"),
+                       F.col("nrm").alias("bnrm")), "doc_b")
+        .withColumn("sim", F.round(
+            _dot(F.col("avec"), F.col("bvec")) / (F.col("anrm") * F.col("bnrm")), 6))
         .filter(F.col("sim") >= threshold)
-        .select(F.col("a.id").alias("vec_id_a"), F.col("b.id").alias("vec_id_b"), "sim")
+        .select(F.col("doc_a").alias("vec_id_a"),
+                F.col("doc_b").alias("vec_id_b"), "sim")
     )
-    return pairs
 
 
 def _neardup_blas(vectors: DataFrame, *, id_col: str, vec_col: str,
@@ -213,16 +244,21 @@ def hyperplane_coefficients(dim: int, planes: int = 8) -> list[list[float]]:
     return [[coeff(p, i) for i in range(dim)] for p in range(planes)]
 
 
-def hyperplane_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
-    """Sign-random-projection bucket expression: bit p = sign(vec . plane_p).
-    A pure map-side codegen expression over the vector column."""
-    coeffs = hyperplane_coefficients(dim, planes)
+def _bucket_from_rows(vec: Column, rows: list[list[float]]) -> Column:
+    """Sign bucket over EXPLICIT hyperplane rows: bit p = sign(vec .
+    rows[p]). Shared by the single-table and banded paths."""
     bucket = F.lit(0).cast("long")
-    for p, row in enumerate(coeffs):
+    for p, row in enumerate(rows):
         plane = F.array([F.lit(c) for c in row])
         dot = _dot(vec, plane)
         bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0))
     return bucket
+
+
+def hyperplane_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket expression: bit p = sign(vec . plane_p).
+    A pure map-side codegen expression over the vector column."""
+    return _bucket_from_rows(vec, hyperplane_coefficients(dim, planes))
 
 
 def hyperplane_lsh_bucket(vectors: DataFrame, *, id_col: str = "vec_id",

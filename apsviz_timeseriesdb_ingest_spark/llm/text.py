@@ -465,6 +465,134 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, *,
                     F.coalesce("contaminated", F.lit(False)).alias("contaminated")))
 
 
+class ShingleBloom:
+    """A Bloom filter over a benchmark's k-shingles, held as ONE
+    DataFrame row with an ``array<long>`` bitmap column.
+
+    This is the large-benchmark decontamination path: the broadcast
+    semi-join in :func:`decontaminate` ships every distinct benchmark
+    shingle (fine for one eval set); the streaming literal-array form
+    embeds them in the PLAN (recompiled per micro-batch). Both stop
+    scaling when the contamination list is itself corpus-sized — 100
+    benchmarks x 10^5 shingles. The Bloom bitmap is fixed-size
+    (``num_bits``), built distributed (explode → bit_or aggregate; the
+    driver never holds shingles), and applied as a pure map-side
+    ``exists`` over each doc's shingles after a broadcast of the single
+    bitmap row — no shuffle, no state, no giant literal, same plan
+    shape batch or streaming.
+
+    False-positive rate: standard (1 - e^{-j*n/m})^j with j =
+    ``num_hashes``, n = distinct shingles, m = ``num_bits``. Size for
+    the per-DOC probe count, not per shingle: a doc probing s shingles
+    flags spuriously with probability ~s*fpp. The helper default
+    (m = 32n, j = 6) gives fpp ≈ 2.5e-5 — ~2e-3 per thousand-shingle
+    doc. False positives DROP clean training docs (never keep
+    contaminated ones) — the safe direction for decontamination.
+
+    Hashing is the portable md5 family (double hashing: pos_i =
+    (h1 + i*h2) mod m), so the same filter is reproducible in any
+    engine; ``i*h2`` stays below 2^63 for j <= 8 (h is 60-bit).
+    """
+
+    def __init__(self, frame: DataFrame, *, num_bits: int, num_hashes: int,
+                 k: int):
+        self.frame = frame          # one row: bitmap array<long>
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.k = k
+
+    def might_contain(self, shingle: Column, bitmap: Column) -> Column:
+        """Membership expression for one shingle against the (joined-in)
+        bitmap column — all ``num_hashes`` positions set."""
+        h1 = md5_hash64(shingle)
+        h2 = md5_hash64(shingle, seed="bloom2")
+        conds = []
+        for i in range(self.num_hashes):
+            pos = (h1 + F.lit(i) * h2) % F.lit(self.num_bits)
+            word = F.element_at(bitmap, F.floor(pos / 64).cast("int") + 1)
+            bit = (pos % 64).cast("int")
+            conds.append(
+                F.call_function("shiftright", word, bit).bitwiseAND(F.lit(1)) == 1)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def hit_flag(self, shingle_array: Column, bitmap: Column) -> Column:
+        """True iff ANY shingle in the array might be in the filter."""
+        return F.exists(shingle_array, lambda s: self.might_contain(s, bitmap))
+
+
+def build_shingle_bloom(benchmark: DataFrame, *, text_col: str = "text",
+                        k: int = 3, num_bits: int | None = None,
+                        num_hashes: int = 6,
+                        expected_shingles: int | None = None) -> ShingleBloom:
+    """Build a :class:`ShingleBloom` from a benchmark frame of any size.
+
+    ``num_bits`` defaults to 32x ``expected_shingles`` (fpp ~2.5e-5 at
+    6 hashes — see the class docstring for the per-doc sizing math);
+    ``expected_shingles`` defaults to a counted pass over the benchmark
+    — pass it explicitly to skip that job. Entirely distributed: shingle
+    → explode positions → (word, bit-mask) → bit_or per word → dense
+    array via a map lookup over the word range; the driver holds only
+    the bitmap (num_bits/64 longs).
+    """
+    from .dedup import shingles_from_tokens
+
+    sh = (benchmark
+          .select(tokens(text_col).alias("__tk"))
+          .select(F.explode(shingles_from_tokens(F.col("__tk"), k)).alias("s"))
+          .distinct())
+    if num_bits is None:
+        if expected_shingles is None:
+            expected_shingles = sh.count()
+        num_bits = max(1024, 32 * expected_shingles)
+    num_words = (num_bits + 63) // 64
+    h1 = md5_hash64("s")
+    h2 = md5_hash64("s", seed="bloom2")
+    positions = sh.select(F.explode(F.array(
+        *[(h1 + F.lit(i) * h2) % F.lit(num_bits) for i in range(num_hashes)]
+    )).alias("pos"))
+    words = (positions
+             .select(F.floor(F.col("pos") / 64).cast("long").alias("w"),
+                     F.call_function(
+                         "shiftleft", F.lit(1).cast("bigint"),
+                         (F.col("pos") % 64).cast("int")).alias("m"))
+             .groupBy("w").agg(F.bit_or("m").alias("bits")))
+    # densify via range + join + sorted collect — NOT element_at over a
+    # Spark map (map lookups are linear scans; num_words lookups over a
+    # num_words-entry map is quadratic in the bitmap size)
+    spark = benchmark.sparkSession
+    frame = (spark.range(num_words).withColumnRenamed("id", "w_all")
+             .join(words, F.col("w_all") == F.col("w"), "left")
+             .select("w_all", F.coalesce("bits", F.lit(0).cast("bigint"))
+                     .alias("bits"))
+             .agg(F.array_sort(
+                 F.collect_list(F.struct("w_all", "bits"))).alias("a"))
+             .select(F.transform(F.col("a"), lambda s: s["bits"])
+                     .alias("bitmap"))
+             .localCheckpoint(eager=True))
+    return ShingleBloom(frame, num_bits=num_bits, num_hashes=num_hashes, k=k)
+
+
+def decontaminate_bloom(train: DataFrame, bloom: ShingleBloom, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ) -> DataFrame:
+    """Bloom-filter twin of :func:`decontaminate` — same output schema
+    (id, contaminated). One broadcast of the bitmap row, then pure
+    map-side evaluation; flags match the exact path up to Bloom false
+    positives (extra ``contaminated=True``, never false negatives)."""
+    from .dedup import shingles_from_tokens
+
+    return (train
+            .select(F.col(id_col), tokens(text_col).alias("__tk"))
+            .crossJoin(F.broadcast(bloom.frame))
+            .select(id_col,
+                    bloom.hit_flag(
+                        shingles_from_tokens(F.col("__tk"), bloom.k),
+                        F.col("bitmap")).alias("contaminated")))
+
+
 def document_fingerprint(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lower-cased text

@@ -47,6 +47,20 @@ def benchmark_shingles(benchmark: DataFrame, *, text_col: str = "text",
     return sorted(r.s for r in rows)
 
 
+def benchmark_bloom(benchmark: DataFrame, *, text_col: str = "text",
+                    k: int = 3, **bloom_kw):
+    """Bloom-filter form of :func:`benchmark_shingles` for LARGE
+    contamination lists (corpus-vs-corpus decontamination): a
+    fixed-size bitmap built distributed, applied map-side after a
+    one-row broadcast — the plan holds NO per-shingle literals and does
+    not recompile as the benchmark grows. Applies the same
+    clean+scrub normalization as the stream."""
+    from ..llm.text import build_shingle_bloom
+
+    sig = corpus_signals(benchmark, text_col=text_col)
+    return build_shingle_bloom(sig, text_col="text", k=k, **bloom_kw)
+
+
 def contamination_flag(text: Column, bench_shingles: list[str],
                        *, k: int = 3) -> Column:
     """Map-side contamination test: does the doc share any k-shingle with
@@ -62,6 +76,7 @@ def stream_prepare_corpus(
     docs: DataFrame,
     bench_shingles: list[str] | None = None,
     *,
+    bench_bloom=None,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 10,
@@ -82,6 +97,12 @@ def stream_prepare_corpus(
     the batch ``prepare_training_corpus`` corpus frame minus the split
     (split is a pure id hash — apply ``train_split_cols`` at sink time
     or downstream).
+
+    Contamination gating takes either form: ``bench_shingles`` (a
+    literal array — right for eval-set-sized lists) or ``bench_bloom``
+    (a :class:`llm.text.ShingleBloom` from :func:`benchmark_bloom` —
+    right for corpus-sized lists; one-row stream-static broadcast join,
+    constant plan size). Both may be passed; each gates independently.
     """
     sig = corpus_signals(docs, text_col=text_col, id_col=id_col)
     kept = (
@@ -94,6 +115,12 @@ def stream_prepare_corpus(
     if bench_shingles:
         kept = kept.filter(
             ~contamination_flag(F.col("text"), bench_shingles, k=shingle_k))
+    if bench_bloom is not None:
+        kept = (kept.crossJoin(F.broadcast(bench_bloom.frame))
+                .filter(~bench_bloom.hit_flag(
+                    shingles_from_tokens(tokens("text"), bench_bloom.k),
+                    F.col("bitmap")))
+                .drop("bitmap"))
     hashed = kept.withColumn("text_md5", F.md5("text"))
     if docs.isStreaming:
         deduped = (

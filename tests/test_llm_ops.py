@@ -220,3 +220,26 @@ def test_lsh_hot_bucket_cap_bounds_spam_explosion(spark):
     assert len(capped_spam) < len(uncapped_spam) // 4
     # the 2-doc genuine cluster is far below the cap and survives
     assert any(r.doc_a == 100 and r.doc_b == 101 for r in capped)
+
+
+def test_banded_lsh_beats_single_table(spark, sf_oracle):
+    """The registered 12-band x 8-plane geometry must dominate r2's
+    single 4-plane table on the real testdata: strictly more recall
+    against the exact blas verifier from strictly fewer candidates
+    (hyperplanes are deterministic, so these numbers are stable)."""
+    vecs = load_table(spark, sf_oracle, "embeddings")
+    blas = {(r.vec_id_a, r.vec_id_b) for r in embedding_neardup_pairs(
+        vecs, threshold=0.4, method="blas").collect()}
+    single = {(r.vec_id_a, r.vec_id_b) for r in embedding_neardup_pairs(
+        vecs, threshold=0.4, dim=64, planes=4, bands=1).collect()}
+    banded = {(r.vec_id_a, r.vec_id_b) for r in embedding_neardup_pairs(
+        vecs, threshold=0.4, dim=64, planes=8, bands=12).collect()}
+    # the verify stage is exact, so every returned pair is a true pair
+    assert single <= blas and banded <= blas
+    assert len(banded) > len(single)          # more recall...
+    # ...from fewer candidates (threshold=-1 keeps every candidate pair)
+    single_cand = embedding_neardup_pairs(
+        vecs, threshold=-1.0, dim=64, planes=4, bands=1).count()
+    banded_cand = embedding_neardup_pairs(
+        vecs, threshold=-1.0, dim=64, planes=8, bands=12).count()
+    assert banded_cand < single_cand
