@@ -107,6 +107,8 @@ def prepare_training_corpus(
     train_pct: int = 95,
     fast: bool = False,
     cache: bool = True,
+    catalog=None,
+    checkpoint_prefix: str = "corpus_prep",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -135,10 +137,22 @@ def prepare_training_corpus(
     attrition job. MEMORY_AND_DISK so a 100x corpus degrades to disk
     spill, not OOM; callers running fire-and-forget can pass
     ``cache=False`` (pure-lazy) or ``spark.catalog.clearCache()`` after.
+
+    ``catalog`` (a ``sources.catalog.Catalog``) switches the reused
+    intermediates from executor cache to CHECKPOINT TABLES
+    (``{checkpoint_prefix}_*``, written once, read back): the 100 TB
+    form — the tagged frame is corpus-sized, and at that scale reused
+    intermediates belong in table storage, not executor memory/disk
+    (r2 verdict). Overrides ``cache``; tables are left in place as the
+    audit trail and can be dropped by the caller afterwards.
     """
     from pyspark import StorageLevel
 
-    def _persist(df: DataFrame) -> DataFrame:
+    def _persist(df: DataFrame, name: str) -> DataFrame:
+        if catalog is not None:
+            tbl = f"{checkpoint_prefix}_{name}"
+            catalog.overwrite(df, tbl)
+            return catalog.read(tbl)
         return df.persist(StorageLevel.MEMORY_AND_DISK) if cache else df
 
     sig = corpus_signals(docs, text_col=text_col, id_col=id_col,
@@ -149,7 +163,7 @@ def prepare_training_corpus(
         .when(F.col("repetition_ratio") > max_repetition_ratio, F.lit("repetitive"))
         .when(~F.col("predicted_lang").isin(*languages), F.lit("language"))
     )
-    tagged = _persist(sig.withColumn("q_reason", quality_reason))
+    tagged = _persist(sig.withColumn("q_reason", quality_reason), "tagged")
     clean = tagged.filter(F.col("q_reason").isNull())
 
     # exact dedup over quality survivors: losers = docs whose id is not
@@ -165,7 +179,8 @@ def prepare_training_corpus(
         hashed.join(keepers, "h")
         .filter(F.col(id_col) != F.col("kept"))
         .select(id_col)
-        .withColumn("r_exact", F.lit(True))
+        .withColumn("r_exact", F.lit(True)),
+        "exact_losers",
     )
     exact_kept = clean.join(exact_losers.select(id_col), id_col, "left_anti")
 
@@ -182,7 +197,8 @@ def prepare_training_corpus(
         neardup_clusters(pairs)
         .filter(F.col("cluster_id") != F.col("doc_id"))
         .select(F.col("doc_id").alias(id_col))
-        .withColumn("r_near", F.lit(True))
+        .withColumn("r_near", F.lit(True)),
+        "near_losers",
     )
     near_kept = exact_kept.join(near_losers.select(id_col), id_col, "left_anti")
 
@@ -196,7 +212,8 @@ def prepare_training_corpus(
                           id_col=id_col, k=shingle_k)
             .filter(F.col("contaminated"))
             .select(id_col)
-            .withColumn("r_contam", F.lit(True))
+            .withColumn("r_contam", F.lit(True)),
+            "contaminated",
         )
     else:
         spark = docs.sparkSession

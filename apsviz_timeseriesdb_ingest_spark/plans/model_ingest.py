@@ -194,7 +194,7 @@ class ModelIngest:
         # timemark so runs coexist; latest processing wins on rerun
         self.catalog.merge_keep_latest(
             FACT, batch, keys=["source_id", "timemark", "time"],
-            order_by=[F.col("__proc_dt").desc()],
+            order_by=["__proc_dt"],
             time_col="time", drop_before_write=["__proc_dt"],
         )
 

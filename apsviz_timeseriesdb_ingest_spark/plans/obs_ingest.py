@@ -189,8 +189,7 @@ class ObsIngest:
         self.catalog.merge_keep_latest(
             FACT, batch,
             keys=["source_id", "time"],
-            order_by=[F.col("timemark").desc(), F.col("__file_dt").desc(),
-                      F.col("__file_key").desc()],
+            order_by=["timemark", "__file_dt", "__file_key"],
             time_col="time",
             drop_before_write=["__file_dt", "__file_key"],
         )

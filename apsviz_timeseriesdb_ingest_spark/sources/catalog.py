@@ -52,7 +52,7 @@ class MergeStrategy:
     construction; pipeline code never changes."""
 
     def merge(self, catalog: "Catalog", table: str, incoming: DataFrame,
-              keys: Sequence[str], order_by: Sequence[Column], *,
+              keys: Sequence[str], order_by: Sequence[Column | str], *,
               time_col: str, drop_before_write: Sequence[str]) -> None:
         raise NotImplementedError
 
@@ -130,12 +130,20 @@ class DeltaMerge(MergeStrategy):
         # tie-break columns exist only batch-side and can't be compared
         # against the stored row; the surviving prefix, e.g. timemark,
         # decides — ties resolve incoming-wins via >=, the reference's
-        # last-loaded-wins)
+        # last-loaded-wins). Names must be passed AS names: extracting a
+        # name from a Column expression (str(col) parsing) breaks
+        # silently the day an ordering is an expression, so it is a
+        # TypeError here instead.
         order_cols = []
         for c in order_by:
-            name = str(c).split("'")[1].split(" ")[0].split(".")[-1]
-            if name in winners.columns:
-                order_cols.append(name)
+            if not isinstance(c, str):
+                raise TypeError(
+                    "DeltaMerge requires order_by entries as column NAMES "
+                    "(a bare name means '<name> DESC' — the keep-latest "
+                    "convention); got a Column expression, whose name "
+                    "cannot be extracted reliably for the MERGE condition")
+            if c in winners.columns:
+                order_cols.append(c)
         newer = ("struct(" + ", ".join(f"src.{c}" for c in order_cols) + ") >= "
                  "struct(" + ", ".join(f"tgt.{c}" for c in order_cols) + ")"
                  ) if order_cols else "true"
@@ -177,13 +185,20 @@ class Catalog:
         w.parquet(self.path(table))
 
     def merge_keep_latest(self, table: str, incoming: DataFrame,
-                          keys: Sequence[str], order_by: Sequence[Column],
+                          keys: Sequence[str],
+                          order_by: Sequence[Column | str],
                           *, time_col: str = "time",
                           drop_before_write: Sequence[str] = ()) -> None:
         """Upsert ``incoming`` with keep-latest semantics, touching only the
         time-bucket partitions present in the batch. Delegates to the
         catalog's :class:`MergeStrategy` (parquet dynamic overwrite by
         default; :class:`DeltaMerge` on Delta deployments).
+
+        Prefer passing ``order_by`` as column NAMES (a bare name means
+        ``<name> DESC`` — ``operators.dedup.keep_latest``'s convention):
+        names work under every strategy; Column expressions work for
+        parquet merges but are rejected by :class:`DeltaMerge`, which
+        needs the names to build its ``whenMatched`` tuple compare.
 
         ``drop_before_write``: transient ordering helper columns present
         only on the incoming side (e.g. source file identity used as a

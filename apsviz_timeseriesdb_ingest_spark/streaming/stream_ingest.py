@@ -93,7 +93,7 @@ class StreamingObsIngest:
         self.catalog.merge_keep_latest(
             "gauge_data", batch,
             keys=["source_id", "time"],
-            order_by=[F.col("timemark").desc(), F.col("__file_key").desc()],
+            order_by=["timemark", "__file_key"],
             time_col="time",
             drop_before_write=["__file_key"],
         )

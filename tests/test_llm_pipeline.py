@@ -142,3 +142,25 @@ def test_corpus_signals_single_map_stage(spark):
     plan = corpus_signals(_docs(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pipeline_checkpoint_tables_match_cached(spark, tmp_path):
+    """catalog= switches reused intermediates from executor cache to
+    checkpoint tables (the 100 TB form) with identical results."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    a_corpus, a_audit = prepare_training_corpus(
+        _docs(spark), _benchmark(spark), min_tokens=10,
+        max_repetition_ratio=0.5)
+    b_corpus, b_audit = prepare_training_corpus(
+        _docs(spark), _benchmark(spark), min_tokens=10,
+        max_repetition_ratio=0.5, cache=False, catalog=cat)
+    assert sorted(map(tuple, a_corpus.collect())) == \
+        sorted(map(tuple, b_corpus.collect()))
+    assert sorted(map(tuple, a_audit.collect())) == \
+        sorted(map(tuple, b_audit.collect()))
+    # the intermediates are real tables, inspectable after the run
+    for t in ["corpus_prep_tagged", "corpus_prep_exact_losers",
+              "corpus_prep_near_losers", "corpus_prep_contaminated"]:
+        assert cat.exists(t)
