@@ -223,3 +223,92 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def run_incremental_embedding_stream(
+        spark, input_dir: str, catalog, centroids: list[list[float]], *,
+        checkpoint_dir: str, corpus_table: str = "ann_corpus",
+        threshold: float = 0.9, nprobe: int = 2, dim: int | None = None,
+        planes: int = 8, bands: int = 4,
+        schema: str = "vec_id long, embedding array<float>",
+        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Continuous embedding-level near-dedup: each micro-batch probes the
+    PARTITIONED ANN corpus (``Catalog`` table partitioned by IVF cell,
+    the layout :func:`llm.similarity.kmeans_assign` writes) — the
+    embedding twin of :func:`run_incremental_dedup_stream`. The stream
+    holds ZERO state: duplicate knowledge lives in the corpus table, and
+    the probe reads only the batch's nprobe cells per vector via a
+    literal partition filter (at 100 TB: nprobe/k of the corpus files).
+
+    Batch semantics (deterministic): a new vector whose cosine against
+    any stored vector in its probed cells reaches ``threshold`` is a
+    duplicate — rejected; survivors dedup among themselves (banded-LSH
+    pairs → connected components → smallest id kept, exactly the batch
+    operators); accepted rows append to the corpus partitioned by cell.
+
+    Replay safety is SIMPLER than the MinHash stream: there is one
+    table, and an accepted vector replayed later matches ITSELF in the
+    corpus at cosine 1.0 >= threshold and is rejected — per-vector
+    idempotent through any crash window, including partial appends
+    (present vectors are rejected, absent ones re-accepted).
+
+    ``centroids`` come from :func:`llm.similarity.train_kmeans` (train
+    once on a sample, reuse across batches — retraining would reshuffle
+    the layout). Returns the StreamingQuery.
+    """
+    from ..llm.dedup import dedup_keep_representative
+    from ..llm.similarity import (_centroid_argmin_expr, _dot, _norm,
+                                  embedding_neardup_pairs, probe_cells_expr)
+
+    vec_dim = dim or len(centroids[0])
+
+    def _apply(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        v = (batch_df
+             .withColumn("__vec", F.col(vec_col).cast("array<double>"))
+             .withColumn("__nrm", _norm(F.col("__vec")))
+             .withColumn("centroid_id",
+                         _centroid_argmin_expr(centroids, F.col("__vec"),
+                                               F.col("__nrm")))
+             .withColumn("__probes",
+                         probe_cells_expr(centroids, F.col("__vec"),
+                                          F.col("__nrm"), nprobe=nprobe))
+             .localCheckpoint(eager=True))
+        fresh = v
+        if catalog.exists(corpus_table):
+            # literal cell filter -> partition pruning on the corpus scan
+            cells = sorted({r.c for r in
+                            v.select(F.explode("__probes").alias("c"))
+                            .distinct().collect()})
+            stored = (catalog.read(corpus_table)
+                      .filter(F.col("centroid_id").isin(cells))
+                      .select(F.col(id_col).alias("__sid"),
+                              F.col(vec_col).cast("array<double>").alias("__svec"),
+                              F.col("centroid_id").alias("__scell")))
+            stored = stored.withColumn("__snrm", _norm(F.col("__svec")))
+            probed = v.select(id_col, "__vec", "__nrm",
+                              F.explode("__probes").alias("__scell"))
+            dup_ids = (probed.join(stored, "__scell")
+                       .filter(_dot(F.col("__vec"), F.col("__svec"))
+                               / (F.col("__nrm") * F.col("__snrm"))
+                               >= threshold)
+                       .select(id_col).distinct())
+            fresh = v.join(dup_ids, id_col, "left_anti")
+        pairs = embedding_neardup_pairs(
+            fresh.select(id_col, vec_col), id_col=id_col, vec_col=vec_col,
+            threshold=threshold, dim=vec_dim, planes=planes, bands=bands)
+        accepted = dedup_keep_representative(
+            fresh, pairs.withColumnRenamed("vec_id_a", "doc_a")
+                        .withColumnRenamed("vec_id_b", "doc_b"),
+            id_col=id_col)
+        accepted = (accepted.select(id_col, vec_col, "centroid_id")
+                    .localCheckpoint(eager=True))
+        catalog.append(accepted, corpus_table, partition_by=["centroid_id"])
+
+    vecs = spark.readStream.schema(schema).parquet(input_dir)
+    return (vecs.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -67,13 +67,29 @@ def _hyperplane_terms_sql(dim: int, planes: int) -> str:
     return _terms_from_rows_sql(hyperplane_coefficients(dim=dim, planes=planes))
 
 
-def _banded_buckets_sql(dim: int, planes: int, bands: int) -> str:
+def _sparse_terms_sql(rows: list[list[float]]) -> str:
+    """DuckDB sign-bucket expression over sparse hyperplane rows as
+    EXPLICIT left-to-right term sums — textually the same order the
+    Spark side expands (skipped zeros add exactly ±0.0, so both equal
+    the full left-to-right dot bitwise)."""
+    planes = []
+    for p, row in enumerate(rows):
+        terms = " + ".join(f"e[{i + 1}] * {c!r}"
+                           for i, c in enumerate(row) if c != 0.0)
+        planes.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(planes)
+
+
+def _banded_buckets_sql(dim: int, planes: int, bands: int,
+                        inv_density: int) -> str:
     """DuckDB list literal of the per-band sign buckets — band t uses
-    hyperplanes [t*planes, (t+1)*planes) of the shared family, exactly
-    as ``llm.similarity.embedding_neardup_pairs`` slices them."""
-    coeffs = hyperplane_coefficients(dim=dim, planes=bands * planes)
+    hyperplanes [t*planes, (t+1)*planes) of the shared sparse family,
+    exactly as ``llm.similarity.embedding_neardup_pairs`` slices them."""
+    from ..llm.similarity import sparse_hyperplane_rows
+
+    coeffs = sparse_hyperplane_rows(dim, bands * planes, inv_density)
     per_band = [
-        f"CAST({_terms_from_rows_sql(coeffs[t * planes:(t + 1) * planes])} AS BIGINT)"
+        f"CAST({_sparse_terms_sql(coeffs[t * planes:(t + 1) * planes])} AS BIGINT)"
         for t in range(bands)]
     return "[" + ", ".join(per_band) + "]"
 
@@ -84,18 +100,22 @@ def _banded_buckets_sql(dim: int, planes: int, bands: int) -> str:
 # silently dropped in r1 (52 registered, rows 51-52 missing).
 
 #: banded multi-table LSH geometry for the near-dup flagship: 12 bands x
-#: 8 planes. 8 planes/band = 256 buckets per table (vs 16 for r2's
-#: single 4-plane table — the "too-coarse key" verdict); 12 bands
-#: recover recall via the union of per-band collisions. Measured on the
-#: sf0.01 embeddings: ~2x the recall of the single-table form at FEWER
-#: candidates (0.32 vs 0.17 recall, 5.5% vs 7.1% of all pairs) — see
+#: 8 SPARSE ±1 planes (1/8 density — Achlioptas/very-sparse random
+#: projections; dots are short codegen sums, not interpreted folds).
+#: 8 planes/band = 256 buckets per table (vs 16 for r2's single 4-plane
+#: table — the "too-coarse key" verdict); 12 bands recover recall via
+#: the union of per-band collisions. Measured on the sf0.01 embeddings:
+#: ~1.8x the recall of the dense single-table form at FEWER candidates
+#: (0.305 vs 0.169 recall, 5.4% vs 7.1% of all pairs) — see
 #: test_banded_lsh_beats_single_table.
 _NEARDUP_PLANES = 8
 _NEARDUP_BANDS = 12
+_NEARDUP_INV_DENSITY = 8
 
 @query("llm_embedding_neardup", sql=f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    b AS (SELECT vec_id, e, {_banded_buckets_sql(64, _NEARDUP_PLANES, _NEARDUP_BANDS)}
+    b AS (SELECT vec_id, e, {_banded_buckets_sql(64, _NEARDUP_PLANES, _NEARDUP_BANDS,
+                                                 _NEARDUP_INV_DENSITY)}
           AS bks FROM v),
     bk AS (SELECT vec_id,
            unnest(generate_series(0, {_NEARDUP_BANDS - 1})) AS band,
@@ -112,15 +132,17 @@ _NEARDUP_BANDS = 12
 """)
 def llm_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via banded multi-table LSH
-    (12 bands x 8 planes): candidates = union of per-band bucket
-    equi-joins, verified by exact cosine on candidates only — no driver
-    collect, no O(n^2) scan. The exact blas scan remains the
-    small-corpus verifier (``tests/test_llm_ops.py``)."""
+    (12 bands x 8 sparse ±1 planes): candidates = union of per-band
+    bucket equi-joins, verified by exact cosine on candidates only — no
+    driver collect, no O(n^2) scan, bucketing fully inside whole-stage
+    codegen. The exact blas scan remains the small-corpus verifier
+    (``tests/test_llm_ops.py``)."""
     from ..llm.similarity import embedding_neardup_pairs
     return embedding_neardup_pairs(tables(spark, sf_dir, "embeddings"),
                                    threshold=0.4, dim=64,
                                    planes=_NEARDUP_PLANES,
-                                   bands=_NEARDUP_BANDS)
+                                   bands=_NEARDUP_BANDS,
+                                   inv_density=_NEARDUP_INV_DENSITY)
 
 
 @query("llm_multimodal_features", sql="""

@@ -120,3 +120,66 @@ def test_incremental_dedup_stream(spark, tmp_path):
     assert q3.awaitTermination(120)
     rows = catalog.read("stream_corpus").collect()
     assert {r.doc_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4
+
+
+def test_incremental_embedding_stream(spark, tmp_path):
+    """Embedding twin of test_incremental_dedup_stream: cross-batch
+    near-dup rejected by probing the PARTITIONED ANN corpus (no stream
+    state), in-batch dups resolved to the smallest id, and a
+    fresh-checkpoint replay of the whole input is a corpus no-op
+    (every replayed vector matches itself at cosine 1.0)."""
+    import random
+
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_embedding_stream)
+
+    rng = random.Random("emb-stream")
+    dim = 8
+
+    def vec(seed_axis, jitter=0.0):
+        base = [0.0] * dim
+        base[seed_axis] = 1.0
+        return [float(b + rng.uniform(-jitter, jitter)) for b in base]
+
+    centroids = [vec(0), vec(1), vec(2), vec(3)]
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    SCH = "vec_id long, embedding array<float>"
+
+    def _write(rows):
+        spark.createDataFrame(rows, SCH).write.mode("append").parquet(src)
+
+    def _run(checkpoint):
+        q = run_incremental_embedding_stream(
+            spark, src, catalog, centroids, checkpoint_dir=checkpoint,
+            threshold=0.95, nprobe=2, dim=dim)
+        assert q.awaitTermination(120)
+
+    # batch 1: two distinct vectors near different centroids
+    _write([(1, vec(0, 0.05)), (2, vec(1, 0.05))])
+    _run(ckpt)
+    assert {r.vec_id for r in catalog.read("ann_corpus").collect()} == {1, 2}
+
+    # batch 2: 12 ~= 1 (rejected via CORPUS probe, not stream state),
+    # 13/14 in-batch near-dup pair (13 kept), 15 new
+    v13 = vec(2, 0.02)
+    v14 = [x * 1.001 for x in v13]
+    _write([(12, [x * 1.002 for x in
+                  [r.embedding for r in spark.read.parquet(src)
+                   .filter("vec_id = 1").collect()][0]]),
+            (13, v13), (14, v14), (15, vec(3, 0.05))])
+    _run(ckpt)
+    got = {r.vec_id for r in catalog.read("ann_corpus").collect()}
+    assert got == {1, 2, 13, 15}
+
+    # corpus is the partitioned ANN layout: cell dirs on disk
+    import os
+    assert any(d.startswith("centroid_id=")
+               for d in os.listdir(catalog.path("ann_corpus")))
+
+    # fresh-checkpoint replay of ALL input: self-match rejects everything
+    _run(str(tmp_path / "ckpt2"))
+    rows = catalog.read("ann_corpus").collect()
+    assert {r.vec_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4

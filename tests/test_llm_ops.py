@@ -223,23 +223,28 @@ def test_lsh_hot_bucket_cap_bounds_spam_explosion(spark):
 
 
 def test_banded_lsh_beats_single_table(spark, sf_oracle):
-    """The registered 12-band x 8-plane geometry must dominate r2's
-    single 4-plane table on the real testdata: strictly more recall
-    against the exact blas verifier from strictly fewer candidates
-    (hyperplanes are deterministic, so these numbers are stable)."""
+    """The registered 12-band x 8-sparse-plane geometry must dominate
+    r2's single dense 4-plane table on the real testdata: strictly more
+    recall against the exact blas verifier from strictly fewer
+    candidates (hyperplanes are deterministic, so these numbers are
+    stable)."""
     vecs = load_table(spark, sf_oracle, "embeddings")
     blas = {(r.vec_id_a, r.vec_id_b) for r in embedding_neardup_pairs(
         vecs, threshold=0.4, method="blas").collect()}
     single = {(r.vec_id_a, r.vec_id_b) for r in embedding_neardup_pairs(
-        vecs, threshold=0.4, dim=64, planes=4, bands=1).collect()}
+        vecs, threshold=0.4, dim=64, planes=4, bands=1,
+        inv_density=None).collect()}
     banded = {(r.vec_id_a, r.vec_id_b) for r in embedding_neardup_pairs(
-        vecs, threshold=0.4, dim=64, planes=8, bands=12).collect()}
+        vecs, threshold=0.4, dim=64, planes=8, bands=12,
+        inv_density=8).collect()}
     # the verify stage is exact, so every returned pair is a true pair
     assert single <= blas and banded <= blas
     assert len(banded) > len(single)          # more recall...
     # ...from fewer candidates (threshold=-1 keeps every candidate pair)
     single_cand = embedding_neardup_pairs(
-        vecs, threshold=-1.0, dim=64, planes=4, bands=1).count()
+        vecs, threshold=-1.0, dim=64, planes=4, bands=1,
+        inv_density=None).count()
     banded_cand = embedding_neardup_pairs(
-        vecs, threshold=-1.0, dim=64, planes=8, bands=12).count()
+        vecs, threshold=-1.0, dim=64, planes=8, bands=12,
+        inv_density=8).count()
     assert banded_cand < single_cand
