@@ -411,6 +411,58 @@ def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
     return v.select(F.col("id").alias(id_col), cid.alias("centroid_id"))
 
 
+def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   threshold: float = 0.95,
+                   max_cell_size: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023 — public paper): k-means-cluster the embedding
+    space, call two items duplicates when their cosine WITHIN a cluster
+    reaches ``threshold``, keep the smallest id per duplicate group.
+    Returns the kept subset of ``vectors`` (all columns).
+
+    Composition of existing pieces, all bucketed: literal-centroid cell
+    assignment (zero exchange, :func:`kmeans_assign`'s expression) →
+    within-cell pair join (equi-join on the cell id: candidate work is
+    sum over cells of |cell|^2, never corpus^2 — the paper's reason for
+    clustering first) → expanded-codegen cosine verify → connected
+    components → broadcast anti-join of the losers. Cross-cluster
+    duplicates are missed BY DESIGN (the paper's trade; k tunes it).
+
+    ``max_cell_size`` guards a degenerate clustering (everything in one
+    cell → quadratic pair join): cells above it are skipped for pair
+    generation with the same caveat as ``lsh_pairs_from_buckets``.
+    ``centroids`` come from :func:`train_kmeans`.
+    """
+    dim = len(centroids[0])
+    v = (vectors.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("vec"))
+         .withColumn("nrm", _norm(F.col("vec"))))
+    v = v.withColumn("cell",
+                     _centroid_argmin_expr(centroids, F.col("vec"),
+                                           F.col("nrm")))
+    if max_cell_size is not None:
+        sizes = v.groupBy("cell").agg(F.count("*").alias("n"))
+        v_pairs = v.join(F.broadcast(
+            sizes.filter(F.col("n") <= max_cell_size).select("cell")), "cell")
+    else:
+        v_pairs = v
+    sim = (_dot_expanded(F.col("a.vec"), F.col("b.vec"), dim)
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    pairs = (
+        v_pairs.alias("a")
+        .join(v_pairs.alias("b"),
+              (F.col("a.cell") == F.col("b.cell"))
+              & (F.col("a.id") < F.col("b.id")))
+        .filter(F.round(sim, 6) >= threshold)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    )
+    from .dedup import dedup_keep_representative
+
+    return dedup_keep_representative(vectors, pairs, id_col=id_col)
+
+
 def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 8, iters: int = 10,
                  tol: float = 1e-9) -> list[list[float]]:

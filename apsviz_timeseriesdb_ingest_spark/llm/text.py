@@ -259,6 +259,34 @@ def weighted_sample(df: DataFrame, *, id_col: str = "doc_id",
     return df.filter(u < F.lit(rate) * w)
 
 
+def corpus_mixture(df: DataFrame, rates: dict[str, float], *,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   default_rate: float = 1.0,
+                   seed: str = "mixture-v1") -> DataFrame:
+    """Deterministic source-weighted corpus mixing: keep each document
+    with its source's sampling rate — the domain-reweighting step every
+    pretraining mix runs (downsample the web crawl, keep curated
+    sources whole). Same md5 unit-interval primitive as
+    :func:`weighted_sample` / :func:`train_split`: a pure function of
+    (id, source), so the surviving set is identical on every run,
+    cluster, and engine, and INDEPENDENT of the train/eval split hash
+    (different seeds). Map-side only — the rate lookup folds into a
+    CASE expression, no join.
+
+    ``rates`` maps source value -> keep probability in [0, 1]; sources
+    absent from the map use ``default_rate``. Rates above 1 are
+    clamped: upsampling means REPEATING examples, which is an epoch
+    schedule concern, not a filter — do it downstream with an explode
+    on a repeat count.
+    """
+    u = md5_hash64(F.col(id_col).cast("string"), seed=seed) / F.lit(float(2 ** 60))
+    rate = F.lit(min(1.0, float(default_rate)))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src,
+                      F.lit(min(1.0, float(r)))).otherwise(rate)
+    return df.filter(u < rate)
+
+
 def vocabulary(df: DataFrame, text_col: str = "text", *, min_count: int = 1,
                ) -> DataFrame:
     """Corpus vocabulary with term counts and document frequency — two

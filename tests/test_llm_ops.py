@@ -248,3 +248,70 @@ def test_banded_lsh_beats_single_table(spark, sf_oracle):
         vecs, threshold=-1.0, dim=64, planes=8, bands=12,
         inv_density=8).count()
     assert banded_cand < single_cand
+
+
+def test_semantic_dedup_synthetic_cells(spark):
+    """SemDeDup composition: within-cell near-identical pair loses its
+    larger id; lone vectors and cross-cell neighbors survive."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import semantic_dedup
+
+    e = lambda axis, eps=0.0: [1.0 if i == axis else (eps if i == axis + 1 else 0.0)
+                               for i in range(8)]
+    rows = [(1, e(0)), (2, e(0, 0.01)),   # near-identical pair in cell 0
+            (3, e(2)), (4, e(4))]         # lone vectors in other cells
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [e(0), e(2), e(4)]
+    kept = {r.vec_id for r in
+            semantic_dedup(vecs, centroids, threshold=0.95).collect()}
+    assert kept == {1, 3, 4}
+    # degenerate-clustering guard: cap below the cell size -> no pairs
+    kept_capped = {r.vec_id for r in semantic_dedup(
+        vecs, centroids, threshold=0.95, max_cell_size=1).collect()}
+    assert kept_capped == {1, 2, 3, 4}
+
+
+def test_semantic_dedup_testdata_precision(spark, sf_small):
+    """Every drop is backed by an exact-scan pair (the verify is exact,
+    so semantic dedup can only lose recall vs blas, never precision)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        semantic_dedup, train_kmeans)
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    cents = train_kmeans(vecs, k=8, iters=5)
+    kept = {r.vec_id for r in
+            semantic_dedup(vecs, cents, threshold=0.4).collect()}
+    dropped = {r.vec_id for r in vecs.collect()} - kept
+    blas_pairs = embedding_neardup_pairs(vecs, threshold=0.4,
+                                         method="blas").collect()
+    paired = ({r.vec_id_a for r in blas_pairs}
+              | {r.vec_id_b for r in blas_pairs})
+    assert dropped and dropped <= paired
+
+
+def test_corpus_mixture_matches_duckdb(spark, sf_small):
+    import duckdb
+
+    from apsviz_timeseriesdb_ingest_spark.llm.text import corpus_mixture
+
+    docs = load_table(spark, sf_small, "documents")
+    rates = {"src0": 0.0, "src1": 1.0}
+    got = sorted(r.doc_id for r in corpus_mixture(
+        docs, rates, default_rate=0.5).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_small}/documents.parquet')")
+    exp = sorted(x[0] for x in con.execute("""
+        SELECT doc_id FROM documents
+        WHERE ('0x' || substr(md5('mixture-v1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0
+              < (CASE WHEN source = 'src0' THEN 0.0
+                      WHEN source = 'src1' THEN 1.0 ELSE 0.5 END)
+    """).fetchall())
+    assert got == exp
+    by_src = {r.source for r in corpus_mixture(
+        docs, rates, default_rate=0.5).select("source").distinct().collect()}
+    assert "src0" not in by_src and "src1" in by_src
+    # re-runnable: identical surviving set
+    again = sorted(r.doc_id for r in corpus_mixture(
+        docs, rates, default_rate=0.5).collect())
+    assert got == again
