@@ -26,6 +26,12 @@ DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Parquet scans: 128 MB splits, good default for 100 TB fact tables.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # local[N] mode puts driver and executors in ONE JVM; the 1g default
+    # heap is far below the harness machines and starves wide-plan
+    # codegen + shuffle buffers (PQ training OOM'd there). Must be set
+    # before JVM start, so it only takes effect for sessions this
+    # factory creates. Override via SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
