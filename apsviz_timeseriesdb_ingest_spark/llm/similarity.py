@@ -128,6 +128,12 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     assert dim is not None
     from .dedup import lsh_pairs_from_buckets
 
+    # same idiom as dedup._shingled: an embedding corpus often arrives
+    # as one small parquet file, and both the bucket projection and the
+    # verify dots are CPU-bound — without the repartition they run on
+    # as many cores as there are input splits
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    v = v.repartition(par, "id")
     # per-band buckets are pure map-side expressions over the vector;
     # band t uses hyperplanes [t*planes, (t+1)*planes) of one shared
     # deterministic family, so Spark and any oracle agree literally
@@ -141,6 +147,12 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     buckets = (v.select("id", *bucket_cols)
                .selectExpr("id AS doc", f"stack({bands}, {stack}) AS (band, bucket)"))
     cand = lsh_pairs_from_buckets(buckets, max_bucket_size=max_bucket_size)
+    # pair-gen leaves cand AQE-coalesced to few partitions on small
+    # inputs; spread the verify (the expensive stage) across cores.
+    # cand rows are two ids — this shuffle is cheap at any scale, and
+    # when v is too big to broadcast it doubles as the join's own
+    # hash partitioning on doc_a.
+    cand = cand.repartition(par, "doc_a")
     return (
         cand
         .join(v.select(F.col("id").alias("doc_a"), F.col("vec").alias("avec"),
