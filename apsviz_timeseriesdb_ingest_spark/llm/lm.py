@@ -1,0 +1,114 @@
+"""N-gram language-model perplexity scoring — the CCNet-style corpus
+quality signal (Wenzek et al., "CCNet: Extracting high quality
+monolingual datasets from web crawl data", 2019 — public paper; CCNet
+uses a KenLM 5-gram, this module implements the same *filtering
+signal* with an add-k-smoothed bigram model that stays fully
+relational).
+
+Why it matters at 100 TB: perplexity under a reference LM is the
+standard "does this look like language" score used to rank and filter
+web-crawl corpora. Both phases here are plain shuffles Spark already
+does well:
+
+- training is two count aggregations (unigrams, bigrams) with map-side
+  partial aggregation — the model IS a pair of count tables, never
+  driver-held;
+- scoring is the doc-bigram expansion joined to those tables on the
+  bigram / context key, then one per-doc average. Smoothing makes the
+  formula total: logp(a,b) = ln(c_ab + k) - ln(c_a + k*V), so unseen
+  bigrams and unseen contexts fall out of the same two LEFT joins
+  (missing count = 0) with no special backoff path.
+
+Scale shape: the bigram table grows with corpus vocabulary, not corpus
+size (Heaps' law keeps it far below the corpus); Spark broadcasts it
+while it fits and falls back to a shuffle equi-join beyond that —
+both joins are many-to-one on (w1, w2) / (w1,), no pair explosion
+anywhere. The doc-side expansion is repartitioned first (single-file
+corpus idiom, see ``dedup._shingled``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _bigrams(tk: Column) -> Column:
+    """(w1, w2) struct array over an already-materialized token array.
+
+    ``transform`` over an index sequence + ``element_at`` — same
+    no-subarray-allocation idiom as ``dedup.shingles_from_tokens``;
+    docs with fewer than two tokens yield an empty array (sequence
+    guarded), not a null element.
+    """
+    n = F.size(tk)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.struct(
+        F.element_at(tk, i).alias("w1"),
+        F.element_at(tk, i + 1).alias("w2")))
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    ) -> dict[str, DataFrame | int]:
+    """Count tables of an add-k-ready bigram LM over the corpus.
+
+    Returns ``{"unigrams": (token, count), "bigrams": (w1, w2, count),
+    "vocab_size": V}`` where V counts distinct training tokens plus one
+    out-of-vocabulary bucket (so unseen events get non-zero smoothed
+    mass). Two partial-agg shuffles; nothing is collected except the
+    single V scalar. Persist the two frames via the Catalog to reuse a
+    trained LM across jobs.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tk = (df.repartition(par, id_col)
+          .select(tokens(text_col).alias("__tk")))
+    unigrams = (tk.select(F.explode("__tk").alias("token"))
+                .groupBy("token").agg(F.count("*").alias("count")))
+    bigrams = (tk.select(F.explode(_bigrams(F.col("__tk"))).alias("bg"))
+               .select("bg.w1", "bg.w2")
+               .groupBy("w1", "w2").agg(F.count("*").alias("count")))
+    vocab_size = unigrams.count() + 1  # +1 = OOV bucket
+    return {"unigrams": unigrams, "bigrams": bigrams,
+            "vocab_size": vocab_size}
+
+
+def perplexity(df: DataFrame, lm: dict[str, DataFrame | int], *,
+               text_col: str = "text", id_col: str = "doc_id",
+               add_k: float = 0.1) -> DataFrame:
+    """Per-document bigram perplexity under a trained LM.
+
+    (id, n_bigrams, avg_logp, perplexity) with
+    ``logp(a, b) = ln(c_ab + k) - ln(c_a + k*V)`` summed over the doc's
+    bigrams; ``perplexity = exp(-avg_logp)``. Documents with fewer than
+    two tokens have ``n_bigrams = 0`` and NULL scores (no language
+    evidence — callers decide their fate, tag-don't-filter style).
+
+    Unseen bigrams and unseen context words use the same formula with
+    count 0 via the LEFT joins — exactly the add-k backoff — so a
+    held-out document never errors, it just scores high.
+    """
+    v = float(lm["vocab_size"])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    doc_bg = (df.repartition(par, id_col)
+              .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))
+              .select("doc", F.explode_outer(_bigrams(F.col("__tk"))).alias("bg"))
+              .select("doc", F.col("bg.w1").alias("w1"),
+                      F.col("bg.w2").alias("w2")))
+    bg = lm["bigrams"].select("w1", "w2", F.col("count").alias("c_ab"))
+    ug = lm["unigrams"].select(F.col("token").alias("w1"),
+                               F.col("count").alias("c_a"))
+    logp = (F.log(F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(add_k))
+            - F.log(F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(add_k * v)))
+    scored = (doc_bg.join(bg, ["w1", "w2"], "left")
+              .join(ug, ["w1"], "left")
+              .withColumn("__logp", F.when(F.col("w1").isNotNull(), logp)))
+    return (scored.groupBy("doc")
+            .agg(F.count("__logp").alias("n_bigrams"),
+                 F.avg("__logp").alias("avg_logp"))
+            .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+            .select(F.col("doc").alias(id_col), "n_bigrams", "avg_logp",
+                    "perplexity"))

@@ -1,0 +1,84 @@
+"""Bigram-LM perplexity: DuckDB-recomputed formula parity on the
+documents table, add-k backoff totality on held-out text, and the
+ranking behavior the filter exists for (natural-ish repeated text
+scores below rare-token noise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apsviz_timeseriesdb_ingest_spark.llm.lm import perplexity, train_bigram_lm
+from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+from tests.oracle_harness import compare, duckdb_conn
+
+SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _perplexity_sql(add_k: float, vocab_size: int) -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+           FROM tk, unnest(range(1, greatest(len(ts), 1))) AS r(i)),
+    ug_counts AS (SELECT w1 AS token, count(*)::BIGINT AS c FROM
+                  (SELECT unnest(ts) AS w1 FROM tk) GROUP BY w1),
+    bg_counts AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+    scored AS (SELECT b.doc_id,
+                      ln(coalesce(bc.c, 0) + {add_k})
+                      - ln(coalesce(uc.c, 0) + {add_k * vocab_size}) AS logp
+               FROM bg b
+               LEFT JOIN bg_counts bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+               LEFT JOIN ug_counts uc ON b.w1 = uc.token),
+    agg AS (SELECT doc_id, count(logp)::BIGINT AS n_bigrams,
+                   avg(logp) AS avg_logp FROM scored GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+           round(a.avg_logp, 6) AS avg_logp,
+           round(exp(-a.avg_logp), 6) AS perplexity
+    FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """
+
+
+def test_perplexity_matches_duckdb(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    lm = train_bigram_lm(docs)
+    got = (perplexity(docs, lm, add_k=0.1)
+           .select("doc_id", "n_bigrams",
+                   F.round("avg_logp", 6).alias("avg_logp"),
+                   F.round("perplexity", 6).alias("perplexity")))
+    con = duckdb_conn(sf_oracle)
+    problems = compare(got, con, _perplexity_sql(0.1, lm["vocab_size"]),
+                       name="perplexity")
+    assert not problems, problems
+
+
+def test_heldout_backoff_total_and_ranked(spark):
+    """A held-out doc full of unseen tokens must score (no join-miss
+    crash) and rank WORSE than a doc made of the training corpus's
+    most common bigram — the ordering the quality filter relies on."""
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat sat again") for i in range(20)],
+        "doc_id long, text string")
+    lm = train_bigram_lm(train)
+    test = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),          # in-distribution
+         (101, "zqx wvut kjhg fdsa poiuy mnbvc"),  # all-OOV noise
+         (102, "one"),                             # no bigram evidence
+         (103, "")],                               # empty
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in perplexity(test, lm).collect()}
+    assert rows[100].perplexity < rows[101].perplexity
+    assert rows[101].avg_logp is not None  # backoff, not a miss
+    assert rows[102].n_bigrams == 0 and rows[102].perplexity is None
+    assert rows[103].n_bigrams == 0 and rows[103].perplexity is None
+
+
+def test_lm_counts_shapes(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    lm = train_bigram_lm(docs)
+    ug = lm["unigrams"]
+    bg = lm["bigrams"]
+    assert lm["vocab_size"] == ug.count() + 1
+    assert ug.filter(F.col("count") <= 0).count() == 0
+    # every bigram's context word exists in the unigram table
+    missing = bg.join(ug.select(F.col("token").alias("w1")), "w1",
+                      "left_anti")
+    assert missing.count() == 0
