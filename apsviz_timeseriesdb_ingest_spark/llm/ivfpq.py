@@ -14,12 +14,22 @@ and touches original vectors only for the per-query shortlist
 (queries x shortlist rows — constant in corpus size) during exact
 re-rank.
 
-Variant note (honest difference from IVFADC): codes here quantize the
-RAW vector, not the residual (v - cell centroid). Residual encoding
-recovers some accuracy at equal code size but needs per-cell LUTs at
-query time; the relational plumbing is identical, so this module keeps
-the simpler raw-vector form and leans on the exact re-rank stage for
-accuracy (measured in ``tests/test_ivfpq.py``, not assumed).
+Both IVFADC encodings are supported via ``residual=``: the default
+quantizes the RAW vector (one global LUT per query); ``residual=True``
+quantizes ``v - cell_centroid`` exactly as the paper's IVFADC does.
+The textbook motivation is that codebooks then only cover within-cell
+spread; whether that wins DEPENDS ON THE DATA — measured on the
+synthetic near-random embeddings (tests/test_ivfpq.py), spherical
+cells are weak (small centroid norms), the residual distribution
+carries MORE per-subspace variance than the raw one, and residual
+reconstruction error is ~1.3x WORSE (0.72 vs 0.55 MSE at m=8/16
+codes). On corpora with real cluster structure the inequality flips —
+that is Jégou et al.'s regime. Hence raw is the default and residual
+is an option to A/B on the target corpus, not a blanket upgrade. The
+query-side cost of residual is one LUT per (query, probed cell)
+instead of per query — still driver-built and tiny (nprobe x m x
+codes doubles). Train residual codebooks on :func:`residuals` of the
+corpus.
 
 Everything stays JVM-side: index build is ONE zero-exchange projection
 (cell argmin + m code argmins, all literal-centroid codegen), the
@@ -37,28 +47,91 @@ from .pq import _l2_argmin_expr, _sub
 from .similarity import _centroid_argmin_expr, _norm, probe_cells_for
 
 
-def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
-                      codebooks: list[list[list[float]]], *,
-                      id_col: str = "vec_id", vec_col: str = "embedding",
-                      cell_col: str = "centroid_id") -> DataFrame:
-    """(id, cell, codes) — the stored index frame, built in ONE
-    zero-exchange projection (cell argmin + PQ encode fused; both are
-    literal-centroid expressions over the same vector column, so
-    Catalyst runs them in a single pass with no join between the
-    ``kmeans_assign`` and ``pq_encode`` halves).
+def _cent_lit(centroids: list[list[float]]):
+    """The k x dim centroid matrix as one array-of-arrays literal."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in centroids])
 
-    Write it ``Catalog.overwrite(..., partition_by=(cell_col,))`` and
-    the original vectors never need to be co-scanned at query time.
+
+def residuals(vectors: DataFrame, centroids: list[list[float]], *,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> DataFrame:
+    """(id, residual-as-``vec_col``) = v - centroid[cell(v)] — the
+    frame residual codebooks are trained on (feed to ``pq.train_pq``).
+    One projection: the cell argmin and the subtraction share the row.
     """
-    m = len(codebooks)
-    sub_dim = len(codebooks[0][0])
     v = (vectors.select(F.col(id_col),
                         F.col(vec_col).cast("array<double>").alias("__vec"))
          .withColumn("__nrm", _norm(F.col("__vec"))))
     cell = _centroid_argmin_expr(centroids, F.col("__vec"), F.col("__nrm"))
-    codes = F.array(*[
-        _l2_argmin_expr(codebooks[s], _sub(F.col("__vec"), s, sub_dim))
-        for s in range(m)])
+    res = F.zip_with(F.col("__vec"),
+                     F.element_at(_cent_lit(centroids), cell + 1),
+                     lambda a, b: a - b)
+    return v.select(F.col(id_col), res.alias(vec_col))
+
+
+def _argmin_codes(codebooks: list[list[list[float]]], vec,
+                  cent=None) -> list:
+    """Per-subspace nearest-code expressions; with ``cent`` (the row's
+    cell centroid array) the dot terms quantize the RESIDUAL — the
+    difference is inlined per component so the whole thing stays one
+    arithmetic expression, no intermediate array materialization."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cols = []
+    for s in range(m):
+        if cent is None:
+            cols.append(_l2_argmin_expr(codebooks[s], _sub(vec, s, sub_dim)))
+            continue
+        entries = []
+        for i, c in enumerate(codebooks[s]):
+            dot = None
+            for j, x in enumerate(c):
+                comp = (F.element_at(vec, s * sub_dim + j + 1)
+                        - F.element_at(cent, s * sub_dim + j + 1))
+                term = comp * F.lit(float(x))
+                dot = term if dot is None else dot + term
+            score = (F.lit(2.0) * dot
+                     - F.lit(float(sum(x * x for x in c))))
+            entries.append(F.struct(
+                F.nanvl(score, F.lit(float("-inf"))).alias("s"),
+                F.lit(-i).alias("negid")))
+        cols.append((-F.array_max(F.array(*entries))["negid"]).cast("int"))
+    return cols
+
+
+def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
+                      codebooks: list[list[list[float]]], *,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      cell_col: str = "centroid_id",
+                      residual: bool = False) -> DataFrame:
+    """(id, cell, codes) — the stored index frame, built in ONE
+    zero-exchange projection (cell argmin + PQ encode fused; both are
+    literal-centroid expressions over the same vector column, so
+    Catalyst runs them in a single pass with no join between the
+    ``kmeans_assign`` and ``pq_encode`` halves). With ``residual=True``
+    the codes quantize ``v - centroid[cell]`` (train the codebooks on
+    :func:`residuals` of the same corpus, and probe with the matching
+    ``residual=True``).
+
+    Write it ``Catalog.overwrite(..., partition_by=(cell_col,))`` and
+    the original vectors never need to be co-scanned at query time.
+    """
+    v = (vectors.select(F.col(id_col),
+                        F.col(vec_col).cast("array<double>").alias("__vec"))
+         .withColumn("__nrm", _norm(F.col("__vec"))))
+    cell = _centroid_argmin_expr(centroids, F.col("__vec"), F.col("__nrm"))
+    if residual:
+        # bind the row's centroid once in its own projection so the
+        # m x codes x sub_dim difference terms reference a column, not
+        # a repeated element_at(literal-matrix, argmin) subtree
+        v = v.withColumn("__cell", cell).withColumn(
+            "__cent", F.element_at(_cent_lit(centroids), F.col("__cell") + 1))
+        codes = F.array(*_argmin_codes(codebooks, F.col("__vec"),
+                                       F.col("__cent")))
+        return v.select(F.col(id_col), F.col("__cell").alias(cell_col),
+                        codes.alias("codes"))
+    codes = F.array(*_argmin_codes(codebooks, F.col("__vec")))
     return v.select(F.col(id_col), cell.alias(cell_col),
                     codes.alias("codes"))
 
@@ -70,7 +143,8 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
                cell_col: str = "centroid_id",
                rerank: DataFrame | None = None,
                vec_col: str = "embedding",
-               shortlist: int = 50) -> DataFrame:
+               shortlist: int = 50,
+               residual: bool = False) -> DataFrame:
     """Top-k per query over the IVFPQ index, reading ONLY nprobe cells.
 
     Stages: (1) driver-side ``probe_cells_for`` picks each query's
@@ -78,10 +152,14 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
     on the codes-only index scan. (2) ADC: each query ships its
     m x codes lookup table of exact subvector distances; a candidate's
     approximate distance is m ``element_at`` lookups summed — the
-    original vectors are not read. (3) optional exact re-rank: the ADC
-    shortlist (queries x shortlist rows, broadcast) fetches true
-    vectors from ``rerank`` and re-orders by exact cosine, exactly as
-    ``pq.pq_topk`` does.
+    original vectors are not read. With ``residual=True`` (match the
+    index build) the LUT is per (query, probed cell): distances between
+    the query's residual vs that cell and the residual codebooks —
+    nprobe x m x codes doubles per query, still driver-built, carried
+    by the same exploded (query, cell) broadcast frame. (3) optional
+    exact re-rank: the ADC shortlist (queries x shortlist rows,
+    broadcast) fetches true vectors from ``rerank`` and re-orders by
+    exact cosine, exactly as ``pq.pq_topk`` does.
 
     Returns (query_id, neighbor_id, rank), rank 1 = nearest; ADC ties
     break on id, re-rank ties on id.
@@ -91,17 +169,24 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
     spark = index.sparkSession
     cells = probe_cells_for(queries, centroids, nprobe=nprobe)
     all_cells = sorted({c for cs in cells.values() for c in cs})
-    rows = []
+
+    def lut_for(q: list[float], cent: list[float] | None) -> list[list[float]]:
+        r = q if cent is None else [a - b for a, b in zip(q, cent)]
+        return [[sum((r[s * sub_dim + j] - c[j]) ** 2
+                     for j in range(sub_dim))
+                 for c in codebooks[s]] for s in range(m)]
+
+    qrows = []
+    crows = []
     for qid, q in queries:
         q = [float(x) for x in q]
-        lut = [[sum((q[s * sub_dim + j] - c[j]) ** 2 for j in range(sub_dim))
-                for c in codebooks[s]] for s in range(m)]
-        rows.append((qid, cells[qid], lut, q))
-    qdf = spark.createDataFrame(
-        rows, "query_id long, cells array<int>, "
-              "lut array<array<double>>, qvec array<double>")
-    qcells = qdf.select("query_id", "lut",
-                        F.explode("cells").alias(cell_col))
+        qrows.append((qid, q))
+        for cid in cells[qid]:
+            crows.append((qid, cid,
+                          lut_for(q, centroids[cid] if residual else None)))
+    qdf = spark.createDataFrame(qrows, "query_id long, qvec array<double>")
+    qcells = spark.createDataFrame(
+        crows, f"query_id long, {cell_col} int, lut array<array<double>>")
     dist = None
     for s in range(m):
         term = F.element_at(F.element_at(F.col("lut"), s + 1),

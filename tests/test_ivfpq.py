@@ -9,8 +9,13 @@ from pyspark.sql import functions as F
 from apsviz_timeseriesdb_ingest_spark.llm.ivfpq import (
     build_ivfpq_index,
     ivfpq_topk,
+    residuals,
 )
-from apsviz_timeseriesdb_ingest_spark.llm.pq import pq_encode, train_pq
+from apsviz_timeseriesdb_ingest_spark.llm.pq import (
+    pq_encode,
+    pq_reconstruction_error,
+    train_pq,
+)
 from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
     brute_force_topk,
     kmeans_assign,
@@ -123,3 +128,75 @@ def test_ivfpq_rerank_recall_floor(spark, sf_small, tmp_path):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(g & e) / len(e)
     assert recall >= 0.5, f"ivfpq recall@3 collapsed: {recall}"
+
+
+def test_residual_encoding_measured_and_matches_numpy(spark, sf_small):
+    """The Spark residual codes must equal a numpy recompute of
+    cell -> residual -> per-subspace argmin, and both encodings must
+    actually learn (error bounded). The textbook 'residual
+    reconstructs tighter' claim is deliberately NOT asserted: on these
+    near-random synthetic embeddings the spherical cells are weak and
+    residual encoding measures ~1.3x WORSE reconstruction (see the
+    module docstring) — the data decides, the test just pins that both
+    paths compute what they claim."""
+    import numpy as np
+
+    vecs, cents, books_raw = _trained(spark, sf_small)
+    res = residuals(vecs, cents)
+    books_res = train_pq(res, dim=DIM, m=M, codes=CODES, iters=4)
+    err_raw = pq_reconstruction_error(vecs, books_raw)
+    err_res = pq_reconstruction_error(res, books_res)
+    # unit vectors: total variance ~1; any trained codebook must beat it
+    assert 0 < err_raw < 1.0 and 0 < err_res < 1.0, (err_raw, err_res)
+
+    idx = build_ivfpq_index(vecs, cents, books_res, residual=True)
+    got = {r.vec_id: (r.centroid_id, list(r.codes)) for r in idx.collect()}
+
+    rows = sorted(vecs.collect(), key=lambda r: r.vec_id)
+    data = np.array([r.embedding for r in rows])
+    ids = [r.vec_id for r in rows]
+    C = np.array(cents)
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+    B = np.array(books_res)
+    sd = DIM // M
+    sims = (data @ C.T) / (np.linalg.norm(data, axis=1, keepdims=True) * Cn)
+    cell = sims.argmax(1)  # ties impossible on this data; smallest-id o/w
+    R = data - C[cell]
+    for i, vid in enumerate(ids):
+        want_codes = [int(((R[i, s * sd:(s + 1) * sd] - B[s]) ** 2)
+                          .sum(-1).argmin()) for s in range(M)]
+        assert got[vid] == (int(cell[i]), want_codes), vid
+
+
+def test_residual_search_end_to_end_recall_floor(spark, sf_small,
+                                                 tmp_path):
+    """Same probe geometry, same shortlist, both encodings searched
+    end-to-end: each must clear a measured recall floor (the re-rank
+    stage absorbs most of the ADC quality difference — raw vs residual
+    shortlists differ, final recall floors are what users feel)."""
+    vecs, cents, books_raw = _trained(spark, sf_small)
+    books_res = train_pq(residuals(vecs, cents), dim=DIM, m=M,
+                         codes=CODES, iters=4)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    catalog.overwrite(build_ivfpq_index(vecs, cents, books_raw), "raw",
+                      partition_by=["centroid_id"])
+    catalog.overwrite(build_ivfpq_index(vecs, cents, books_res,
+                                        residual=True), "res",
+                      partition_by=["centroid_id"])
+    queries = [(r.vec_id, list(r.embedding))
+               for r in vecs.filter(F.col("vec_id") < 10).collect()]
+    exact = brute_force_topk(vecs, query_ids=[q for q, _ in queries], top_k=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def hits(table, books, residual):
+        got = ivfpq_topk(catalog.read(table), books, queries, cents,
+                         nprobe=4, top_k=3, rerank=vecs, shortlist=50,
+                         residual=residual)
+        return len({(r.query_id, r.neighbor_id)
+                    for r in got.collect()} & e)
+
+    raw_hits = hits("raw", books_raw, False)
+    res_hits = hits("res", books_res, True)
+    assert raw_hits / len(e) >= 0.5, f"raw recall collapsed: {raw_hits}"
+    assert res_hits / len(e) >= 0.4, f"residual recall collapsed: {res_hits}"
