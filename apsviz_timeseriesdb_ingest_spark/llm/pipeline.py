@@ -109,6 +109,10 @@ def prepare_training_corpus(
     cache: bool = True,
     catalog=None,
     checkpoint_prefix: str = "corpus_prep",
+    quality_model: tuple | None = None,
+    min_quality_prob: float = 0.5,
+    perplexity_lm: dict | None = None,
+    max_perplexity: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -138,6 +142,18 @@ def prepare_training_corpus(
     spill, not OOM; callers running fire-and-forget can pass
     ``cache=False`` (pure-lazy) or ``spark.catalog.clearCache()`` after.
 
+    ``quality_model`` = (weights, bias, means, stds) from
+    ``classifier.train_logreg`` / ``standardize_stats``: heuristic
+    survivors are scored by the learned filter and docs below
+    ``min_quality_prob`` drop with reason ``low_quality``.
+    ``perplexity_lm`` = the ``lm.train_bigram_lm`` count tables (train
+    it on a REFERENCE corpus, not this one): survivors scoring above
+    ``max_perplexity`` drop with reason ``high_perplexity``. Both
+    learned stages run AFTER the heuristic tags (cheapest-first) and
+    BEFORE dedup, and both add their score column to the audit frame
+    (NULL where the stage didn't run or the doc was already dropped) —
+    tag-don't-filter, same as everything else here.
+
     ``catalog`` (a ``sources.catalog.Catalog``) switches the reused
     intermediates from executor cache to CHECKPOINT TABLES
     (``{checkpoint_prefix}_*``, written once, read back): the 100 TB
@@ -165,6 +181,45 @@ def prepare_training_corpus(
     )
     tagged = _persist(sig.withColumn("q_reason", quality_reason), "tagged")
     clean = tagged.filter(F.col("q_reason").isNull())
+    spark = docs.sparkSession
+
+    if quality_model is not None:
+        from .classifier import (apply_standardization, quality_features,
+                                 score_logreg)
+
+        weights, bias, means, stds = quality_model
+        feats = quality_features(clean.select(id_col, "text"),
+                                 text_col="text", id_col=id_col)
+        qscores = _persist(
+            score_logreg(apply_standardization(feats, means, stds),
+                         weights, bias, id_col=id_col),
+            "quality_prob")
+        clean = (clean.join(qscores, id_col)
+                 .filter(F.col("quality_prob") >= min_quality_prob)
+                 .drop("quality_prob"))
+    else:
+        qscores = spark.createDataFrame([],
+                                        f"{id_col} long, quality_prob double")
+
+    if perplexity_lm is not None:
+        from .lm import perplexity as lm_perplexity
+
+        if max_perplexity is None:
+            raise ValueError("perplexity_lm requires max_perplexity")
+        pscores = _persist(
+            lm_perplexity(clean.select(id_col, "text"), perplexity_lm,
+                          text_col="text", id_col=id_col)
+            .select(id_col, "perplexity"),
+            "perplexity")
+        # NULL perplexity = no bigram evidence; kept (tag-don't-filter:
+        # absence of evidence is not evidence of junk)
+        clean = (clean.join(pscores, id_col, "left")
+                 .filter(F.col("perplexity").isNull()
+                         | (F.col("perplexity") <= max_perplexity))
+                 .drop("perplexity"))
+    else:
+        pscores = spark.createDataFrame([],
+                                        f"{id_col} long, perplexity double")
 
     # exact dedup over quality survivors: losers = docs whose id is not
     # the keeper of their identical-text group. Keeper map via
@@ -216,23 +271,34 @@ def prepare_training_corpus(
             "contaminated",
         )
     else:
-        spark = docs.sparkSession
         contaminated = spark.createDataFrame(
             [], f"{id_col} long, r_contam boolean")
 
+    reason_cols = [F.col("q_reason")]
+    if quality_model is not None:
+        reason_cols.append(
+            F.when(F.col("quality_prob") < F.lit(min_quality_prob),
+                   F.lit("low_quality")))
+    if perplexity_lm is not None:
+        reason_cols.append(
+            F.when(F.col("perplexity") > F.lit(max_perplexity),
+                   F.lit("high_perplexity")))
+    reason_cols += [
+        F.when(F.col("r_exact"), F.lit("exact_dup")),
+        F.when(F.col("r_near"), F.lit("near_dup")),
+        F.when(F.col("r_contam"), F.lit("contaminated")),
+    ]
     audit = (
         tagged
+        .join(qscores, id_col, "left")
+        .join(pscores, id_col, "left")
         .join(exact_losers, id_col, "left")
         .join(near_losers, id_col, "left")
         .join(contaminated, id_col, "left")
         .select(
             id_col, "text", "n_tokens", "repetition_ratio", "predicted_lang",
-            F.coalesce(
-                F.col("q_reason"),
-                F.when(F.col("r_exact"), F.lit("exact_dup")),
-                F.when(F.col("r_near"), F.lit("near_dup")),
-                F.when(F.col("r_contam"), F.lit("contaminated")),
-            ).alias("drop_reason"),
+            "quality_prob", "perplexity",
+            F.coalesce(*reason_cols).alias("drop_reason"),
         )
     )
     corpus = (

@@ -3,6 +3,14 @@
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The headline "value"/"queries" run each query once in a shared session
+— each line therefore includes that query's one-time janino compile
+(unchanged methodology across rounds, comparable to earlier BENCH_r*).
+"warm_total"/"queries_warm" re-run the same plans already compiled:
+steady-state execution cost, the number that scales with data volume
+(compile is a constant; at 100 TB it vanishes, locally it dominates
+several lines — see NOTES_r3).
 """
 
 from __future__ import annotations
@@ -42,11 +50,17 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(
         lambda it: it, schema="id long").count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_all() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timings = run_all()
+    warm = run_all()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -54,6 +68,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "warm_total": round(sum(warm.values()), 3),
+        "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -164,3 +164,60 @@ def test_pipeline_checkpoint_tables_match_cached(spark, tmp_path):
     for t in ["corpus_prep_tagged", "corpus_prep_exact_losers",
               "corpus_prep_near_losers", "corpus_prep_contaminated"]:
         assert cat.exists(t)
+
+
+def test_pipeline_learned_stages(spark):
+    """Classifier + perplexity stages: docs failing the learned filter
+    drop with their own reasons, scores land in the audit, and docs
+    already dropped by heuristics never reach the learned stages."""
+    from apsviz_timeseriesdb_ingest_spark.llm.classifier import (
+        QUALITY_FEATURES, quality_features, standardize_stats, train_logreg)
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import train_bigram_lm
+
+    docs = _docs(spark)
+    dim = len(QUALITY_FEATURES)
+    # weak labels off the raw docs: long docs are "quality"
+    feats = quality_features(docs)
+    labeled = feats.withColumn(
+        "label", (F.element_at("features", 1) > 3.0).cast("double"))
+    means, stds = standardize_stats(labeled, dim=dim)
+    from apsviz_timeseriesdb_ingest_spark.llm.classifier import (
+        apply_standardization)
+    w, b = train_logreg(apply_standardization(labeled, means, stds),
+                        dim=dim, iters=30, lr=1.0, l2=1e-4)
+
+    lm = train_bigram_lm(docs.filter(F.col("doc_id").isin([1, 2])))
+
+    corpus, audit = prepare_training_corpus(
+        docs, None, min_tokens=10, max_repetition_ratio=0.5,
+        quality_model=(w, b, means, stds), min_quality_prob=0.0,
+        perplexity_lm=lm, max_perplexity=1e9)
+    rows = {r.doc_id: r for r in audit.collect()}
+    # thresholds chosen to drop nothing: heuristic reasons unchanged,
+    # scores present exactly for the heuristic survivors
+    assert rows[3].drop_reason == "too_short"
+    assert rows[3].quality_prob is None and rows[3].perplexity is None
+    for d in (1, 2, 6, 7, 8):
+        assert rows[d].quality_prob is not None
+        assert rows[d].perplexity is not None
+    assert rows[1].drop_reason is None and rows[6].drop_reason == "exact_dup"
+
+    # now bite: drop everything below prob 0.5 / above the in-dist
+    # perplexity of doc 1 — doc 8 (benchmark-ish prose, OOV vs the
+    # tiny reference LM) must fall to one of the learned reasons
+    p1 = rows[1].perplexity
+    corpus2, audit2 = prepare_training_corpus(
+        docs, None, min_tokens=10, max_repetition_ratio=0.5,
+        quality_model=(w, b, means, stds), min_quality_prob=0.5,
+        perplexity_lm=lm, max_perplexity=p1 * 1.5)
+    r2 = {r.doc_id: r.drop_reason for r in audit2.collect()}
+    assert r2[3] == "too_short"  # heuristics still first
+    assert r2[8] in ("low_quality", "high_perplexity")
+    kept2 = {r.doc_id for r in corpus2.collect()}
+    assert kept2 <= {1, 2, 6, 7} and 1 in kept2
+
+    # attrition accounts for every doc with the new reasons present
+    rep = {r.stage for r in attrition_report(audit2).collect()}
+    assert rep <= {"kept", "too_short", "repetitive", "language",
+                   "low_quality", "high_perplexity", "exact_dup",
+                   "near_dup", "contaminated"}
