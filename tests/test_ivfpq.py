@@ -4,6 +4,7 @@ end-to-end recall floor for the shortlist+rerank search path."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from apsviz_timeseriesdb_ingest_spark.llm.ivfpq import (
@@ -37,18 +38,30 @@ def _unit_vectors(spark, sf):
                     F.transform(vec, lambda x: x / nrm).alias("embedding"))
 
 
-def _trained(spark, sf):
-    vecs = _unit_vectors(spark, sf)
+@pytest.fixture(scope="module")
+def trained(spark, sf_small):
+    """One shared training run for the whole module: k-means + PQ
+    training dominate wall-clock (per-iteration janino compiles of the
+    literal-centroid expressions), and every test here consumes the
+    same deterministic artifacts."""
+    vecs = _unit_vectors(spark, sf_small)
     cents = train_kmeans(vecs, k=K, iters=4)
     books = train_pq(vecs, dim=DIM, m=M, codes=CODES, iters=4)
     return vecs, cents, books
 
 
-def test_ivfpq_index_build_fused_and_consistent(spark, sf_small):
+@pytest.fixture(scope="module")
+def trained_residual(spark, trained):
+    vecs, cents, _ = trained
+    return train_pq(residuals(vecs, cents), dim=DIM, m=M, codes=CODES,
+                    iters=4)
+
+
+def test_ivfpq_index_build_fused_and_consistent(spark, trained):
     """The index build is ONE projection (no exchange, no join between
     the cell-assign and encode halves) and agrees with the standalone
     kmeans_assign / pq_encode operators."""
-    vecs, cents, books = _trained(spark, sf_small)
+    vecs, cents, books = trained
     idx = build_ivfpq_index(vecs, cents, books)
 
     plan = idx._jdf.queryExecution().executedPlan().toString()
@@ -64,12 +77,12 @@ def test_ivfpq_index_build_fused_and_consistent(spark, sf_small):
     assert all(0 <= c < CODES for _, cs in rows.values() for c in cs)
 
 
-def test_ivfpq_probe_prunes_partitions_and_matches_pq_adc(spark, sf_small,
+def test_ivfpq_probe_prunes_partitions_and_matches_pq_adc(spark, trained,
                                                           tmp_path):
     """Probing the stored layout must (a) hit the partition filter and
     (b) return exactly the full-corpus PQ ADC ranking restricted to the
     probed cells (the IVF stage only prunes; ADC scoring is shared)."""
-    vecs, cents, books = _trained(spark, sf_small)
+    vecs, cents, books = trained
     catalog = Catalog(spark, str(tmp_path / "wh"))
     catalog.overwrite(build_ivfpq_index(vecs, cents, books), "ivfpq",
                       partition_by=["centroid_id"])
@@ -108,12 +121,12 @@ def test_ivfpq_probe_prunes_partitions_and_matches_pq_adc(spark, sf_small,
         assert n_files(probed) < n_files(index)
 
 
-def test_ivfpq_rerank_recall_floor(spark, sf_small, tmp_path):
+def test_ivfpq_rerank_recall_floor(spark, trained, tmp_path):
     """End-to-end search (nprobe cells -> ADC shortlist -> exact
     re-rank) vs the exact full-scan ranking. The floor is the measured
     value on this deterministic pipeline (bounded above by IVF's own
     nprobe recall), guarding regressions rather than asserting theory."""
-    vecs, cents, books = _trained(spark, sf_small)
+    vecs, cents, books = trained
     catalog = Catalog(spark, str(tmp_path / "wh"))
     catalog.overwrite(build_ivfpq_index(vecs, cents, books), "ivfpq",
                       partition_by=["centroid_id"])
@@ -130,7 +143,8 @@ def test_ivfpq_rerank_recall_floor(spark, sf_small, tmp_path):
     assert recall >= 0.5, f"ivfpq recall@3 collapsed: {recall}"
 
 
-def test_residual_encoding_measured_and_matches_numpy(spark, sf_small):
+def test_residual_encoding_measured_and_matches_numpy(
+        spark, trained, trained_residual):
     """The Spark residual codes must equal a numpy recompute of
     cell -> residual -> per-subspace argmin, and both encodings must
     actually learn (error bounded). The textbook 'residual
@@ -141,9 +155,9 @@ def test_residual_encoding_measured_and_matches_numpy(spark, sf_small):
     paths compute what they claim."""
     import numpy as np
 
-    vecs, cents, books_raw = _trained(spark, sf_small)
+    vecs, cents, books_raw = trained
     res = residuals(vecs, cents)
-    books_res = train_pq(res, dim=DIM, m=M, codes=CODES, iters=4)
+    books_res = trained_residual
     err_raw = pq_reconstruction_error(vecs, books_raw)
     err_res = pq_reconstruction_error(res, books_res)
     # unit vectors: total variance ~1; any trained codebook must beat it
@@ -169,15 +183,14 @@ def test_residual_encoding_measured_and_matches_numpy(spark, sf_small):
         assert got[vid] == (int(cell[i]), want_codes), vid
 
 
-def test_residual_search_end_to_end_recall_floor(spark, sf_small,
-                                                 tmp_path):
+def test_residual_search_end_to_end_recall_floor(spark, trained,
+                                                 trained_residual, tmp_path):
     """Same probe geometry, same shortlist, both encodings searched
     end-to-end: each must clear a measured recall floor (the re-rank
     stage absorbs most of the ADC quality difference — raw vs residual
     shortlists differ, final recall floors are what users feel)."""
-    vecs, cents, books_raw = _trained(spark, sf_small)
-    books_res = train_pq(residuals(vecs, cents), dim=DIM, m=M,
-                         codes=CODES, iters=4)
+    vecs, cents, books_raw = trained
+    books_res = trained_residual
     catalog = Catalog(spark, str(tmp_path / "wh"))
     catalog.overwrite(build_ivfpq_index(vecs, cents, books_raw), "raw",
                       partition_by=["centroid_id"])
