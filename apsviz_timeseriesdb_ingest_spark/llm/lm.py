@@ -76,6 +76,84 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
             "vocab_size": vocab_size}
 
 
+def _ngrams(tk: Column, n: int) -> Column:
+    """(context, token) struct array: each length-n window becomes the
+    space-joined (n-1)-token context plus its following token. Same
+    guarded-sequence idiom as :func:`_bigrams`; docs shorter than n
+    tokens yield an empty array."""
+    sz = F.size(tk)
+    idx = F.when(sz >= n, F.sequence(F.lit(1), sz - n + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.struct(
+        F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n - 1)])
+        .alias("context"),
+        F.element_at(tk, i + (n - 1)).alias("token")))
+
+
+def train_ngram_lm(df: DataFrame, *, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> dict[str, DataFrame | int]:
+    """General-n analogue of :func:`train_bigram_lm` (CCNet's actual
+    model is a 5-gram; the bigram form is kept separately for its
+    two-column join-key schema). Returns ``{"ngrams": (context, token,
+    count), "contexts": (context, count), "vocab_size": V, "n": n}``.
+
+    ``contexts`` is DERIVED from the n-gram table (groupBy context of
+    its counts), not counted independently — that makes the smoothed
+    conditional sum to 1 over the vocabulary and keeps training at one
+    expansion pass + two aggregations. The context key is the
+    space-joined (n-1)-gram: one shuffle key regardless of n.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tk = (df.repartition(par, id_col)
+          .select(tokens(text_col).alias("__tk")))
+    ngrams = (tk.select(F.explode(_ngrams(F.col("__tk"), n)).alias("g"))
+              .select("g.context", "g.token")
+              .groupBy("context", "token").agg(F.count("*").alias("count")))
+    contexts = (ngrams.groupBy("context")
+                .agg(F.sum("count").alias("count")))
+    vocab_size = (tk.select(F.explode("__tk").alias("t"))
+                  .agg(F.countDistinct("t")).collect()[0][0]) + 1
+    return {"ngrams": ngrams, "contexts": contexts,
+            "vocab_size": vocab_size, "n": n}
+
+
+def perplexity_ngram(df: DataFrame, lm: dict[str, DataFrame | int], *,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     add_k: float = 0.1) -> DataFrame:
+    """Per-document n-gram perplexity under a :func:`train_ngram_lm`
+    model — same output schema and smoothing semantics as
+    :func:`perplexity` (``n_bigrams`` generalizes to ``n_ngrams``):
+    ``logp = ln(c_ngram + k) - ln(c_context + k*V)`` with both LEFT
+    joins total via add-k; docs shorter than n tokens score NULL."""
+    v = float(lm["vocab_size"])
+    n = int(lm["n"])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    doc_ng = (df.repartition(par, id_col)
+              .select(F.col(id_col).alias("doc"),
+                      tokens(text_col).alias("__tk"))
+              .select("doc",
+                      F.explode_outer(_ngrams(F.col("__tk"), n)).alias("g"))
+              .select("doc", F.col("g.context").alias("context"),
+                      F.col("g.token").alias("token")))
+    ng = lm["ngrams"].select("context", "token",
+                             F.col("count").alias("c_ng"))
+    cx = lm["contexts"].select("context", F.col("count").alias("c_cx"))
+    logp = (F.log(F.coalesce(F.col("c_ng"), F.lit(0)) + F.lit(add_k))
+            - F.log(F.coalesce(F.col("c_cx"), F.lit(0)) + F.lit(add_k * v)))
+    scored = (doc_ng.join(ng, ["context", "token"], "left")
+              .join(cx, ["context"], "left")
+              .withColumn("__logp",
+                          F.when(F.col("context").isNotNull(), logp)))
+    return (scored.groupBy("doc")
+            .agg(F.count("__logp").alias("n_ngrams"),
+                 F.avg("__logp").alias("avg_logp"))
+            .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+            .select(F.col("doc").alias(id_col), "n_ngrams", "avg_logp",
+                    "perplexity"))
+
+
 def perplexity(df: DataFrame, lm: dict[str, DataFrame | int], *,
                text_col: str = "text", id_col: str = "doc_id",
                add_k: float = 0.1) -> DataFrame:

@@ -82,3 +82,64 @@ def test_lm_counts_shapes(spark, sf_small):
     missing = bg.join(ug.select(F.col("token").alias("w1")), "w1",
                       "left_anti")
     assert missing.count() == 0
+
+
+def _ngram3_sql(add_k: float, vocab_size: int) -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    ng AS (SELECT doc_id, concat_ws(' ', ts[i], ts[i + 1]) AS context,
+                  ts[i + 2] AS token
+           FROM tk, unnest(range(1, greatest(len(ts) - 1, 1))) AS r(i)),
+    ng_counts AS (SELECT context, token, count(*)::BIGINT AS c
+                  FROM ng GROUP BY context, token),
+    cx_counts AS (SELECT context, sum(c)::BIGINT AS c FROM ng_counts
+                  GROUP BY context),
+    scored AS (SELECT g.doc_id,
+                      ln(coalesce(nc.c, 0) + {add_k})
+                      - ln(coalesce(cc.c, 0) + {add_k * vocab_size}) AS logp
+               FROM ng g
+               LEFT JOIN ng_counts nc
+                 ON g.context = nc.context AND g.token = nc.token
+               LEFT JOIN cx_counts cc ON g.context = cc.context),
+    agg AS (SELECT doc_id, count(logp)::BIGINT AS n_ngrams,
+                   avg(logp) AS avg_logp FROM scored GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+           round(a.avg_logp, 6) AS avg_logp,
+           round(exp(-a.avg_logp), 6) AS perplexity
+    FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """
+
+
+def test_trigram_perplexity_matches_duckdb(spark, sf_oracle):
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        perplexity_ngram, train_ngram_lm)
+
+    docs = load_table(spark, sf_oracle, "documents")
+    lm = train_ngram_lm(docs, n=3)
+    got = (perplexity_ngram(docs, lm, add_k=0.1)
+           .select("doc_id", "n_ngrams",
+                   F.round("avg_logp", 6).alias("avg_logp"),
+                   F.round("perplexity", 6).alias("perplexity")))
+    con = duckdb_conn(sf_oracle)
+    problems = compare(got, con, _ngram3_sql(0.1, lm["vocab_size"]),
+                       name="trigram_perplexity")
+    assert not problems, problems
+
+
+def test_trigram_ranks_and_short_docs(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        perplexity_ngram, train_ngram_lm)
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat sat again")
+         for i in range(20)],
+        "doc_id long, text string")
+    lm = train_ngram_lm(train, n=3)
+    test = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "zqx wvut kjhg fdsa poiuy mnbvc"),
+         (102, "one two")],  # n-1 tokens: no trigram evidence
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in perplexity_ngram(test, lm).collect()}
+    assert rows[100].perplexity < rows[101].perplexity
+    assert rows[102].n_ngrams == 0 and rows[102].perplexity is None
