@@ -50,6 +50,7 @@ from .similarity import (  # noqa: F401
     ivf_probe,
     kmeans_assign,
     probe_cells_for,
+    semantic_dedup,
     train_kmeans,
 )
 from .multimodal import (  # noqa: F401
@@ -66,4 +67,32 @@ from .pipeline import (  # noqa: F401
     attrition_report,
     corpus_signals,
     prepare_training_corpus,
+)
+from .spans import (  # noqa: F401
+    duplicate_spans,
+    mask_duplicate_spans,
+)
+from .pq import (  # noqa: F401
+    pq_encode,
+    pq_reconstruction_error,
+    pq_topk,
+    train_pq,
+)
+from .ivfpq import (  # noqa: F401
+    build_ivfpq_index,
+    ivfpq_topk,
+    residuals,
+)
+from .lm import (  # noqa: F401
+    perplexity,
+    perplexity_ngram,
+    train_bigram_lm,
+    train_ngram_lm,
+)
+from .classifier import (  # noqa: F401
+    apply_standardization,
+    quality_features,
+    score_logreg,
+    standardize_stats,
+    train_logreg,
 )

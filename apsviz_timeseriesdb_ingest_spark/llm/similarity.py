@@ -38,6 +38,16 @@ def _dot_expanded(a: Column, b: Column, dim: int) -> Column:
     return dot
 
 
+def _dot_expanded_sql(a_sql: str, b_sql: str, dim: int) -> Column:
+    """:func:`_dot_expanded` built as one SQL string — the identical
+    left-deep tree (same results, same codegen) for ~3*dim fewer py4j
+    round-trips of driver-side plan construction (the banded-LSH
+    lesson in ``_bucket_sql``). Takes column NAMES, not Columns."""
+    return F.expr(" + ".join(
+        f"(element_at({a_sql}, {i}) * element_at({b_sql}, {i}))"
+        for i in range(1, dim + 1)))
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -139,9 +149,14 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     # deterministic family, so Spark and any oracle agree literally
     coeffs = (sparse_hyperplane_rows(dim, bands * planes, inv_density)
               if inv_density else hyperplane_coefficients(dim, bands * planes))
+
+    def bucket_col(rows: list[list[float]]) -> Column:
+        sql = _bucket_sql("vec", rows)
+        return F.expr(sql) if sql is not None else \
+            _bucket_from_rows(F.col("vec"), rows)
+
     bucket_cols = [
-        _bucket_from_rows(F.col("vec"),
-                          coeffs[t * planes:(t + 1) * planes]).alias(f"bucket_{t}")
+        bucket_col(coeffs[t * planes:(t + 1) * planes]).alias(f"bucket_{t}")
         for t in range(bands)]
     stack = ", ".join(f"{t}, bucket_{t}" for t in range(bands))
     buckets = (v.select("id", *bucket_cols)
@@ -160,7 +175,7 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
         .join(v.select(F.col("id").alias("doc_b"), F.col("vec").alias("bvec"),
                        F.col("nrm").alias("bnrm")), "doc_b")
         .withColumn("sim", F.round(
-            _dot_expanded(F.col("avec"), F.col("bvec"), dim)
+            _dot_expanded_sql("avec", "bvec", dim)
             / (F.col("anrm") * F.col("bnrm")), 6))
         .filter(F.col("sim") >= threshold)
         .select(F.col("doc_a").alias("vec_id_a"),
@@ -320,6 +335,26 @@ def sparse_hyperplane_rows(dim: int, planes: int,
 _EXPAND_MAX_TERMS = 24
 
 
+def _bucket_sql(vec_sql: str, rows: list[list[float]]) -> str | None:
+    """The :func:`_bucket_from_rows` expression as ONE SQL string, or
+    None if any row is too dense to expand. Parses to the identical
+    tree (left-deep double sums, same literals, same CASE shape) so
+    results and codegen are bit-for-bit the same — the difference is
+    driver-side cost: building 96 planes of Column arithmetic is
+    thousands of py4j round-trips (~4.5 s measured per fresh plan at
+    12x8 banding), one ``expr`` string is a single parse call (~0.3 s).
+    """
+    parts = []
+    for p, row in enumerate(rows):
+        nonzero = [(i, c) for i, c in enumerate(row) if c != 0.0]
+        if len(nonzero) > _EXPAND_MAX_TERMS:
+            return None
+        terms = " + ".join(f"(element_at({vec_sql}, {i + 1}) * {c!r}D)"
+                           for i, c in nonzero)
+        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {2 ** p}L ELSE 0L END)")
+    return "CAST(0 AS BIGINT) + " + " + ".join(parts)
+
+
 def _bucket_from_rows(vec: Column, rows: list[list[float]]) -> Column:
     """Sign bucket over EXPLICIT hyperplane rows: bit p = sign(vec .
     rows[p]). Shared by the single-table and banded paths.
@@ -460,7 +495,7 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
             sizes.filter(F.col("n") <= max_cell_size).select("cell")), "cell")
     else:
         v_pairs = v
-    sim = (_dot_expanded(F.col("a.vec"), F.col("b.vec"), dim)
+    sim = (_dot_expanded_sql("a.vec", "b.vec", dim)
            / (F.col("a.nrm") * F.col("b.nrm")))
     pairs = (
         v_pairs.alias("a")
