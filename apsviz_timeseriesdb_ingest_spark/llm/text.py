@@ -551,6 +551,35 @@ class ShingleBloom:
         return F.exists(shingle_array, lambda s: self.might_contain(s, bitmap))
 
 
+def _distinct_shingles(benchmark: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Distinct k-shingles of a frame as one column ``s``."""
+    from .dedup import shingles_from_tokens
+
+    return (benchmark
+            .select(tokens(text_col).alias("__tk"))
+            .select(F.explode(shingles_from_tokens(F.col("__tk"), k)).alias("s"))
+            .distinct())
+
+
+def _bloom_sparse_words(sh: DataFrame, num_bits: int,
+                        num_hashes: int) -> DataFrame:
+    """Sparse Bloom bitmap rows ``(w, bits)`` — only words with set bits —
+    built fully distributed: shingle → explode hash positions →
+    (word, bit mask) → ``bit_or`` per word. The driver never sees a
+    shingle."""
+    h1 = md5_hash64("s")
+    h2 = md5_hash64("s", seed="bloom2")
+    positions = sh.select(F.explode(F.array(
+        *[(h1 + F.lit(i) * h2) % F.lit(num_bits) for i in range(num_hashes)]
+    )).alias("pos"))
+    return (positions
+            .select(F.floor(F.col("pos") / 64).cast("long").alias("w"),
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("bigint"),
+                        (F.col("pos") % 64).cast("int")).alias("m"))
+            .groupBy("w").agg(F.bit_or("m").alias("bits")))
+
+
 def build_shingle_bloom(benchmark: DataFrame, *, text_col: str = "text",
                         k: int = 3, num_bits: int | None = None,
                         num_hashes: int = 6,
@@ -565,28 +594,13 @@ def build_shingle_bloom(benchmark: DataFrame, *, text_col: str = "text",
     array via a map lookup over the word range; the driver holds only
     the bitmap (num_bits/64 longs).
     """
-    from .dedup import shingles_from_tokens
-
-    sh = (benchmark
-          .select(tokens(text_col).alias("__tk"))
-          .select(F.explode(shingles_from_tokens(F.col("__tk"), k)).alias("s"))
-          .distinct())
+    sh = _distinct_shingles(benchmark, text_col, k)
     if num_bits is None:
         if expected_shingles is None:
             expected_shingles = sh.count()
         num_bits = max(1024, 32 * expected_shingles)
     num_words = (num_bits + 63) // 64
-    h1 = md5_hash64("s")
-    h2 = md5_hash64("s", seed="bloom2")
-    positions = sh.select(F.explode(F.array(
-        *[(h1 + F.lit(i) * h2) % F.lit(num_bits) for i in range(num_hashes)]
-    )).alias("pos"))
-    words = (positions
-             .select(F.floor(F.col("pos") / 64).cast("long").alias("w"),
-                     F.call_function(
-                         "shiftleft", F.lit(1).cast("bigint"),
-                         (F.col("pos") % 64).cast("int")).alias("m"))
-             .groupBy("w").agg(F.bit_or("m").alias("bits")))
+    words = _bloom_sparse_words(sh, num_bits, num_hashes)
     # densify via range + join + sorted collect — NOT element_at over a
     # Spark map (map lookups are linear scans; num_words lookups over a
     # num_words-entry map is quadratic in the bitmap size)
@@ -619,6 +633,106 @@ def decontaminate_bloom(train: DataFrame, bloom: ShingleBloom, *,
                     bloom.hit_flag(
                         shingles_from_tokens(F.col("__tk"), bloom.k),
                         F.col("bitmap")).alias("contaminated")))
+
+
+#: geometry sidecar for table-backed Bloom filters — read back on every
+#: probe, so probe-time config drift is impossible by construction
+BLOOM_TABLE_META = "num_bits long, num_hashes int, k int"
+
+
+def build_shingle_bloom_table(catalog, benchmark: DataFrame, *,
+                              table: str = "bench_bloom",
+                              text_col: str = "text", k: int = 3,
+                              num_bits: int | None = None,
+                              num_hashes: int = 6,
+                              expected_shingles: int | None = None) -> None:
+    """Persist the benchmark Bloom bitmap as a sparse ``(w, bits)`` TABLE.
+
+    This is the beyond-broadcast decontamination path: the one-row
+    :class:`ShingleBloom` bitmap ships to every executor and hits
+    Spark's ~2 GB broadcast/row ceiling around 10^9 benchmark shingles
+    at the default sizing. Stored as a table, the bitmap has no size
+    ceiling — only words with at least one set bit are kept (≤
+    ``num_hashes``·n rows regardless of ``num_bits``, so over-sizing
+    ``num_bits`` costs nothing but modulus range), and probing becomes
+    an equi-join on uniformly-distributed (md5) word keys — no skew, no
+    broadcast, prunable if the table is range-partitioned by ``w``.
+
+    Geometry (``num_bits``/``num_hashes``/``k``) is pinned in a one-row
+    ``{table}_meta`` sidecar and read back by
+    :func:`decontaminate_bloom_table` — probe-time parameter drift (the
+    silent accept-everything failure the LSH index sidecar guards
+    against) cannot happen here because the probe never takes the
+    parameters from the caller. A rebuild overwrites both rows and
+    thereby REDEFINES the filter.
+    """
+    sh = _distinct_shingles(benchmark, text_col, k)
+    if num_bits is None:
+        if expected_shingles is None:
+            expected_shingles = sh.count()
+        num_bits = max(1024, 32 * expected_shingles)
+    catalog.overwrite(_bloom_sparse_words(sh, num_bits, num_hashes), table)
+    catalog.overwrite(
+        benchmark.sparkSession.createDataFrame(
+            [(num_bits, num_hashes, k)], BLOOM_TABLE_META),
+        f"{table}_meta")
+
+
+def decontaminate_bloom_table(train: DataFrame, catalog, *,
+                              table: str = "bench_bloom",
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Table-backed twin of :func:`decontaminate_bloom` — same output
+    schema ``(id, contaminated)`` and the same md5 double-hash family,
+    so flags are bit-identical to the broadcast variant at equal
+    geometry (and match :func:`decontaminate` up to Bloom false
+    positives, which only ever DROP clean docs).
+
+    Shape: docs → shingles → ``num_hashes`` (word, bit) probe rows →
+    LEFT equi-join against the sparse bitmap table (absent word = no
+    bits set) → per-shingle ALL-positions-set via a duplicate-safe
+    ``min(hit)`` → per-doc ANY-shingle-hit. Two aggregations plus one
+    many-to-one join on uniform keys — O(docs·shingles·j) rows, never a
+    function of the benchmark size, and nothing is broadcast or held on
+    the driver, so this is the form that survives corpus-vs-corpus
+    decontamination (100 benchmarks × 10^5 shingles and beyond).
+    """
+    from .dedup import shingles_from_tokens
+
+    spark = train.sparkSession
+    meta = catalog.read(f"{table}_meta").collect()[0]
+    num_bits, num_hashes, k = meta.num_bits, meta.num_hashes, meta.k
+    words = catalog.read(table)
+    par = spark.sparkContext.defaultParallelism
+    probes = (
+        train.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))
+        .select("doc",
+                F.explode(shingles_from_tokens(F.col("__tk"), k)).alias("s"))
+        .select("doc", md5_hash64("s").alias("h1"),
+                md5_hash64("s", seed="bloom2").alias("h2"))
+        .select("doc", "h1", "h2", F.explode(F.array(
+            *[(F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(num_bits)
+              for i in range(num_hashes)])).alias("pos"))
+        .select("doc", "h1", "h2",
+                F.floor(F.col("pos") / 64).cast("long").alias("w"),
+                (F.col("pos") % 64).cast("int").alias("bit")))
+    hits = (
+        probes.join(words, "w", "left")
+        .select("doc", "h1", "h2",
+                F.coalesce(
+                    F.call_function("shiftright", F.col("bits"), F.col("bit"))
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(False)).alias("hit"))
+        # min(hit): true iff EVERY probe row of this shingle hit — and
+        # immune to a doc repeating a shingle (sum(hit)==j would not be)
+        .groupBy("doc", "h1", "h2").agg(F.min("hit").alias("all_set"))
+        .groupBy("doc").agg(F.max("all_set").alias("contaminated")))
+    return (train.select(F.col(id_col).alias("doc"))
+            .join(hits, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("contaminated", F.lit(False))
+                    .alias("contaminated")))
 
 
 def document_fingerprint(df: DataFrame, text_col: str = "text",

@@ -81,6 +81,64 @@ def test_bloom_matches_exact_on_large_benchmark(spark):
     assert "python" not in plan.lower()
 
 
+def test_bloom_table_matches_broadcast_and_exact(spark, tmp_path):
+    """The table-backed probe (the beyond-2GB-broadcast path) must flag
+    bit-identically to the one-row broadcast bloom at equal geometry,
+    and match the exact semi-join path when the filter is sized for
+    ~zero false positives. Geometry comes from the sidecar, not the
+    caller."""
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        build_shingle_bloom_table,
+        decontaminate_bloom_table,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    bench_vocab = _vocab("bench", 1500)
+    bench_rows = _docs("bench-docs", 40, 400, bench_vocab)
+    bench = spark.createDataFrame(bench_rows, SCHEMA)
+
+    rng = random.Random("tbl-spans")
+    contaminated_rows = []
+    for i in range(5):
+        src = bench_rows[rng.randrange(len(bench_rows))][1].split()
+        lo = rng.randrange(len(src) - 30)
+        span = " ".join(src[lo:lo + 30])
+        contaminated_rows.append((1000 + i, f"pre {span} post"))
+    clean_rows = _docs("clean", 10, 100, _vocab("other", 1500), start_id=2000)
+    train = spark.createDataFrame(contaminated_rows + clean_rows, SCHEMA)
+
+    catalog = Catalog(spark, str(tmp_path / "bloomwh"))
+    build_shingle_bloom_table(catalog, bench, table="bb",
+                              num_bits=1 << 21, expected_shingles=16_000)
+
+    got_df = decontaminate_bloom_table(train, catalog, table="bb")
+    got = {r.doc_id: r.contaminated for r in got_df.collect()}
+    exact = {r.doc_id: r.contaminated
+             for r in decontaminate(train, bench).collect()}
+    bloom = build_shingle_bloom(bench, num_bits=1 << 21)
+    via_broadcast = {r.doc_id: r.contaminated
+                     for r in decontaminate_bloom(train, bloom).collect()}
+
+    assert {i for i, c in exact.items() if c} == {1000 + i for i in range(5)}
+    assert got == exact == via_broadcast
+
+    # no benchmark content in the plan (the scale contract: plan size is
+    # independent of the contamination list) and no Python stage
+    plan = _plan(got_df)
+    assert bench_rows[0][1].split()[0] not in plan
+    assert "python" not in plan.lower()
+
+    # a rebuild REDEFINES the filter: the probe must pick up the new
+    # sidecar geometry, not the build-time caller's
+    build_shingle_bloom_table(catalog, bench, table="bb",
+                              num_bits=1 << 18, num_hashes=4,
+                              expected_shingles=16_000)
+    regot = {r.doc_id: r.contaminated
+             for r in decontaminate_bloom_table(train, catalog, table="bb")
+             .collect()}
+    assert {i for i, c in regot.items() if c} >= {1000 + i for i in range(5)}
+
+
 def test_stream_prep_bloom_matches_literal_path(spark):
     from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
         benchmark_bloom,
