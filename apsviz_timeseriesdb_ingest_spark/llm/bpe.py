@@ -1,0 +1,272 @@
+"""Distributed BPE tokenizer: training and encoding on DataFrames.
+
+Byte-pair encoding (Sennrich et al. 2016) in its word-frequency-table
+formulation: training never touches the corpus after one word-count
+pass — every merge iteration runs over the DISTINCT-word table
+``(syms array<string>, count)``, which is orders of magnitude smaller
+than the corpus (the 100 TB shape: ~1e8 distinct words vs ~1e13
+tokens). Per merge the engine does
+
+1. one pair-count aggregate (explode adjacent symbol pairs weighted by
+   word count, one shuffle on tiny keys) and a driver-side top-1, then
+2. one map-side HOF fold that rewrites only the symbol arrays
+   (left-to-right, non-overlapping — the classic greedy merge order).
+
+The driver holds only the ordered merge list (like k-means centroids),
+never words or text. Real tokenizer trainings run on a corpus SAMPLE;
+``sample_fraction`` (deterministic md5 keep test, re-runnable) and
+``max_words`` (top-K words by count) bound the training set the same
+way.
+
+Encoding comes in two forms with identical output:
+
+- ``engine="sql"``: apply the merge chain to the corpus' distinct-word
+  table as nested HOF folds (checkpointed every ``chunk`` merges to
+  bound plan depth), then join the pieces back and reassemble per doc.
+  Zero Python — right for modest merge counts (a driver-gate-friendly,
+  oracle-auditable path).
+- ``engine="pandas"``: one Arrow-batched ``mapInPandas`` pass with a
+  per-batch word→pieces memo — right for production vocabularies
+  (32k merges as a chain of 32k folds would be absurd; as a dict-driven
+  loop it is microseconds per distinct word).
+
+No reference analogue (the reference ingests numeric timeseries); this
+belongs to the training-data extension surface next to
+``llm/text.token_stats``'s BPE-ish estimate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable_hash import md5_hash64
+
+#: end-of-word marker appended as its own symbol before training
+EOW = "</w>"
+
+#: Java ``\s`` (ASCII) — the pandas encoder must split exactly like
+#: ``llm.text.tokens`` or the two engines would tokenize differently
+_WS = "[ \t\n\x0b\f\r]+"
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """An ordered merge list plus the tokenizer's fixed conventions."""
+
+    merges: tuple[tuple[str, str], ...]
+    eow: str = EOW
+
+    @property
+    def ranks(self) -> dict[tuple[str, str], int]:
+        return {m: i for i, m in enumerate(self.merges)}
+
+
+def _char_syms(word: Column, eow: str) -> Column:
+    """Initial symbol array: characters plus the end-of-word marker."""
+    chars = F.transform(F.sequence(F.lit(1), F.length(word)),
+                        lambda i: F.substr(word, i, F.lit(1)))
+    return F.concat(chars, F.array(F.lit(eow)))
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """One BPE merge as a left-to-right HOF fold: every non-overlapping
+    adjacent ``(a, b)`` becomes ``a+b``. Seeding the accumulator with the
+    first symbol keeps ``element_at(acc, -1)`` in-bounds under ANSI mode
+    (symbol arrays are never empty: words are non-empty + eow)."""
+    merged = a + b
+    rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.slice(syms, 1, 1),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _word_counts(df: DataFrame, text_col: str, id_col: str,
+                 sample_fraction: float | None, seed: str) -> DataFrame:
+    """``(word, count)`` over (a deterministic sample of) the corpus."""
+    from .text import tokens
+
+    d = df
+    if sample_fraction is not None:
+        # md5 unit-interval keep test — same re-runnable doc sample on
+        # any engine/cluster (see text.weighted_sample)
+        keep = (md5_hash64(F.col(id_col).cast("string"), seed=seed)
+                / F.lit(float(1 << 60))) < sample_fraction
+        d = d.filter(keep)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (d.repartition(par, id_col)
+            .select(F.explode(tokens(text_col)).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("count")))
+
+
+def train_bpe(df: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id", num_merges: int = 64,
+              min_count: int = 2, sample_fraction: float | None = None,
+              max_words: int | None = None,
+              seed: str = "bpe-v1", eow: str = EOW) -> BpeModel:
+    """Learn ``num_merges`` BPE merges from a corpus.
+
+    Deterministic: the winning pair is the highest weighted count with
+    ties broken by smallest ``(a, b)`` — the same total order on every
+    engine, so retraining reproduces the identical merge list. Stops
+    early when the best pair's count drops below ``min_count`` (merging
+    hapax pairs memorizes the sample) or no pairs remain.
+    """
+    words = _word_counts(df, text_col, id_col, sample_fraction, seed)
+    if max_words is not None:
+        words = words.orderBy(F.desc("count"), "word").limit(max_words)
+    words = (words.select(_char_syms(F.col("word"), eow).alias("syms"),
+                          "count")
+             .localCheckpoint(eager=True))
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        top = (words
+               .filter(F.size("syms") >= 2)
+               .select("count", F.explode(F.transform(
+                   F.sequence(F.lit(1), F.size("syms") - 1),
+                   lambda i: F.struct(
+                       F.element_at(F.col("syms"), i).alias("a"),
+                       F.element_at(F.col("syms"), i + 1).alias("b"))))
+                   .alias("p"))
+               .groupBy("p.a", "p.b").agg(F.sum("count").alias("c"))
+               .orderBy(F.desc("c"), "a", "b")
+               .limit(1).collect())
+        if not top or top[0]["c"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        words = (words
+                 .select(_merge_pair_expr(F.col("syms"), a, b).alias("syms"),
+                         "count")
+                 .localCheckpoint(eager=True))
+    return BpeModel(merges=tuple(merges), eow=eow)
+
+
+def word_pieces(words: DataFrame, model: BpeModel, *,
+                word_col: str = "word", chunk: int = 16) -> DataFrame:
+    """Apply the merge chain to a distinct-word frame → ``(word_col,
+    pieces array<string>)``. Plan depth is bounded by checkpointing
+    every ``chunk`` merges; cost is |merges| map passes over the word
+    table — fine for modest vocabularies, use the pandas engine beyond
+    that (see module docstring)."""
+    out = words.select(word_col,
+                       _char_syms(F.col(word_col), model.eow).alias("pieces"))
+    for i, (a, b) in enumerate(model.merges):
+        out = out.select(word_col,
+                         _merge_pair_expr(F.col("pieces"), a, b)
+                         .alias("pieces"))
+        if (i + 1) % chunk == 0 and i + 1 < len(model.merges):
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def _encode_word_py(word: str, model: BpeModel,
+                    memo: dict[str, list[str]]) -> list[str]:
+    """Python twin of the SQL merge chain (sequential merges, each
+    applied left-to-right) — the two engines must tokenize identically."""
+    got = memo.get(word)
+    if got is not None:
+        return got
+    syms = list(word) + [model.eow]
+    for a, b in model.merges:
+        if a not in syms or b not in syms:
+            continue
+        out = [syms[0]]
+        for x in syms[1:]:
+            if out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    memo[word] = syms
+    return syms
+
+
+def bpe_encode_docs(df: DataFrame, model: BpeModel, *,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    engine: str = "sql") -> DataFrame:
+    """Tokenize every doc → ``(id_col, bpe_tokens array<string>,
+    n_bpe_tokens)``. ``engine="sql"`` encodes the corpus' distinct-word
+    table via the merge chain and reassembles docs with one
+    position-sorted aggregate; ``engine="pandas"`` is a single
+    Arrow-batched pass (see module docstring for when each wins)."""
+    if engine == "pandas":
+        return _encode_docs_pandas(df, model, text_col, id_col)
+    if engine != "sql":
+        raise ValueError(f"unknown engine {engine!r}")
+    from .text import tokens
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (df.repartition(par, id_col)
+            .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tk"))
+            .select("__id", F.posexplode(F.col("__tk"))
+                    .alias("__pos", "word")))
+    vocab = word_pieces(toks.select("word").distinct(), model)
+    encoded = (toks.join(vocab, "word")
+               .groupBy("__id")
+               .agg(F.flatten(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("__pos"), F.col("pieces")))),
+                   lambda s: s["pieces"])).alias("bpe_tokens")))
+    return (df.select(F.col(id_col).alias("__id"))
+            .join(encoded, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce("bpe_tokens",
+                               F.expr("CAST(array() AS array<string>)"))
+                    .alias("bpe_tokens"))
+            .withColumn("n_bpe_tokens", F.size("bpe_tokens")))
+
+
+def _encode_docs_pandas(df: DataFrame, model: BpeModel,
+                        text_col: str, id_col: str) -> DataFrame:
+    import re
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, bpe_tokens array<string>, "
+              "n_bpe_tokens int")
+    ws = re.compile(_WS)
+
+    def encode(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col].astype(str):
+                words = [w for w in ws.split(text.lower()) if w]
+                pieces: list[str] = []
+                for w in words:
+                    pieces.extend(_encode_word_py(w, model, memo))
+                toks.append(pieces)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "bpe_tokens": toks,
+                "n_bpe_tokens": [len(t) for t in toks],
+            })
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartition(par, id_col)
+            .select(id_col, text_col).mapInPandas(encode, schema))
+
+
+def subword_vocabulary(encoded: DataFrame, *,
+                       tokens_col: str = "bpe_tokens") -> DataFrame:
+    """Corpus subword vocabulary ``(piece, n_uses, n_docs)`` from
+    :func:`bpe_encode_docs` output — one explode + one aggregate."""
+    return (encoded
+            .select(F.explode(tokens_col).alias("piece"))
+            .groupBy("piece")
+            .agg(F.count("*").alias("n_uses"))
+            .join(encoded.select(F.explode(F.array_distinct(
+                F.col(tokens_col))).alias("piece"))
+                .groupBy("piece").agg(F.count("*").alias("n_docs")),
+                "piece"))

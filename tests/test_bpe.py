@@ -1,0 +1,176 @@
+"""Distributed BPE: merge-list parity against a pure-Python reference
+implementation of Sennrich's algorithm, SQL-vs-pandas engine equality,
+and plan shape (the SQL encoder must be Python-free)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from apsviz_timeseriesdb_ingest_spark.llm.bpe import (
+    EOW,
+    BpeModel,
+    bpe_encode_docs,
+    subword_vocabulary,
+    train_bpe,
+    word_pieces,
+)
+
+SCHEMA = "doc_id long, text string"
+
+DOCS = [
+    (1, "the lower the better the lowest"),
+    (2, "low lower lowest lowly low low"),
+    (3, "new newer newest news new new"),
+    (4, "the newer the better said the newest"),
+    (5, "widest wide wider the widest wide"),
+    (6, "Lower LOWER lower: no — tokens keep punctuation, lowercased"),
+    (7, ""),
+    (8, "low"),
+]
+
+
+def _ref_word_counts(rows) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for _, text in rows:
+        for w in re.split("[ \t\n\x0b\f\r]+", text.lower()):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def _ref_apply(syms: list[str], a: str, b: str) -> list[str]:
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _ref_train(counts: dict[str, int], num_merges: int,
+               min_count: int = 2) -> list[tuple[str, str]]:
+    words = {tuple(list(w) + [EOW]): c for w, c in counts.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_count:
+            break
+        merges.append((a, b))
+        words = {tuple(_ref_apply(list(s), a, b)): c for s, c in words.items()}
+    return merges
+
+
+def _ref_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    pieces: list[str] = []
+    for w in re.split("[ \t\n\x0b\f\r]+", text.lower()):
+        if not w:
+            continue
+        syms = list(w) + [EOW]
+        for a, b in merges:
+            syms = _ref_apply(syms, a, b)
+        pieces.extend(syms)
+    return pieces
+
+
+def test_train_matches_reference_merge_for_merge(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    model = train_bpe(df, num_merges=40)
+    expect = _ref_train(_ref_word_counts(DOCS), 40)
+    assert list(model.merges) == expect
+    assert len(model.merges) > 10  # the corpus genuinely trains
+
+
+def test_encode_sql_matches_reference_and_pandas(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    model = train_bpe(df, num_merges=25)
+
+    via_sql = {r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+               for r in bpe_encode_docs(df, model).collect()}
+    via_pandas = {r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+                  for r in bpe_encode_docs(df, model,
+                                           engine="pandas").collect()}
+    expect = {i: (_ref_encode(t, list(model.merges)),
+                  len(_ref_encode(t, list(model.merges))))
+              for i, t in DOCS}
+    assert via_sql == expect
+    assert via_pandas == expect
+    assert via_sql[7] == ([], 0)  # empty doc survives with empty tokens
+
+    # frequent words compress to one piece: "low</w>" must be a single
+    # token after 25 merges on this corpus
+    assert via_sql[8][1] == 1
+
+
+def test_encode_unseen_words_fall_back_to_chars(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    model = train_bpe(df, num_merges=15)
+    unseen = spark.createDataFrame([(99, "zyxw")], SCHEMA)
+    got = bpe_encode_docs(unseen, model).collect()[0]
+    assert list(got.bpe_tokens) == _ref_encode("zyxw", list(model.merges))
+    assert got.n_bpe_tokens >= 4  # no merges learned for these chars
+
+
+def test_word_pieces_concat_invariant(spark):
+    """Pieces always concatenate back to word + eow, whatever the merges
+    did (the underlying string is invariant under BPE)."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    model = train_bpe(df, num_merges=30)
+    words = spark.createDataFrame(
+        [("lowest",), ("newest",), ("the",), ("a",)], "word string")
+    for r in word_pieces(words, model).collect():
+        assert "".join(r.pieces) == r.word + EOW
+
+
+def test_sql_encoder_plan_is_python_free(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    model = BpeModel(merges=(("l", "o"), ("lo", "w")))
+    out = bpe_encode_docs(df, model)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_min_count_stops_before_memorizing(spark):
+    # every adjacent pair occurs once -> best count 1 < min_count=2
+    singles = spark.createDataFrame([(1, "qa wb ec")], SCHEMA)
+    model = train_bpe(singles, num_merges=10, min_count=2)
+    assert model.merges == ()
+
+
+def test_sampled_training_is_deterministic(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    m1 = train_bpe(df, num_merges=12, sample_fraction=0.7)
+    m2 = train_bpe(df, num_merges=12, sample_fraction=0.7)
+    assert m1.merges == m2.merges
+
+
+def test_subword_vocabulary(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    model = train_bpe(df, num_merges=20)
+    encoded = bpe_encode_docs(df, model)
+    vocab = {r.piece: (r.n_uses, r.n_docs)
+             for r in subword_vocabulary(encoded).collect()}
+    # recompute from the reference encoding
+    expect_uses: dict[str, int] = {}
+    expect_docs: dict[str, int] = {}
+    for _, t in DOCS:
+        pieces = _ref_encode(t, list(model.merges))
+        for p in pieces:
+            expect_uses[p] = expect_uses.get(p, 0) + 1
+        for p in set(pieces):
+            expect_docs[p] = expect_docs.get(p, 0) + 1
+    assert vocab == {p: (expect_uses[p], expect_docs[p]) for p in expect_uses}
