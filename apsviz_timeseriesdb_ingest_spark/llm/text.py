@@ -463,6 +463,48 @@ def pack_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, max_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Token-aligned sliding-window chunking: split every doc into
+    windows of ``max_tokens`` whitespace tokens advancing by
+    ``max_tokens - overlap`` — the standard long-document →
+    context-length preparation between cleaning and packing.
+
+    Window starts are generated per row (``sequence`` + ``filter``), the
+    token slices are materialized INSIDE the transform so the explode
+    drags only the chunk array, not the full token array per output row
+    (the Generate trap — see CLAUDE.md perf notes). A trailing window
+    whose content is entirely contained in the previous one is dropped
+    (emit start s iff s == 1 or s + overlap <= n), so chunks cover every
+    token exactly without a redundant tail. Zero-token docs produce no
+    chunks. Original case/punctuation is preserved (chunking must not
+    alter training text, unlike the lowercased analysis ``tokens``).
+
+    Cost: one map-side expansion of ~(1 + overlap/stride)x the corpus
+    text — no shuffle, no Python.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    d = (df.repartition(par, id_col)
+         .select(id_col, toks.alias("__tk"))
+         .withColumn("__n", F.size("__tk"))
+         .filter(F.col("__n") >= 1))
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.col("__n"), F.lit(1)),
+                   F.lit(stride)),
+        lambda s: (s == 1) | (s + F.lit(overlap) <= F.col("__n")))
+    chunks = F.transform(starts,
+                         lambda s: F.slice(F.col("__tk"), s, max_tokens))
+    return (d.select(id_col, F.posexplode(chunks).alias("chunk_id", "__c"))
+            .select(id_col, "chunk_id",
+                    F.array_join(F.col("__c"), " ").alias("chunk_text"),
+                    F.size("__c").alias("n_chunk_tokens")))
+
+
 def decontaminate(train: DataFrame, benchmark: DataFrame, *,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:
