@@ -96,6 +96,78 @@ def duplicate_spans(df: DataFrame, *, text_col: str = "text",
     )
 
 
+def dedup_paragraphs(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id", max_freq: int = 1,
+                     mode: str = "keep_first",
+                     min_chars: int = 0) -> DataFrame:
+    """Corpus-wide paragraph deduplication (the RefinedWeb / MassiveText
+    boilerplate pass, paragraph grain): a paragraph occurring more than
+    ``max_freq`` times across the corpus (within-doc repeats count too)
+    is removed from every document — except,
+    under ``mode="keep_first"`` (default), its single deterministic
+    winner occurrence (smallest ``(doc, position)``), so unique content
+    is never lost; ``mode="all"`` cuts every occurrence (pure
+    boilerplate removal).
+
+    Paragraphs split on blank-line runs; identity is the md5 of the
+    whitespace-collapsed lower-cased body, so indentation/casing
+    variants of the same boilerplate collapse. Paragraphs shorter than
+    ``min_chars`` (normalized) are exempt — headers like "Introduction"
+    repeat legitimately. Output rebuilds each doc with ``"\\n\\n"``
+    between surviving paragraphs, original paragraph text preserved
+    verbatim and in order: ``(id, deduped_text, n_paragraphs,
+    n_removed)``. Every input doc appears in the output — all-removed
+    or paragraph-free docs come back with empty text (tag-don't-filter:
+    the caller decides to drop).
+
+    Scale shape: one aggregate on the paragraph key (count + ``min``
+    winner — map-side partial, uniform md5 keys), a many-to-one join
+    back on the same key, and a per-document reassembly aggregate.
+    State is bounded by one document's paragraphs; the corpus-wide
+    frequency table holds one row per DISTINCT paragraph.
+    """
+    if mode not in ("keep_first", "all"):
+        raise ValueError(f"unknown mode {mode!r}")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    body = F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
+    paras = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("doc"),
+                F.posexplode(F.split(F.col(text_col), r"\n[ \t\r]*\n+"))
+                .alias("pos", "para"))
+        .filter(F.trim(F.col("para")) != "")
+        .select("doc", "pos", "para", md5_hash64(body).alias("pkey"),
+                F.length(body).alias("plen")))
+    stats = (paras.groupBy("pkey")
+             .agg(F.count("*").alias("freq"),
+                  F.min(F.struct("doc", "pos")).alias("winner")))
+    flagged = (paras.join(stats, "pkey")
+               .withColumn("drop", (F.col("freq") > max_freq)
+                           & (F.col("plen") >= min_chars)))
+    if mode == "keep_first":
+        flagged = flagged.withColumn(
+            "drop", F.col("drop")
+            & ~((F.col("winner.doc") == F.col("doc"))
+                & (F.col("winner.pos") == F.col("pos"))))
+    rebuilt = (
+        flagged.groupBy("doc")
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.when(
+                ~F.col("drop"),
+                F.struct("pos", "para")))),
+            lambda s: s["para"]), "\n\n").alias("deduped_text"),
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.col("drop").cast("int")).alias("n_removed"))
+        .select(F.col("doc").alias(id_col), "deduped_text",
+                "n_paragraphs", "n_removed"))
+    return (df.select(F.col(id_col))
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+                    F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed")))
+
+
 def mask_duplicate_spans(df: DataFrame, spans: DataFrame, *,
                          text_col: str = "text", id_col: str = "doc_id",
                          k: int = 3) -> DataFrame:

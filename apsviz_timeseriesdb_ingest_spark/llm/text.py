@@ -259,6 +259,31 @@ def weighted_sample(df: DataFrame, *, id_col: str = "doc_id",
     return df.filter(u < F.lit(rate) * w)
 
 
+def stratified_sample(df: DataFrame, strata: list[str] | str, n: int, *,
+                      id_col: str = "doc_id",
+                      seed: str = "strata-v1") -> DataFrame:
+    """Deterministic exact-``n``-per-stratum sampling: within every
+    stratum keep the ``n`` docs with the smallest md5 hash — a uniform
+    random-but-reproducible choice (same set on every run, cluster, and
+    engine), the eval-set/inspection-sample builder that
+    ``df.sampleBy`` (rate-based, partitioning-dependent) cannot give.
+
+    One shuffle on the strata key. The per-stratum top-n is a
+    ``min_by``-style ranked window — for a HOT stratum (one group
+    holding most of the corpus) that window sorts the stratum in one
+    task; at that skew use rate-based :func:`weighted_sample` /
+    :func:`corpus_mixture` instead, or pre-filter with an approximate
+    per-stratum rate and finish exactly on the survivors.
+    """
+    from pyspark.sql import Window
+
+    keys = [strata] if isinstance(strata, str) else list(strata)
+    u = md5_hash64(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy(*keys).orderBy(u.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))
+
+
 def corpus_mixture(df: DataFrame, rates: dict[str, float], *,
                    source_col: str = "source", id_col: str = "doc_id",
                    default_rate: float = 1.0,
@@ -391,7 +416,7 @@ _ORDER_BUCKET_SHIFT = 60 - 6
 
 
 def _with_global_positions(df: DataFrame, id_col: str, seed: str,
-                           char_col: str | None = None) -> DataFrame:
+                           weight: Column | None = None) -> DataFrame:
     """Distributed enumeration of the deterministic (hash-key, id) total
     order — the scale-safe replacement for a partition-less
     ``Window.orderBy`` (which funnels the whole corpus through ONE task;
@@ -401,8 +426,8 @@ def _with_global_positions(df: DataFrame, id_col: str, seed: str,
     (uniform by construction, no sampling), a per-bucket window numbers
     rows within each bucket in parallel, and per-bucket offsets come from
     one tiny count/sum job (<= 64 rows collected). Adds ``shuffle_pos``
-    and, when ``char_col`` is given, ``__run`` = global running character
-    total over the same order.
+    and, when a ``weight`` expression is given, ``__run`` = global
+    running weight total over the same order.
     """
     from pyspark.sql import Window
 
@@ -410,30 +435,31 @@ def _with_global_positions(df: DataFrame, id_col: str, seed: str,
             .withColumn("__bkt", F.shiftright(F.col("__key"), _ORDER_BUCKET_SHIFT)
                         .cast("int")))
     aggs = [F.count("*").alias("cnt")]
-    if char_col is not None:
-        aggs.append(F.sum(F.length(char_col)).alias("chars"))
+    if weight is not None:
+        base = base.withColumn("__wt", weight)
+        aggs.append(F.sum("__wt").alias("wt"))
     stats = sorted((r["__bkt"], r) for r in base.groupBy("__bkt").agg(*aggs).collect())
     pos_off: dict[int, int] = {0: 0}
-    chr_off: dict[int, int] = {0: 0}
-    pos = chars = 0
+    wt_off: dict[int, int] = {0: 0}
+    pos = wt = 0
     for bkt, r in stats:
         pos_off[bkt] = pos
         pos += r["cnt"]
-        if char_col is not None:
-            chr_off[bkt] = chars
-            chars += r["chars"]
+        if weight is not None:
+            wt_off[bkt] = wt
+            wt += r["wt"]
     w = Window.partitionBy("__bkt").orderBy("__key", id_col)
     pos_map = F.create_map(*[F.lit(x) for bkt, off in pos_off.items()
                              for x in (bkt, off)])
     out = base.withColumn(
         "shuffle_pos",
         F.element_at(pos_map, F.col("__bkt")) + F.row_number().over(w))
-    if char_col is not None:
-        run = F.sum(F.length(char_col)).over(
+    if weight is not None:
+        run = F.sum("__wt").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        chr_map = F.create_map(*[F.lit(x) for bkt, off in chr_off.items()
-                                 for x in (bkt, off)])
-        out = out.withColumn("__run", F.element_at(chr_map, F.col("__bkt")) + run)
+        wt_map = F.create_map(*[F.lit(x) for bkt, off in wt_off.items()
+                                for x in (bkt, off)])
+        out = out.withColumn("__run", F.element_at(wt_map, F.col("__bkt")) + run)
     return out
 
 
@@ -448,17 +474,29 @@ def shuffle_rank(df: DataFrame, *, id_col: str = "doc_id",
 
 def pack_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    *, target_chars: int = 2048, seed: str = "shuffle-v1",
+                   weight_col: str | None = None,
                    ) -> DataFrame:
     """Greedy sequence packing: walk docs in the deterministic shuffle
-    order and cut a new pack whenever the running character total crosses
+    order and cut a new pack whenever the running weight total crosses
     the target — the standard pretraining packing pass. The running total
     is the same bucketed two-phase enumeration as :func:`shuffle_rank`
-    (per-bucket cumulative sums + per-bucket character offsets), so no
+    (per-bucket cumulative sums + per-bucket weight offsets), so no
     stage funnels the corpus through one task; ``shuffle_pos`` is carried
-    in the output so one pass serves both operators."""
-    out = _with_global_positions(df, id_col, seed, char_col=text_col)
+    in the output so one pass serves both operators.
+
+    By default the weight is ``length(text_col)`` (character packing,
+    output column ``n_chars_measured``). Pass ``weight_col`` to pack by
+    any per-doc size — e.g. ``n_bpe_tokens`` from
+    :func:`llm.bpe.bpe_encode_docs` for true token-budget packs — and
+    the measured column becomes ``n_weight_measured``; ``target_chars``
+    is then a weight target."""
+    if weight_col is None:
+        weight, measured = F.length(text_col), "n_chars_measured"
+    else:
+        weight, measured = F.col(weight_col), "n_weight_measured"
+    out = _with_global_positions(df, id_col, seed, weight=weight)
     return out.select(
-        id_col, F.length(text_col).alias("n_chars_measured"), "shuffle_pos",
+        id_col, F.col("__wt").alias(measured), "shuffle_pos",
         F.floor((F.col("__run") - 1) / target_chars).cast("int").alias("pack_id"),
     )
 
@@ -775,6 +813,64 @@ def decontaminate_bloom_table(train: DataFrame, catalog, *,
             .select(F.col("doc").alias(id_col),
                     F.coalesce("contaminated", F.lit(False))
                     .alias("contaminated")))
+
+
+def url_host(url: Column | str) -> Column:
+    """Normalized host of an absolute URL: lower-cased, leading ``www.``
+    stripped; NULL when the URL has no parseable host. ``try_parse_url``,
+    not ``parse_url``: under Spark 4 ANSI mode one malformed URL in a
+    crawl would otherwise abort the whole distributed read."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def _host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host (``a.b.com`` → ``[a.b.com, b.com,
+    com]``) — bounded by label count, so domain-list matching becomes an
+    equi-join instead of an endswith theta-join (which would be a
+    BroadcastNestedLoop at corpus scale)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: F.array_join(F.slice(parts, i, n), "."))
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Docs per normalized host — the crawl-composition profile
+    (``host`` NULL groups the unparseable URLs)."""
+    return (df.select(url_host(url_col).alias("host"))
+            .groupBy("host").agg(F.count("*").alias("n_docs")))
+
+
+def filter_by_domain(df: DataFrame, domains: DataFrame, *,
+                     url_col: str = "url", id_col: str = "doc_id",
+                     mode: str = "block") -> DataFrame:
+    """Domain-list filtering (the crawl blocklist/allowlist pass).
+
+    ``domains`` is a one-column frame (``domain``) of registrable
+    domains; a doc matches when ANY dot-suffix of its normalized host
+    equals a listed domain, so ``spam.com`` also covers
+    ``ads.spam.com`` — without an endswith theta-join: suffixes are
+    exploded (≤ label count per doc) and equi-joined against the
+    broadcast list. ``mode="block"`` anti-joins matches away;
+    ``mode="allow"`` keeps ONLY matches (docs with unparseable hosts
+    match nothing: kept by block, dropped by allow). All original
+    columns pass through.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"unknown mode {mode!r}")
+    sfx = (df.select(F.col(id_col).alias("__id"),
+                     url_host(F.col(url_col)).alias("__h"))
+           .filter(F.col("__h").isNotNull())
+           .select("__id",
+                   F.explode(_host_suffixes(F.col("__h"))).alias("domain")))
+    hit = (sfx.join(F.broadcast(domains.select(
+        F.lower(F.col("domain")).alias("domain")).distinct()),
+        "domain", "left_semi")
+        .select(F.col("__id").alias(id_col)).distinct())
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(hit, id_col, how)
 
 
 def document_fingerprint(df: DataFrame, text_col: str = "text",

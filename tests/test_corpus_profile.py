@@ -120,3 +120,41 @@ def test_corpus_profile_single_group(spark):
     row = corpus_profile(docs).collect()[0]
     assert (row.n_docs, row.total_tokens) == (3, 9)
     assert row.p50_tokens == 3.0
+
+
+def test_stratified_sample_duckdb_parity(spark, sf_oracle):
+    from apsviz_timeseriesdb_ingest_spark.functions.portable_hash import (
+        md5_hash64_sql,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.text import stratified_sample
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = stratified_sample(docs, "source", 7).select("source", "doc_id")
+    h = md5_hash64_sql("doc_id", seed="strata-v1")
+    sql = f"""
+        SELECT source, doc_id FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {h}, doc_id) AS rn
+            FROM documents) WHERE rn <= 7
+    """
+    compare(out, duckdb_conn(sf_oracle), sql, name="stratified_sample")
+
+
+def test_stratified_sample_behavior(spark, sf_small):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import stratified_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    out = stratified_sample(docs, ["source"], 5)
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_stratum = {r.source: r.n for r in
+                   docs.groupBy("source").agg(F.count("*").alias("n"))
+                   .collect()}
+    for s, have in per_stratum.items():
+        assert counts[s] == min(5, have)
+    # deterministic: the same sample on a rerun
+    a = {(r.source, r.doc_id) for r in out.collect()}
+    b = {(r.source, r.doc_id)
+         for r in stratified_sample(docs, ["source"], 5).collect()}
+    assert a == b

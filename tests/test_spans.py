@@ -97,3 +97,62 @@ def test_mask_removes_exactly_the_spanned_tokens(spark):
     # untouched doc passes through token-normalized, nothing removed
     assert out[3].n_tokens_removed == 0
     assert "tide gauges" in out[3].deduped_text
+
+
+BOILER = "Subscribe to our newsletter for updates"
+
+
+def test_paragraph_dedup_keep_first_semantics(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.spans import dedup_paragraphs
+
+    docs = [
+        (1, f"Unique intro one.\n\n{BOILER}\n\nBody of doc one."),
+        # indentation/case variant of the boilerplate must collapse
+        (2, f"Different text two.\n\n  subscribe TO our\tnewsletter "
+            "for updates \n\nMore two."),
+        (3, f"{BOILER}\n\nOnly other content three."),
+        (4, "Entirely unique document four."),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, SCHEMA)
+    got = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+
+    # winner = smallest (doc, pos): doc 1 keeps its verbatim copy
+    assert got[1].deduped_text == docs[1 - 1][1]
+    assert (got[1].n_paragraphs, got[1].n_removed) == (3, 0)
+    # losers lose exactly the boilerplate, keep their own text verbatim
+    assert got[2].deduped_text == "Different text two.\n\nMore two."
+    assert got[2].n_removed == 1
+    assert got[3].deduped_text == "Only other content three."
+    assert got[3].n_removed == 1
+    assert got[4].deduped_text == docs[4 - 1][1]
+    # paragraph-free docs survive with empty text
+    assert (got[5].deduped_text, got[5].n_paragraphs, got[5].n_removed) \
+        == ("", 0, 0)
+
+
+def test_paragraph_dedup_mode_all_and_min_chars(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.spans import dedup_paragraphs
+
+    docs = [(1, f"Intro\n\n{BOILER}\n\nA"),
+            (2, f"Intro\n\n{BOILER}\n\nB")]
+    df = spark.createDataFrame(docs, SCHEMA)
+    # mode="all": every occurrence cut, incl. the would-be winner
+    got = {r.doc_id: r for r in
+           dedup_paragraphs(df, mode="all", min_chars=10).collect()}
+    assert got[1].deduped_text == "Intro\n\nA"
+    assert got[2].deduped_text == "Intro\n\nB"
+    # "Intro" repeats but is under min_chars -> exempt in both docs
+    assert got[1].n_removed == got[2].n_removed == 1
+
+
+def test_paragraph_dedup_within_doc_repeats(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.spans import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "Repeated paragraph text.\n\nMiddle bit.\n\n"
+             "Repeated paragraph text.")], SCHEMA)
+    got = dedup_paragraphs(df).collect()[0]
+    # occurrence-count semantics: the second in-doc copy is removed
+    assert got.deduped_text == "Repeated paragraph text.\n\nMiddle bit."
+    assert got.n_removed == 1
