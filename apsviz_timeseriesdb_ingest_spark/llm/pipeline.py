@@ -4,7 +4,8 @@ large-scale pipeline runs, expressed as ONE Spark lineage.
 ``prepare_training_corpus`` chains the package's operators the way a
 production pre-training data pipeline does:
 
-    clean -> PII scrub -> quality gates -> language gate
+    [paragraph dedup] -> [domain blocklist] -> clean -> PII scrub
+          -> quality gates -> language gate
           -> exact dedup -> MinHash-LSH near-dedup
           -> benchmark decontamination -> train/eval split
 
@@ -55,8 +56,8 @@ from .text import (
 )
 
 #: drop reasons in decision order (first failing stage wins)
-DROP_REASONS = ("too_short", "too_long", "repetitive", "language",
-                "exact_dup", "near_dup", "contaminated")
+DROP_REASONS = ("blocked_domain", "too_short", "too_long", "repetitive",
+                "language", "exact_dup", "near_dup", "contaminated")
 
 
 def corpus_signals(docs: DataFrame, *, text_col: str = "text",
@@ -113,6 +114,9 @@ def prepare_training_corpus(
     min_quality_prob: float = 0.5,
     perplexity_lm: dict | None = None,
     max_perplexity: float | None = None,
+    paragraph_max_freq: int | None = None,
+    blocked_domains: DataFrame | None = None,
+    url_col: str = "url",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -154,6 +158,16 @@ def prepare_training_corpus(
     (NULL where the stage didn't run or the doc was already dropped) —
     tag-don't-filter, same as everything else here.
 
+    ``paragraph_max_freq`` runs :func:`spans.dedup_paragraphs` on the
+    RAW text before anything else (cleaning collapses the blank-line
+    structure paragraphs are defined over): corpus-repeated paragraphs
+    are cut, keeping one winner occurrence. This is a transform, not a
+    drop — a doc reduced to nothing then tags ``too_short`` downstream.
+    ``blocked_domains`` (one ``domain`` column; suffix-matched via
+    :func:`text.domain_matches` over ``url_col``) tags matching docs
+    ``blocked_domain`` — the FIRST reason in decision order, since it
+    needs no content at all.
+
     ``catalog`` (a ``sources.catalog.Catalog``) switches the reused
     intermediates from executor cache to CHECKPOINT TABLES
     (``{checkpoint_prefix}_*``, written once, read back): the 100 TB
@@ -171,6 +185,28 @@ def prepare_training_corpus(
             return catalog.read(tbl)
         return df.persist(StorageLevel.MEMORY_AND_DISK) if cache else df
 
+    spark = docs.sparkSession
+    if paragraph_max_freq is not None:
+        from .spans import dedup_paragraphs
+
+        ddp = dedup_paragraphs(docs, text_col=text_col, id_col=id_col,
+                               max_freq=paragraph_max_freq)
+        docs = (docs.drop(text_col)
+                .join(ddp.select(id_col,
+                                 F.col("deduped_text").alias(text_col)),
+                      id_col))
+
+    if blocked_domains is not None:
+        from .text import domain_matches
+
+        blocked = _persist(
+            domain_matches(docs, blocked_domains, url_col=url_col,
+                           id_col=id_col)
+            .withColumn("r_domain", F.lit(True)),
+            "blocked_domain")
+    else:
+        blocked = spark.createDataFrame([], f"{id_col} long, r_domain boolean")
+
     sig = corpus_signals(docs, text_col=text_col, id_col=id_col,
                          profiles=profiles)
     quality_reason = (
@@ -181,7 +217,8 @@ def prepare_training_corpus(
     )
     tagged = _persist(sig.withColumn("q_reason", quality_reason), "tagged")
     clean = tagged.filter(F.col("q_reason").isNull())
-    spark = docs.sparkSession
+    if blocked_domains is not None:
+        clean = clean.join(blocked.select(id_col), id_col, "left_anti")
 
     if quality_model is not None:
         from .classifier import (apply_standardization, quality_features,
@@ -274,7 +311,8 @@ def prepare_training_corpus(
         contaminated = spark.createDataFrame(
             [], f"{id_col} long, r_contam boolean")
 
-    reason_cols = [F.col("q_reason")]
+    reason_cols = [F.when(F.col("r_domain"), F.lit("blocked_domain")),
+                   F.col("q_reason")]
     if quality_model is not None:
         reason_cols.append(
             F.when(F.col("quality_prob") < F.lit(min_quality_prob),
@@ -290,6 +328,7 @@ def prepare_training_corpus(
     ]
     audit = (
         tagged
+        .join(blocked, id_col, "left")
         .join(qscores, id_col, "left")
         .join(pscores, id_col, "left")
         .join(exact_losers, id_col, "left")

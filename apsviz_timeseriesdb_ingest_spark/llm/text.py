@@ -843,32 +843,37 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             .groupBy("host").agg(F.count("*").alias("n_docs")))
 
 
+def domain_matches(df: DataFrame, domains: DataFrame, *,
+                   url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Ids of docs whose normalized host has ANY dot-suffix in the
+    ``domains`` list (one ``domain`` column) — so ``spam.com`` also
+    covers ``ads.spam.com`` — without an endswith theta-join: suffixes
+    are exploded (≤ label count per doc) and equi-joined against the
+    broadcast list. Docs with unparseable hosts match nothing."""
+    sfx = (df.select(F.col(id_col).alias("__id"),
+                     url_host(F.col(url_col)).alias("__h"))
+           .filter(F.col("__h").isNotNull())
+           .select("__id",
+                   F.explode(_host_suffixes(F.col("__h"))).alias("domain")))
+    return (sfx.join(F.broadcast(domains.select(
+        F.lower(F.col("domain")).alias("domain")).distinct()),
+        "domain", "left_semi")
+        .select(F.col("__id").alias(id_col)).distinct())
+
+
 def filter_by_domain(df: DataFrame, domains: DataFrame, *,
                      url_col: str = "url", id_col: str = "doc_id",
                      mode: str = "block") -> DataFrame:
-    """Domain-list filtering (the crawl blocklist/allowlist pass).
-
-    ``domains`` is a one-column frame (``domain``) of registrable
-    domains; a doc matches when ANY dot-suffix of its normalized host
-    equals a listed domain, so ``spam.com`` also covers
-    ``ads.spam.com`` — without an endswith theta-join: suffixes are
-    exploded (≤ label count per doc) and equi-joined against the
-    broadcast list. ``mode="block"`` anti-joins matches away;
+    """Domain-list filtering (the crawl blocklist/allowlist pass) via
+    :func:`domain_matches`. ``mode="block"`` anti-joins matches away;
     ``mode="allow"`` keeps ONLY matches (docs with unparseable hosts
     match nothing: kept by block, dropped by allow). All original
     columns pass through.
     """
     if mode not in ("block", "allow"):
         raise ValueError(f"unknown mode {mode!r}")
-    sfx = (df.select(F.col(id_col).alias("__id"),
-                     url_host(F.col(url_col)).alias("__h"))
-           .filter(F.col("__h").isNotNull())
-           .select("__id",
-                   F.explode(_host_suffixes(F.col("__h"))).alias("domain")))
-    hit = (sfx.join(F.broadcast(domains.select(
-        F.lower(F.col("domain")).alias("domain")).distinct()),
-        "domain", "left_semi")
-        .select(F.col("__id").alias(id_col)).distinct())
+    hit = domain_matches(df, domains, url_col=url_col, id_col=id_col)
     how = "left_anti" if mode == "block" else "left_semi"
     return df.join(hit, id_col, how)
 

@@ -221,3 +221,36 @@ def test_pipeline_learned_stages(spark):
     assert rep <= {"kept", "too_short", "repetitive", "language",
                    "low_quality", "high_perplexity", "exact_dup",
                    "near_dup", "contaminated"}
+
+
+def test_pipeline_paragraph_and_domain_stages(spark):
+    boiler = "subscribe to the site newsletter for daily updates now"
+    rows = [
+        (1, EN + "\n\n" + boiler, "https://good.org/a"),
+        (2, "a quick brown fox jumps over the lazy dog and the fox is "
+            "happy to run in the field all day with other animals"
+            "\n\n" + boiler, "https://fine.net/b"),
+        # domain-blocked despite clean text
+        (3, EN + " extra words here", "http://ads.spam.com/x"),
+        # reduced to ONLY the boilerplate -> empty -> too_short
+        (4, boiler, "https://ok.io/c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    blocklist = spark.createDataFrame([("spam.com",)], "domain string")
+    corpus, audit = prepare_training_corpus(
+        docs, None, min_tokens=10, languages=("en",),
+        paragraph_max_freq=1, blocked_domains=blocklist)
+    reasons = {r.doc_id: r.drop_reason for r in audit.collect()}
+    # doc 1 wins the boilerplate (smallest doc,pos); docs 2/4 lose it
+    assert reasons[1] is None
+    assert reasons[2] is None
+    assert reasons[3] == "blocked_domain"
+    assert reasons[4] == "too_short"
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    assert "subscribe" in texts[1]
+    assert "subscribe" not in texts[2]
+    # attrition accounts for every doc exactly once
+    rep = {r.stage: r.n_docs for r in
+           attrition_report(audit).collect()}
+    assert sum(rep.values()) == len(rows)
+    assert rep["blocked_domain"] == 1
