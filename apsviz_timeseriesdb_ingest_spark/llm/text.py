@@ -815,6 +815,64 @@ def decontaminate_bloom_table(train: DataFrame, catalog, *,
                     .alias("contaminated")))
 
 
+def remove_repeated_lines(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", *,
+                          min_chars: int = 8) -> DataFrame:
+    """WITHIN-document line dedup (the Gopher repetition cleanup, line
+    grain): every line whose whitespace-collapsed lower-cased form
+    already appeared EARLIER in the same document is cut; the first
+    occurrence survives. Lines shorter than ``min_chars`` (normalized)
+    are exempt — list bullets and headers repeat legitimately.
+
+    Entirely map-side (no shuffle): first-occurrence detection is
+    ``array_position(normalized, normalized[i]) == i`` per line —
+    O(lines²) within one document, which is bounded by document length,
+    never corpus size. Returns ``(id, deduped_text, n_lines,
+    n_removed)`` with surviving lines joined by ``"\\n"`` verbatim.
+    Cross-document repetition is :func:`spans.dedup_paragraphs`'s job.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    norm = F.transform(
+        lines, lambda ln: F.regexp_replace(F.lower(F.trim(ln)), r"\s+", " "))
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("__lines")),
+        lambda i: (F.length(F.element_at(F.col("__norm"), i)) < min_chars)
+        | (F.array_position(F.col("__norm"),
+                            F.element_at(F.col("__norm"), i)) == i))
+    return (df.select(id_col, lines.alias("__lines"), norm.alias("__norm"))
+            .select(id_col, "__lines",
+                    F.transform(keep_idx,
+                                lambda i: F.element_at(F.col("__lines"), i))
+                    .alias("__keep"))
+            .select(id_col,
+                    F.array_join(F.col("__keep"), "\n").alias("deduped_text"),
+                    F.size("__lines").alias("n_lines"),
+                    (F.size("__lines") - F.size("__keep"))
+                    .alias("n_removed")))
+
+
+def corpus_manifest(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus manifest: doc/char/token totals, distinct-id
+    count, and an ORDER-INDEPENDENT content checksum —
+    ``bit_xor`` of the md5 hash of every ``id|text`` pair, so the same
+    logical corpus yields the same checksum on any partitioning,
+    cluster, engine, or row order (xor is commutative/associative).
+    The reproducibility receipt for exactly-once pipelines: write it
+    next to the corpus, re-derive after replay/compaction/migration,
+    and byte-compare.
+    """
+    doc_hash = md5_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit("|"), F.col(text_col)))
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.col(id_col)).alias("n_distinct_ids"),
+        F.sum(F.length(text_col)).alias("n_chars_measured"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+        F.bit_xor(doc_hash).alias("corpus_checksum"),
+    )
+
+
 def url_host(url: Column | str) -> Column:
     """Normalized host of an absolute URL: lower-cased, leading ``www.``
     stripped; NULL when the URL has no parseable host. ``try_parse_url``,

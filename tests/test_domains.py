@@ -76,3 +76,51 @@ def test_pack_by_weight_column(spark):
     # default char packing unchanged (column name + semantics)
     chars = pack_documents(df, target_chars=100).collect()
     assert {r.n_chars_measured for r in chars} == {10 * i for i in range(1, 30)}
+
+
+def test_remove_repeated_lines(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        remove_repeated_lines,
+    )
+
+    doc = ("This is the first interesting line\n"
+           "* a\n"
+           "THIS IS   the first interesting line\n"
+           "A different second line of content\n"
+           "* a\n"
+           "This is the first interesting line")
+    df = spark.createDataFrame([(1, doc), (2, "single line only here")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_repeated_lines(df).collect()}
+    assert got[1].deduped_text == ("This is the first interesting line\n"
+                                   "* a\n"
+                                   "A different second line of content\n"
+                                   "* a")  # short bullet exempt twice
+    assert (got[1].n_lines, got[1].n_removed) == (6, 2)
+    assert got[2].deduped_text == "single line only here"
+    assert got[2].n_removed == 0
+
+
+def test_corpus_manifest_order_independent_duckdb(spark, sf_oracle):
+    import duckdb
+
+    from apsviz_timeseriesdb_ingest_spark.functions.portable_hash import (
+        md5_hash64_sql,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.text import corpus_manifest
+    from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    row = corpus_manifest(docs).collect()[0]
+    # shuffled/partitioned differently -> identical checksum
+    row2 = corpus_manifest(docs.repartition(13).sort(F.desc("doc_id"))) \
+        .collect()[0]
+    assert row.asDict() == row2.asDict()
+
+    h = md5_hash64_sql("doc_id || '|' || text")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_oracle}/documents.parquet')")
+    n_docs, checksum = con.execute(
+        f"SELECT count(*), bit_xor({h}) FROM documents").fetchone()
+    assert (row.n_docs, row.corpus_checksum) == (n_docs, checksum)
