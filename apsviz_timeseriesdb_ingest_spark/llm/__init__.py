@@ -9,23 +9,35 @@ an ``fast=True`` xxhash64 switch for production scale.
 """
 
 from .text import (  # noqa: F401
+    build_shingle_bloom,
+    build_shingle_bloom_table,
+    chunk_documents,
     clean_text,
+    corpus_manifest,
+    corpus_mixture,
     corpus_profile,
     decontaminate,
+    decontaminate_bloom,
+    decontaminate_bloom_table,
     document_fingerprint,
+    domain_stats,
+    filter_by_domain,
     language_id,
     language_mix,
     length_buckets,
     pack_documents,
     quality_score,
+    remove_repeated_lines,
     repetition_stats,
     scrub_pii,
     shuffle_rank,
+    stratified_sample,
     text_stats,
     tf_idf_top_terms,
     token_stats,
     tokens,
     train_split,
+    url_host,
     weighted_sample,
     vocabulary,
 )
@@ -69,8 +81,16 @@ from .pipeline import (  # noqa: F401
     prepare_training_corpus,
 )
 from .spans import (  # noqa: F401
+    dedup_paragraphs,
     duplicate_spans,
     mask_duplicate_spans,
+)
+from .bpe import (  # noqa: F401
+    BpeModel,
+    bpe_encode_docs,
+    subword_vocabulary,
+    train_bpe,
+    word_pieces,
 )
 from .pq import (  # noqa: F401
     pq_encode,

@@ -815,6 +815,83 @@ def decontaminate_bloom_table(train: DataFrame, catalog, *,
                     .alias("contaminated")))
 
 
+def gopher_quality_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         stopwords: tuple[str, ...] = DEFAULT_LANG_PROFILES["en"],
+                         ) -> DataFrame:
+    """The Gopher rule-set quality signals (Rae et al. 2021, public
+    paper): per-doc ratios the published thresholds gate on, computed in
+    one map-side projection (no shuffle, no Python):
+
+    - ``mean_word_chars`` (rule: in [3, 10])
+    - ``symbol_word_ratio`` — '#' plus '...' occurrences per token
+      (rule: < 0.1)
+    - ``bullet_line_ratio`` — non-empty lines starting with a bullet
+      (rule: < 0.9); ``ellipsis_line_ratio`` — lines ending in an
+      ellipsis (rule: < 0.3)
+    - ``alpha_word_ratio`` — tokens containing at least one letter
+      (rule: > 0.8)
+    - ``stop_hits`` — distinct stopwords present (rule: >= 2)
+
+    Ratios are NULL for token-free/line-free docs (nothing to measure —
+    gate on ``n_tokens`` first). Rounded to 6 dp for engine parity.
+    Use :func:`gopher_drop_reason` to fold the thresholds into a tag.
+    """
+    toks = F.col("__tk")
+    n_tok = F.size(toks)
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_lines = F.size("__ln")
+    n_sym = ((F.length(text_col)
+              - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit(""))))
+             + (F.length(text_col)
+                - F.length(F.replace(F.col(text_col), F.lit("..."),
+                                     F.lit("")))) / 3)
+    bullets = F.size(F.filter(
+        F.col("__ln"), lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    ellipses = F.size(F.filter(
+        F.col("__ln"), lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    word_chars = F.aggregate(toks, F.lit(0),
+                             lambda acc, t: acc + F.length(t))
+    return (_with_tokens(df, text_col)
+            .withColumn("__ln", lines)
+            .select(
+                id_col,
+                n_tok.alias("n_tokens"),
+                n_lines.alias("n_lines"),
+                F.when(n_tok > 0, F.round(word_chars / n_tok, 6))
+                .alias("mean_word_chars"),
+                F.when(n_tok > 0, F.round(n_sym / n_tok, 6))
+                .alias("symbol_word_ratio"),
+                F.when(n_lines > 0, F.round(bullets / n_lines, 6))
+                .alias("bullet_line_ratio"),
+                F.when(n_lines > 0, F.round(ellipses / n_lines, 6))
+                .alias("ellipsis_line_ratio"),
+                F.when(n_tok > 0, F.round(alpha / n_tok, 6))
+                .alias("alpha_word_ratio"),
+                F.when(n_tok > 0, F.size(F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(s) for s in stopwords]))))
+                .alias("stop_hits"),
+            ))
+
+
+def gopher_drop_reason() -> Column:
+    """The published Gopher thresholds over
+    :func:`gopher_quality_stats` columns as one drop-reason expression
+    (NULL = keep; first failing rule wins). NULL ratios never drop."""
+    return (
+        F.when((F.col("mean_word_chars") < 3)
+               | (F.col("mean_word_chars") > 10), F.lit("word_length"))
+        .when(F.col("symbol_word_ratio") > 0.1, F.lit("symbol_ratio"))
+        .when(F.col("bullet_line_ratio") > 0.9, F.lit("bullet_lines"))
+        .when(F.col("ellipsis_line_ratio") > 0.3, F.lit("ellipsis_lines"))
+        .when(F.col("alpha_word_ratio") < 0.8, F.lit("non_alpha_words"))
+        .when(F.col("stop_hits") < 2, F.lit("no_stopwords"))
+    )
+
+
 def remove_repeated_lines(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", *,
                           min_chars: int = 8) -> DataFrame:

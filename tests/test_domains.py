@@ -124,3 +124,46 @@ def test_corpus_manifest_order_independent_duckdb(spark, sf_oracle):
     n_docs, checksum = con.execute(
         f"SELECT count(*), bit_xor({h}) FROM documents").fetchone()
     assert (row.n_docs, row.corpus_checksum) == (n_docs, checksum)
+
+
+def test_gopher_quality_stats_and_reasons(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        gopher_drop_reason,
+        gopher_quality_stats,
+    )
+
+    doc1 = "the cat and a dog is to walk... now then"
+    rows = [(1, doc1),
+            # all-bullet lines (word lengths kept legal)
+            (2, "- oneish\n- twoish\n- threeish\n* fourish"),
+            # symbol-heavy: 16 '#' chars over 5 tokens
+            (3, "#### #### #### #### theword"),
+            # numeric-heavy: only 3 of 10 tokens contain a letter
+            (5, "zzz qqq www 12345 45678 78901 00012 11123 22234 33345")]
+    df = spark.createDataFrame(rows + [(4, "")], "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_stats(df).collect()}
+
+    # python recompute for doc 1
+    toks = doc1.lower().split()
+    assert got[1].n_tokens == len(toks)
+    assert got[1].mean_word_chars == round(
+        sum(len(t) for t in toks) / len(toks), 6)
+    assert got[1].symbol_word_ratio == round(1 / len(toks), 6)  # one '...'
+    assert got[1].stop_hits >= 4
+    assert got[1].bullet_line_ratio == 0.0
+    assert got[1].ellipsis_line_ratio == 0.0  # '...' is mid-line
+
+    assert got[2].bullet_line_ratio == 1.0
+    assert got[3].symbol_word_ratio == round(16 / 5, 6)
+    assert got[5].alpha_word_ratio == round(3 / 10, 6)
+    # empty doc: ratios NULL, nothing to gate on
+    assert got[4].mean_word_chars is None
+
+    reasons = {r.doc_id: r.reason for r in
+               gopher_quality_stats(df)
+               .withColumn("reason", gopher_drop_reason()).collect()}
+    assert reasons[1] is None  # ratio 0.1 is NOT > 0.1 — boundary keeps
+    assert reasons[2] == "bullet_lines"
+    assert reasons[3] == "symbol_ratio"
+    assert reasons[5] == "non_alpha_words"
+    assert reasons[4] is None  # NULL ratios never drop
