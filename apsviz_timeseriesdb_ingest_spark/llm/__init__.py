@@ -22,6 +22,8 @@ from .text import (  # noqa: F401
     document_fingerprint,
     domain_stats,
     filter_by_domain,
+    gopher_drop_reason,
+    gopher_quality_stats,
     language_id,
     language_mix,
     length_buckets,

@@ -59,10 +59,6 @@ class BpeModel:
     merges: tuple[tuple[str, str], ...]
     eow: str = EOW
 
-    @property
-    def ranks(self) -> dict[tuple[str, str], int]:
-        return {m: i for i, m in enumerate(self.merges)}
-
 
 def _char_syms(word: Column, eow: str) -> Column:
     """Initial symbol array: characters plus the end-of-word marker."""
@@ -241,7 +237,10 @@ def _encode_docs_pandas(df: DataFrame, model: BpeModel,
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             toks = []
-            for text in pdf[text_col].astype(str):
+            # fillna BEFORE astype: astype(str) would stringify None/NaN
+            # into the literal words 'none'/'nan', diverging from the
+            # SQL engine's empty token array on null text
+            for text in pdf[text_col].fillna("").astype(str):
                 words = [w for w in ws.split(text.lower()) if w]
                 pieces: list[str] = []
                 for w in words:
@@ -259,14 +258,15 @@ def _encode_docs_pandas(df: DataFrame, model: BpeModel,
 
 
 def subword_vocabulary(encoded: DataFrame, *,
-                       tokens_col: str = "bpe_tokens") -> DataFrame:
+                       tokens_col: str = "bpe_tokens",
+                       id_col: str = "doc_id") -> DataFrame:
     """Corpus subword vocabulary ``(piece, n_uses, n_docs)`` from
-    :func:`bpe_encode_docs` output — one explode + one aggregate."""
+    :func:`bpe_encode_docs` output — ONE scan of the (typically lazy
+    and expensive) encoded lineage: explode once carrying the doc id,
+    then count uses and distinct docs in the same aggregate."""
     return (encoded
-            .select(F.explode(tokens_col).alias("piece"))
+            .select(F.col(id_col).alias("__id"),
+                    F.explode(tokens_col).alias("piece"))
             .groupBy("piece")
-            .agg(F.count("*").alias("n_uses"))
-            .join(encoded.select(F.explode(F.array_distinct(
-                F.col(tokens_col))).alias("piece"))
-                .groupBy("piece").agg(F.count("*").alias("n_docs")),
-                "piece"))
+            .agg(F.count("*").alias("n_uses"),
+                 F.count_distinct("__id").alias("n_docs")))

@@ -159,12 +159,14 @@ def prepare_training_corpus(
     tag-don't-filter, same as everything else here.
 
     ``paragraph_max_freq`` runs :func:`spans.dedup_paragraphs` on the
-    RAW text before anything else (cleaning collapses the blank-line
-    structure paragraphs are defined over): corpus-repeated paragraphs
-    are cut, keeping one winner occurrence. This is a transform, not a
-    drop — a doc reduced to nothing then tags ``too_short`` downstream.
-    ``blocked_domains`` (one ``domain`` column; suffix-matched via
-    :func:`text.domain_matches` over ``url_col``) tags matching docs
+    RAW text of the domain-gate survivors (cleaning collapses the
+    blank-line structure paragraphs are defined over, and a keep-first
+    winner must never land in a doc the domain gate is about to drop):
+    corpus-repeated paragraphs are cut, keeping one winner occurrence.
+    This is a transform, not a drop — a doc reduced to nothing then
+    tags ``too_short`` downstream. ``blocked_domains`` (one ``domain``
+    column; suffix-matched via :func:`text.domain_matches` over
+    ``url_col`` on the ORIGINAL frame) tags matching docs
     ``blocked_domain`` — the FIRST reason in decision order, since it
     needs no content at all.
 
@@ -186,19 +188,12 @@ def prepare_training_corpus(
         return df.persist(StorageLevel.MEMORY_AND_DISK) if cache else df
 
     spark = docs.sparkSession
-    if paragraph_max_freq is not None:
-        from .spans import dedup_paragraphs
-
-        ddp = dedup_paragraphs(docs, text_col=text_col, id_col=id_col,
-                               max_freq=paragraph_max_freq)
-        docs = (docs.drop(text_col)
-                .join(ddp.select(id_col,
-                                 F.col("deduped_text").alias(text_col)),
-                      id_col))
-
     if blocked_domains is not None:
         from .text import domain_matches
 
+        # matched on the ORIGINAL frame (the transform below does not
+        # touch id/url, and matching first spares blocked docs a
+        # pointless trip through the corpus-wide paragraph dedup)
         blocked = _persist(
             domain_matches(docs, blocked_domains, url_col=url_col,
                            id_col=id_col)
@@ -206,6 +201,24 @@ def prepare_training_corpus(
             "blocked_domain")
     else:
         blocked = spark.createDataFrame([], f"{id_col} long, r_domain boolean")
+
+    if paragraph_max_freq is not None:
+        from .spans import dedup_paragraphs
+
+        # blocked docs neither vote nor win: a keep-first winner landing
+        # in a doc that the domain gate then drops would lose the
+        # paragraph from the corpus entirely. They pass through with
+        # ORIGINAL text (they are dropped anyway; only the audit sees it).
+        survivors = docs.join(blocked.select(id_col), id_col, "left_anti")
+        ddp = dedup_paragraphs(survivors, text_col=text_col, id_col=id_col,
+                               max_freq=paragraph_max_freq)
+        deduped = (survivors.drop(text_col)
+                   .join(ddp.select(id_col,
+                                    F.col("deduped_text").alias(text_col)),
+                         id_col))
+        docs = deduped.unionByName(
+            docs.join(blocked.select(id_col), id_col, "left_semi")
+            .select(*deduped.columns))
 
     sig = corpus_signals(docs, text_col=text_col, id_col=id_col,
                          profiles=profiles)

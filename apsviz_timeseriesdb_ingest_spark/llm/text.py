@@ -604,6 +604,7 @@ class ShingleBloom:
 
     def __init__(self, frame: DataFrame, *, num_bits: int, num_hashes: int,
                  k: int):
+        _check_bloom_hashes(num_hashes)
         self.frame = frame          # one row: bitmap array<long>
         self.num_bits = num_bits
         self.num_hashes = num_hashes
@@ -629,6 +630,17 @@ class ShingleBloom:
     def hit_flag(self, shingle_array: Column, bitmap: Column) -> Column:
         """True iff ANY shingle in the array might be in the filter."""
         return F.exists(shingle_array, lambda s: self.might_contain(s, bitmap))
+
+
+def _check_bloom_hashes(num_hashes: int) -> None:
+    """``h1 + i*h2`` with 60-bit hashes overflows bigint at i >= 9 —
+    and under Spark 4 ANSI mode an overflow ABORTS the whole build or
+    probe rather than wrapping. Fail loudly at construction instead."""
+    if not 1 <= num_hashes <= 8:
+        raise ValueError(
+            f"num_hashes must be in [1, 8], got {num_hashes}: the "
+            "double-hash position h1 + i*h2 (60-bit md5 halves) exceeds "
+            "bigint range from the 9th probe on")
 
 
 def _distinct_shingles(benchmark: DataFrame, text_col: str, k: int) -> DataFrame:
@@ -674,6 +686,7 @@ def build_shingle_bloom(benchmark: DataFrame, *, text_col: str = "text",
     array via a map lookup over the word range; the driver holds only
     the bitmap (num_bits/64 longs).
     """
+    _check_bloom_hashes(num_hashes)
     sh = _distinct_shingles(benchmark, text_col, k)
     if num_bits is None:
         if expected_shingles is None:
@@ -746,6 +759,7 @@ def build_shingle_bloom_table(catalog, benchmark: DataFrame, *,
     parameters from the caller. A rebuild overwrites both rows and
     thereby REDEFINES the filter.
     """
+    _check_bloom_hashes(num_hashes)
     sh = _distinct_shingles(benchmark, text_col, k)
     if num_bits is None:
         if expected_shingles is None:

@@ -154,3 +154,19 @@ def test_stream_prep_bloom_matches_literal_path(spark):
         docs, bench_bloom=benchmark_bloom(bench, num_bits=1 << 14))
     assert ({r.doc_id for r in via_literal.collect()}
             == {r.doc_id for r in via_bloom.collect()} == {1})
+
+
+def test_bloom_num_hashes_overflow_guard(spark):
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        build_shingle_bloom_table,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    bench = spark.createDataFrame([(1, "a b c d")], SCHEMA)
+    with pytest.raises(ValueError, match=r"num_hashes"):
+        build_shingle_bloom(bench, num_bits=1 << 12, num_hashes=9)
+    with pytest.raises(ValueError, match=r"num_hashes"):
+        build_shingle_bloom_table(Catalog(spark, "/tmp/unused-bloom-wh"),
+                                  bench, num_bits=1 << 12, num_hashes=9)

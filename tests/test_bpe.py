@@ -174,3 +174,15 @@ def test_subword_vocabulary(spark):
         for p in set(pieces):
             expect_docs[p] = expect_docs.get(p, 0) + 1
     assert vocab == {p: (expect_uses[p], expect_docs[p]) for p in expect_uses}
+
+
+def test_null_text_encodes_empty_on_both_engines(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    model = train_bpe(df, num_merges=10)
+    with_null = spark.createDataFrame([(50, None), (51, "low")], SCHEMA)
+    for engine in ("sql", "pandas"):
+        got = {r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+               for r in bpe_encode_docs(with_null, model,
+                                        engine=engine).collect()}
+        assert got[50] == ([], 0), engine  # NOT ['n','o','n','e</w>']
+        assert got[51][1] >= 1

@@ -254,3 +254,25 @@ def test_pipeline_paragraph_and_domain_stages(spark):
            attrition_report(audit).collect()}
     assert sum(rep.values()) == len(rows)
     assert rep["blocked_domain"] == 1
+
+
+def test_paragraph_winner_never_lands_in_blocked_doc(spark):
+    boiler = ("a shared unique paragraph with plenty of words to keep "
+              "it well above every quality threshold in the gate")
+    rows = [
+        # smallest (doc,pos) for the boilerplate — but domain-blocked
+        (1, boiler, "http://ads.spam.com/x"),
+        (2, boiler + "\n\n" + EN, "https://good.org/a"),
+        (3, boiler + "\n\n" + EN + " extra tail words", "https://ok.io/b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    blocklist = spark.createDataFrame([("spam.com",)], "domain string")
+    corpus, audit = prepare_training_corpus(
+        docs, None, min_tokens=5, languages=("en",),
+        paragraph_max_freq=1, blocked_domains=blocklist)
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    # doc 2 (smallest SURVIVING doc) keeps the paragraph; it is not lost
+    assert any("shared unique paragraph" in t for t in texts.values())
+    assert "shared unique paragraph" in texts[2]
+    reasons = {r.doc_id: r.drop_reason for r in audit.collect()}
+    assert reasons[1] == "blocked_domain"
