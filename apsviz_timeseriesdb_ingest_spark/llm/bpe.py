@@ -67,22 +67,37 @@ def _char_syms(word: Column, eow: str) -> Column:
     return F.concat(chars, F.array(F.lit(eow)))
 
 
-def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
-    """One BPE merge as a left-to-right HOF fold: every non-overlapping
-    adjacent ``(a, b)`` becomes ``a+b``. Seeding the accumulator with the
-    first symbol keeps ``element_at(acc, -1)`` in-bounds under ANSI mode
-    (symbol arrays are never empty: words are non-empty + eow)."""
-    merged = a + b
+def _merge_pairs_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """A batch of NON-INTERACTING BPE merges as one left-to-right HOF
+    fold: every non-overlapping adjacent ``(a, b)`` becomes ``a+b``.
+    Seeding the accumulator with the first symbol keeps
+    ``element_at(acc, -1)`` in-bounds under ANSI mode (symbol arrays
+    are never empty: words are non-empty + eow).
+
+    Batch precondition (enforced by the trainer's conflict filter): no
+    pair's symbol equals another pair's symbol OR merged output — then
+    at most one pair can match at any position, no pair can consume
+    another's output within the pass, and one fused pass is exactly
+    equivalent to applying the pairs sequentially in any order (which
+    is what encoding does)."""
     rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
-    return F.aggregate(
-        rest,
-        F.slice(syms, 1, 1),
-        lambda acc, x: F.when(
-            (F.element_at(acc, -1) == a) & (x == b),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                     F.array(F.lit(merged))),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+
+    def step(acc: Column, x: Column) -> Column:
+        out = F.concat(acc, F.array(x))
+        for a, b in reversed(pairs):
+            out = F.when(
+                (F.element_at(acc, -1) == a) & (x == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b)))).otherwise(out)
+        return out
+
+    return F.aggregate(rest, F.slice(syms, 1, 1), step)
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """One BPE merge (the ``pairs=[(a, b)]`` case of
+    :func:`_merge_pairs_expr`)."""
+    return _merge_pairs_expr(syms, [(a, b)])
 
 
 def _word_counts(df: DataFrame, text_col: str, id_col: str,
@@ -106,7 +121,7 @@ def _word_counts(df: DataFrame, text_col: str, id_col: str,
 def train_bpe(df: DataFrame, *, text_col: str = "text",
               id_col: str = "doc_id", num_merges: int = 64,
               min_count: int = 2, sample_fraction: float | None = None,
-              max_words: int | None = None,
+              max_words: int | None = None, batch: int = 1,
               seed: str = "bpe-v1", eow: str = EOW) -> BpeModel:
     """Learn ``num_merges`` BPE merges from a corpus.
 
@@ -115,7 +130,21 @@ def train_bpe(df: DataFrame, *, text_col: str = "text",
     engine, so retraining reproduces the identical merge list. Stops
     early when the best pair's count drops below ``min_count`` (merging
     hapax pairs memorizes the sample) or no pairs remain.
+
+    ``batch`` applies up to that many merges per pass (still 2 jobs per
+    pass), selected greedily from the top pair counts under a conflict
+    filter: a candidate is skipped when any of its symbols or its
+    merged output collides with an already-chosen pair's symbols or
+    output. Chosen pairs therefore cannot interact — their counts are
+    exact at selection time and the fused pass equals sequential
+    application — but a batch may order merges differently than strict
+    one-at-a-time BPE (a merge can create a new pair that out-counts a
+    later batch member; strict BPE would pick it first). ``batch=1``
+    (default) is exact Sennrich; production vocab sizes (32k merges)
+    want ``batch≈64`` to keep the pass count in the hundreds.
     """
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     words = _word_counts(df, text_col, id_col, sample_fraction, seed)
     if max_words is not None:
         words = words.orderBy(F.desc("count"), "word").limit(max_words)
@@ -124,7 +153,8 @@ def train_bpe(df: DataFrame, *, text_col: str = "text",
              .localCheckpoint(eager=True))
 
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
+        # over-fetch so the conflict filter still fills the batch
         top = (words
                .filter(F.size("syms") >= 2)
                .select("count", F.explode(F.transform(
@@ -135,14 +165,25 @@ def train_bpe(df: DataFrame, *, text_col: str = "text",
                    .alias("p"))
                .groupBy("p.a", "p.b").agg(F.sum("count").alias("c"))
                .orderBy(F.desc("c"), "a", "b")
-               .limit(1).collect())
-        if not top or top[0]["c"] < min_count:
+               .limit(max(4 * batch, 8)).collect())
+        top = [r for r in top if r["c"] >= min_count]
+        if not top:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        chosen: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for r in top:
+            a, b = r["a"], r["b"]
+            if {a, b, a + b} & used:
+                continue
+            chosen.append((a, b))
+            used.update((a, b, a + b))
+            if len(chosen) == batch:
+                break
+        chosen = chosen[:num_merges - len(merges)]
+        merges.extend(chosen)
         words = (words
-                 .select(_merge_pair_expr(F.col("syms"), a, b).alias("syms"),
-                         "count")
+                 .select(_merge_pairs_expr(F.col("syms"), chosen)
+                         .alias("syms"), "count")
                  .localCheckpoint(eager=True))
     return BpeModel(merges=tuple(merges), eow=eow)
 

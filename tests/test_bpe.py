@@ -186,3 +186,23 @@ def test_null_text_encodes_empty_on_both_engines(spark):
                                         engine=engine).collect()}
         assert got[50] == ([], 0), engine  # NOT ['n','o','n','e</w>']
         assert got[51][1] >= 1
+
+
+def test_batched_training_valid_and_faster_in_passes(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    m1 = train_bpe(df, num_merges=24, batch=1)
+    m8 = train_bpe(df, num_merges=24, batch=8)
+    # batch=1 stays exact Sennrich
+    assert list(m1.merges) == _ref_train(_ref_word_counts(DOCS), 24)
+    # batched merges are pairwise non-interacting within each pass by
+    # construction; the resulting tokenizer must still be VALID: pieces
+    # concatenate back to the word, and encode==reference-sequential
+    got = {r.doc_id: list(r.bpe_tokens)
+           for r in bpe_encode_docs(df, m8).collect()}
+    for i, t in DOCS:
+        assert got[i] == _ref_encode(t, list(m8.merges))
+    # and it compresses comparably (within 20% of exact BPE's tokens)
+    n1 = sum(len(_ref_encode(t, list(m1.merges))) for _, t in DOCS)
+    n8 = sum(len(_ref_encode(t, list(m8.merges))) for _, t in DOCS)
+    assert n8 <= n1 * 1.2
+    assert len(m8.merges) == 24
