@@ -111,6 +111,9 @@ from .lm import (  # noqa: F401
     train_bigram_lm,
     train_ngram_lm,
 )
+from .retrieval import (  # noqa: F401
+    bm25_topk,
+)
 from .classifier import (  # noqa: F401
     apply_standardization,
     quality_features,

@@ -1,0 +1,83 @@
+"""Sparse retrieval scoring: BM25 top-k over the corpus.
+
+The lexical counterpart of ``llm/similarity``'s dense ANN — training-data
+curation uses it to pull benchmark-adjacent documents (contamination
+auditing), build retrieval baselines, and mine hard negatives.
+
+Okapi BM25 (Robertson et al., public formulation):
+
+    score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+Scale shape: the corpus term-frequency table shuffles once on
+``(doc, term)``, document frequencies aggregate on ``term`` (map-side
+partial), the tiny query-term set broadcasts, and the final ranking
+window partitions by query — state bounded by matches per query, never
+the corpus. High-df stopword terms carry idf ≈ ln(1+~1/N) ≈ 0 and can
+be dropped with ``min_idf`` to starve the term-key skew before the
+join (exactness caveat: scores lose those near-zero contributions).
+
+Scores are ROUNDED (6 dp) before ranking with a doc-id tie-break, so
+rankings are reproducible across engines and hardware — the same
+convention as ``text.tf_idf_top_terms``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id", query_text_col: str = "text",
+              min_idf: float | None = None) -> DataFrame:
+    """Top-``top_k`` documents per query by BM25.
+
+    Returns ``(query_id, doc_id, bm25, rnk)``. ``N``/``avgdl`` are two
+    driver scalars from one aggregate job (like ``tf_idf_top_terms``'s
+    ``N``); query terms are DISTINCT per query (the standard
+    unweighted-query form). Documents sharing no term with a query
+    simply do not appear.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (docs.repartition(par, id_col)
+            .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))
+            .select("doc", "__tk", F.size("__tk").alias("dl")))
+    stats = base.agg(F.count("*").alias("n"),
+                     F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    if not n_docs:
+        return (docs.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, bm25 double, rnk int"))
+
+    tf = (base.select("doc", "dl", F.explode("__tk").alias("term"))
+          .groupBy("doc", "dl", "term").agg(F.count("*").alias("tf")))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .withColumn("idf", F.log(
+                 F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                 / (F.col("df") + 0.5))))
+    if min_idf is not None:
+        dfreq = dfreq.filter(F.col("idf") >= min_idf)
+
+    qterms = (queries
+              .select(F.col(query_id_col).alias("q"),
+                      F.explode(F.array_distinct(tokens(query_text_col)))
+                      .alias("term")))
+    contrib = (tf.join(dfreq.select("term", "idf"), "term")
+               .join(F.broadcast(qterms), "term")
+               .select("q", "doc",
+                       (F.col("idf") * F.col("tf") * (k1 + 1)
+                        / (F.col("tf") + F.lit(k1)
+                           * (1 - b + F.lit(b) * F.col("dl") / avgdl)))
+                       .alias("s")))
+    w = Window.partitionBy("q").orderBy(F.desc("bm25"), F.col("doc"))
+    return (contrib.groupBy("q", "doc")
+            .agg(F.round(F.sum("s"), 6).alias("bm25"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select(F.col("q").alias(query_id_col),
+                    F.col("doc").alias(id_col), "bm25", "rnk"))

@@ -1,0 +1,93 @@
+"""BM25 top-k: DuckDB-recomputed ranking parity on the documents table
+plus behavioral checks (self-retrieval, min_idf skew cap)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from apsviz_timeseriesdb_ingest_spark.llm.retrieval import bm25_topk
+from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+
+TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _duck_bm25(sf_dir: str, query_rows, top_k=10, k1=1.2, b=0.75):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, t in query_rows)
+    sql = f"""
+        WITH lens AS (
+            SELECT doc_id, {TOKS} AS tk, len({TOKS}) AS dl FROM documents),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf
+               FROM (SELECT doc_id, dl, unnest(tk) AS term FROM lens)
+               GROUP BY doc_id, dl, term),
+        idf AS (SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+                FROM (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                     stats),
+        q(qid, term) AS (VALUES {qvals}),
+        contrib AS (
+            SELECT q.qid, tf.doc_id,
+                   idf.idf * tf.tf * ({k1} + 1)
+                   / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / stats.avgdl))
+                   AS s
+            FROM tf JOIN idf USING (term) JOIN q USING (term)
+            CROSS JOIN stats),
+        scored AS (SELECT qid, doc_id, round(sum(s), 6) AS bm25
+                   FROM contrib GROUP BY qid, doc_id)
+        SELECT qid, doc_id, bm25,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM scored QUALIFY rnk <= {top_k} ORDER BY qid, rnk
+    """
+    return con.execute(sql).fetchall()
+
+
+def test_bm25_matches_duckdb_ranking(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    # query terms drawn from real corpus docs (so matches exist)
+    sample = {r.doc_id: r.text for r in docs.orderBy("doc_id").limit(3).collect()}
+    ids = sorted(sample)
+    q_rows = []
+    for qid, i in enumerate(ids):
+        words = [w for w in sample[i].lower().split() if w.isalpha()][:4]
+        q_rows.extend((qid, w) for w in dict.fromkeys(words))
+    queries = spark.createDataFrame(
+        [(qid, " ".join(w for q, w in q_rows if q == qid))
+         for qid in {q for q, _ in q_rows}],
+        "query_id long, text string")
+
+    got = [(r.query_id, r.doc_id, r.bm25, r.rnk)
+           for r in bm25_topk(docs, queries, top_k=10)
+           .orderBy("query_id", "rnk").collect()]
+    expect = _duck_bm25(sf_oracle, q_rows)
+    assert [(q, d, k) for q, d, _, k in got] \
+        == [(q, d, k) for q, d, _, k in expect]
+    for (_, _, s1, _), (_, _, s2, _) in zip(got, expect):
+        assert abs(s1 - s2) < 1e-4
+
+
+def test_bm25_self_retrieval_and_min_idf(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    probe = docs.orderBy("doc_id").limit(1).collect()[0]
+    queries = spark.createDataFrame([(0, probe.text)],
+                                    "query_id long, text string")
+    # the doc retrieves itself among the top hits (exact top-1 is not
+    # guaranteed under BM25 length normalization when the synthetic
+    # corpus plants near-duplicates of the probe)
+    top = {r.doc_id for r in bm25_topk(docs, queries, top_k=5).collect()}
+    assert probe.doc_id in top
+
+    # min_idf only drops near-zero stopword contributions: the self
+    # match survives the cap
+    capped = {r.doc_id for r in
+              bm25_topk(docs, queries, top_k=5, min_idf=0.05).collect()}
+    assert probe.doc_id in capped
+
+
+def test_bm25_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "anything")],
+                                    "query_id long, text string")
+    assert bm25_topk(empty, queries).count() == 0
