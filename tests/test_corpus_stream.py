@@ -183,3 +183,34 @@ def test_incremental_embedding_stream(spark, tmp_path):
     _run(str(tmp_path / "ckpt2"))
     rows = catalog.read("ann_corpus").collect()
     assert {r.vec_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4
+
+
+def test_stateless_text_ops_compose_on_streams(spark, tmp_path):
+    """chunk_documents / gopher_quality_stats / remove_repeated_lines
+    are pure map-side (plus a repartition) — they must run unchanged on
+    a streaming frame, and produce batch-identical rows."""
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        chunk_documents,
+        gopher_quality_stats,
+        remove_repeated_lines,
+    )
+
+    rows = [(1, EN), (2, "dup line here okay\ndup line here okay\n" + EN2)]
+    src = str(tmp_path / "in")
+    _write(spark, src, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    batch = spark.createDataFrame(rows, SCHEMA)
+
+    for name, op in (
+            ("chunk", lambda d: chunk_documents(d, max_tokens=8, overlap=2)),
+            ("gopher", gopher_quality_stats),
+            ("lines", remove_repeated_lines)):
+        out = str(tmp_path / f"out_{name}")
+        q = (op(stream).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120), name
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        expect = sorted(map(tuple, op(batch).collect()))
+        assert got == expect, name
