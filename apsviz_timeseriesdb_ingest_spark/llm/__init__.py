@@ -113,6 +113,7 @@ from .lm import (  # noqa: F401
 )
 from .retrieval import (  # noqa: F401
     bm25_topk,
+    contamination_report,
 )
 from .classifier import (  # noqa: F401
     apply_standardization,

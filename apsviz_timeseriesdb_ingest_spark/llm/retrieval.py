@@ -30,6 +30,64 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def contamination_report(corpus: DataFrame, benchmark: DataFrame, *,
+                         top_k: int = 5, shingle_k: int = 3,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         min_idf: float | None = None) -> DataFrame:
+    """Which corpus documents are suspiciously close to each benchmark
+    item, and how close: BM25 top-``top_k`` lexical matches per
+    benchmark doc, each annotated with the EXACT ``shingle_k``-gram
+    Jaccard overlap — the audit the binary ``decontaminate`` flag
+    cannot give (reviewers want a ranked list with evidence, not a
+    bit).
+
+    Returns ``(bench_id, doc_id, bm25, rnk, overlap_shingles,
+    jaccard)`` ordered by rank within each benchmark doc. The Jaccard
+    stage touches only the |benchmark|·top_k matched pairs: corpus
+    shingles are computed for HIT docs only (semi-join first), so cost
+    after BM25 is bounded by the report size, never the corpus.
+    """
+    from .dedup import shingles_from_tokens
+
+    def shingled(d: DataFrame, out: str) -> DataFrame:
+        return (d.select(F.col(id_col).alias(out),
+                         tokens(text_col).alias("__tk"))
+                .select(out, F.explode(F.array_distinct(
+                    shingles_from_tokens(F.col("__tk"), shingle_k)))
+                    .alias("shingle")))
+
+    hits = bm25_topk(
+        corpus, benchmark.select(F.col(id_col).alias("query_id"), text_col),
+        top_k=top_k, text_col=text_col, id_col=id_col,
+        query_text_col=text_col, min_idf=min_idf,
+    ).select(F.col("query_id").alias("bench_id"),
+             F.col(id_col).alias("doc"), "bm25", "rnk")
+
+    hit_docs = hits.select(F.col("doc").alias(id_col)).distinct()
+    doc_sh = shingled(corpus.join(hit_docs, id_col, "left_semi"), "doc")
+    bench_sh = shingled(benchmark, "bench_id")
+    doc_sizes = doc_sh.groupBy("doc").agg(F.count("*").alias("n_doc"))
+    bench_sizes = (bench_sh.groupBy("bench_id")
+                   .agg(F.count("*").alias("n_bench")))
+    inter = (hits.select("bench_id", "doc")
+             .join(doc_sh, "doc")
+             .join(bench_sh, ["bench_id", "shingle"], "left_semi")
+             .groupBy("bench_id", "doc")
+             .agg(F.count("*").alias("overlap_shingles")))
+    return (hits
+            .join(inter, ["bench_id", "doc"], "left")
+            .join(doc_sizes, "doc", "left")
+            .join(F.broadcast(bench_sizes), "bench_id", "left")
+            .select(
+                "bench_id", F.col("doc").alias(id_col), "bm25", "rnk",
+                F.coalesce("overlap_shingles", F.lit(0))
+                .alias("overlap_shingles"),
+                F.round(F.coalesce("overlap_shingles", F.lit(0))
+                        / (F.col("n_doc") + F.col("n_bench")
+                           - F.coalesce("overlap_shingles", F.lit(0))), 6)
+                .alias("jaccard")))
+
+
 def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id",

@@ -91,3 +91,39 @@ def test_bm25_empty_corpus(spark):
     queries = spark.createDataFrame([(0, "anything")],
                                     "query_id long, text string")
     assert bm25_topk(empty, queries).count() == 0
+
+
+def test_contamination_report_ranks_planted_overlap(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        contamination_report,
+    )
+
+    bench_text = ("what is the capital of france and the answer "
+                  "is paris of course my friend")
+    corpus_rows = [
+        # verbatim-span contaminated doc
+        (1, "prefix words " + bench_text + " suffix words"),
+        # topically related but low overlap
+        (2, "the capital city has many answers about france and travel"),
+        # unrelated
+        (3, "numpy arrays and spark dataframes process tokens quickly"),
+        (4, "gardening tips for growing tomatoes in small spaces daily"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    rep = sorted(contamination_report(corpus, bench, top_k=3).collect(),
+                 key=lambda r: r.rnk)
+    assert rep[0].doc_id == 1 and rep[0].bench_id == 100
+
+    # python recompute of the planted pair's 3-gram jaccard
+    def sh(text):
+        t = text.lower().split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    a, b = sh(corpus_rows[0][1]), sh(bench_text)
+    expect_j = round(len(a & b) / len(a | b), 6)
+    assert rep[0].jaccard == expect_j
+    assert rep[0].overlap_shingles == len(a & b)
+    # weaker matches rank below and overlap less
+    assert all(r.jaccard < expect_j for r in rep[1:])
