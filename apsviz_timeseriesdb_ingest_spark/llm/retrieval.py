@@ -56,16 +56,22 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame, *,
                     shingles_from_tokens(F.col("__tk"), shingle_k)))
                     .alias("shingle")))
 
+    # hits (|benchmark|·top_k rows) feeds three consumers and doc_sh /
+    # bench_sh two each — checkpoint so the BM25 corpus scan and the
+    # shingling run once, not per consumer (all three frames are
+    # report-sized, never corpus-sized)
     hits = bm25_topk(
         corpus, benchmark.select(F.col(id_col).alias("query_id"), text_col),
         top_k=top_k, text_col=text_col, id_col=id_col,
         query_text_col=text_col, min_idf=min_idf,
     ).select(F.col("query_id").alias("bench_id"),
-             F.col(id_col).alias("doc"), "bm25", "rnk")
+             F.col(id_col).alias("doc"), "bm25", "rnk"
+             ).localCheckpoint(eager=True)
 
     hit_docs = hits.select(F.col("doc").alias(id_col)).distinct()
-    doc_sh = shingled(corpus.join(hit_docs, id_col, "left_semi"), "doc")
-    bench_sh = shingled(benchmark, "bench_id")
+    doc_sh = shingled(corpus.join(hit_docs, id_col, "left_semi"),
+                      "doc").localCheckpoint(eager=True)
+    bench_sh = shingled(benchmark, "bench_id").localCheckpoint(eager=True)
     doc_sizes = doc_sh.groupBy("doc").agg(F.count("*").alias("n_doc"))
     bench_sizes = (bench_sh.groupBy("bench_id")
                    .agg(F.count("*").alias("n_bench")))
@@ -92,25 +98,44 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
               k1: float = 1.2, b: float = 0.75,
               text_col: str = "text", id_col: str = "doc_id",
               query_id_col: str = "query_id", query_text_col: str = "text",
-              min_idf: float | None = None) -> DataFrame:
+              min_idf: float | None = None,
+              n_docs: int | None = None,
+              avgdl: float | None = None) -> DataFrame:
     """Top-``top_k`` documents per query by BM25.
 
-    Returns ``(query_id, doc_id, bm25, rnk)``. ``N``/``avgdl`` are two
-    driver scalars from one aggregate job (like ``tf_idf_top_terms``'s
-    ``N``); query terms are DISTINCT per query (the standard
-    unweighted-query form). Documents sharing no term with a query
-    simply do not appear.
+    Returns ``(query_id, doc_id, bm25, rnk)``; query terms are DISTINCT
+    per query (the standard unweighted-query form). Documents sharing
+    no term with a query simply do not appear.
+
+    ``n_docs``/``avgdl`` are the corpus statistics the formula needs as
+    plan literals; left as None they are computed here, which costs an
+    EXTRA tokenization pass over the corpus before the scoring job.
+    Callers scoring many query batches against one corpus should
+    compute them once (``count`` plus exact integer
+    ``sum(size(tokens)) / count``) and pass them in.
+
+    Reproducibility: per-term contributions are cast to DECIMAL(38, 12)
+    before the per-document SUM (double addition is partition-order-
+    dependent — the CLAUDE.md decimal-before-SUM rule), avgdl derives
+    from an exact integer token total, and ranking uses the
+    6-dp-rounded score with a doc-id tie-break — the same ranking on
+    every run and engine (residual cross-engine risk is sub-1e-12 libm
+    ulp noise against the 1e-6 rounding grid).
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = (docs.repartition(par, id_col)
             .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))
             .select("doc", "__tk", F.size("__tk").alias("dl")))
-    stats = base.agg(F.count("*").alias("n"),
-                     F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = stats["n"], stats["avgdl"]
+    if n_docs is None or avgdl is None:
+        stats = base.agg(F.count("*").alias("n"),
+                         F.sum("dl").alias("total")).collect()[0]
+        n_docs = stats["n"]
+        avgdl = (stats["total"] / n_docs) if n_docs else 0.0
     if not n_docs:
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        dt = docs.schema[id_col].dataType.simpleString()
         return (docs.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, bm25 double, rnk int"))
+            [], f"{query_id_col} {qt}, {id_col} {dt}, bm25 double, rnk int"))
 
     tf = (base.select("doc", "dl", F.explode("__tk").alias("term"))
           .groupBy("doc", "dl", "term").agg(F.count("*").alias("tf")))
@@ -131,10 +156,10 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
                        (F.col("idf") * F.col("tf") * (k1 + 1)
                         / (F.col("tf") + F.lit(k1)
                            * (1 - b + F.lit(b) * F.col("dl") / avgdl)))
-                       .alias("s")))
+                       .cast("decimal(38,12)").alias("s")))
     w = Window.partitionBy("q").orderBy(F.desc("bm25"), F.col("doc"))
     return (contrib.groupBy("q", "doc")
-            .agg(F.round(F.sum("s"), 6).alias("bm25"))
+            .agg(F.round(F.sum("s").cast("double"), 6).alias("bm25"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= top_k)
             .select(F.col("q").alias(query_id_col),

@@ -127,3 +127,22 @@ def test_contamination_report_ranks_planted_overlap(spark):
     assert rep[0].overlap_shingles == len(a & b)
     # weaker matches rank below and overlap less
     assert all(r.jaccard < expect_j for r in rep[1:])
+
+
+def test_bm25_precomputed_stats_and_string_id_schema(spark):
+    rows = [("a", "the cat sat on the mat"), ("b", "a dog ran fast today")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    queries = spark.createDataFrame([("q1", "cat mat")],
+                                    "query_id string, text string")
+    auto = bm25_topk(docs, queries, top_k=2).collect()
+    # precomputed stats reproduce the same scores (6 + 5 tokens)
+    pre = bm25_topk(docs, queries, top_k=2, n_docs=2, avgdl=11 / 2).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pre))
+    assert auto[0].doc_id == "a"
+
+    # empty corpus preserves the caller's id types (string, not long)
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = bm25_topk(empty, queries)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert dict(out.dtypes)["query_id"] == "string"
