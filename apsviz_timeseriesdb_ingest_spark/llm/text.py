@@ -325,26 +325,39 @@ def vocabulary(df: DataFrame, text_col: str = "text", *, min_count: int = 1,
 
 
 def corpus_profile(df: DataFrame, text_col: str = "text",
-                   group_col: str = "source") -> DataFrame:
-    """Per-group corpus statistics: doc/token/char totals, mean and EXACT
-    token-count percentiles (p50/p90/p99, linear interpolation — the
-    convention DuckDB's ``quantile_cont`` shares, so the operator is
-    oracle-checkable). One map-side projection + one groupBy; the
-    percentile aggregate holds a per-group value buffer, which is fine
-    for profiling jobs (thousands of groups x corpus rows each) — for
-    billions-of-rows-per-group dashboards swap in ``percentile_approx``
-    (t-digest, bounded memory, no exact oracle)."""
+                   group_col: str = "source", *,
+                   approximate: bool = False,
+                   accuracy: int = 10_000) -> DataFrame:
+    """Per-group corpus statistics: doc/token/char totals, mean and
+    token-count percentiles (p50/p90/p99).
+
+    Default: EXACT percentiles (linear interpolation — the convention
+    DuckDB's ``quantile_cont`` shares, so the operator is
+    oracle-checkable). The exact aggregate buffers every group's values
+    in the reducer — fine for profiling jobs, a scale hazard for
+    billions of rows per group. ``approximate=True`` is the 100 TB
+    path: ``percentile_approx`` (Greenwald-Khanna, bounded memory,
+    rank error ≤ 1/``accuracy``) with the same output schema; no exact
+    oracle, so the driver-gated form stays exact."""
     base = df.select(F.col(group_col).alias("grp"),
                      F.size(tokens(text_col)).alias("n_tokens"),
                      F.length(text_col).alias("n_chars"))
+    if approximate:
+        def pct(q: float, name: str):
+            return F.round(F.percentile_approx(
+                "n_tokens", q, accuracy).cast("double"), 6).alias(name)
+    else:
+        def pct(q: float, name: str):
+            return F.round(
+                F.expr(f"percentile(n_tokens, {q})"), 6).alias(name)
     return (
         base.groupBy(F.col("grp").alias(group_col))
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("total_tokens"),
              F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-             F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
-             F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90_tokens"),
-             F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("p99_tokens"),
+             pct(0.5, "p50_tokens"),
+             pct(0.9, "p90_tokens"),
+             pct(0.99, "p99_tokens"),
              F.sum("n_chars").alias("total_chars"))
     )
 

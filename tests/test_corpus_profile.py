@@ -158,3 +158,22 @@ def test_stratified_sample_behavior(spark, sf_small):
     b = {(r.source, r.doc_id)
          for r in stratified_sample(docs, ["source"], 5).collect()}
     assert a == b
+
+
+def test_corpus_profile_approximate_close_to_exact(spark, sf_small):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import corpus_profile
+
+    docs = load_table(spark, sf_small, "documents")
+    exact = {r.source: r for r in corpus_profile(docs).collect()}
+    approx = {r.source: r
+              for r in corpus_profile(docs, approximate=True).collect()}
+    assert set(exact) == set(approx)
+    for s in exact:
+        # identical exact aggregates, same schema
+        assert approx[s].n_docs == exact[s].n_docs
+        assert approx[s].total_tokens == exact[s].total_tokens
+        # GK returns an actual data value (no interpolation), so allow
+        # one value-step of slack around the interpolated exact number
+        for c in ("p50_tokens", "p90_tokens", "p99_tokens"):
+            assert abs(approx[s][c] - exact[s][c]) <= max(
+                5.0, 0.05 * exact[s][c]), (s, c)
