@@ -206,3 +206,30 @@ def test_batched_training_valid_and_faster_in_passes(spark):
     n8 = sum(len(_ref_encode(t, list(m8.merges))) for _, t in DOCS)
     assert n8 <= n1 * 1.2
     assert len(m8.merges) == 24
+
+
+def test_merge_pairs_fold_equals_sequential_on_random_words(spark):
+    """One fused multi-pair pass must equal sequential single-merge
+    application for ANY conflict-free batch — checked on hundreds of
+    random symbol arrays in a single Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.bpe import _merge_pairs_expr
+
+    rng = random.Random("fold-equiv")
+    alphabet = ["a", "b", "c", "d", "e"]
+    # conflict-free batch incl. a self-pair: symbols and outputs disjoint
+    pairs = [("a", "b"), ("c", "c"), ("d", "e")]
+    words = [[rng.choice(alphabet)
+              for _ in range(rng.randrange(1, 12))] for _ in range(300)]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i int, syms array<string>")
+    got = {r.i: list(r.out) for r in df.select(
+        "i", _merge_pairs_expr(F.col("syms"), pairs).alias("out")).collect()}
+    for i, w in enumerate(words):
+        expect = list(w)
+        for a, b in pairs:  # sequential reference
+            expect = _ref_apply(expect, a, b)
+        assert got[i] == expect, (i, w)

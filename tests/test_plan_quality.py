@@ -119,3 +119,27 @@ def test_pq_search_stays_jvm_side(spark, sf_small):
                   "FlatMapGroupsInPandas"):
         assert stage not in plan
     assert "Broadcast" in plan
+
+
+def test_bm25_broadcast_queries_partial_agg(spark, sf_small):
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import bm25_topk
+    from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    queries = spark.createDataFrame([(0, "the cat sat")],
+                                    "query_id long, text string")
+    plan = _plan(bm25_topk(docs, queries, n_docs=100, avgdl=50.0))
+    assert "BroadcastHashJoin" in plan          # query terms broadcast
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_paragraph_dedup_partial_agg_no_bnlj(spark, sf_small):
+    from apsviz_timeseriesdb_ingest_spark.llm.spans import dedup_paragraphs
+    from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = _plan(dedup_paragraphs(docs))
+    assert "BroadcastNestedLoop" not in plan
+    # the paragraph-key stats aggregate must be map-side partial
+    assert "partial_min" in plan or "partial_count" in plan
