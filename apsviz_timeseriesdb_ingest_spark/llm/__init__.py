@@ -59,6 +59,7 @@ from .similarity import (  # noqa: F401
     ann_assign,
     brute_force_topk,
     embedding_neardup_pairs,
+    hash_embedding,
     hyperplane_lsh_bucket,
     ivf_assign,
     ivf_probe,

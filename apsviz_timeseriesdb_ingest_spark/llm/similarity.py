@@ -24,6 +24,64 @@ def _norm(a: Column) -> Column:
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
+def hash_embedding(df: DataFrame, *, dim: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   normalize: bool = True,
+                   seed: str = "hashemb-v1") -> DataFrame:
+    """Feature-hashing text embeddings (the hashing trick, Weinberger
+    et al. 2009): each token hashes to one of ``dim`` buckets with an
+    md5-derived ±1 sign; a document's vector is the signed token-count
+    histogram, optionally l2-normalized. A REAL dependency-free
+    text→vector operator — cosine over these vectors approximates
+    token-multiset cosine (near-duplicate texts score high), so it
+    feeds the whole ANN stack (``hyperplane_lsh_bucket``,
+    ``train_kmeans``/``ivf_probe``, PQ, ``embedding_neardup_pairs``)
+    without any model artifact or external library.
+
+    Shape: explode tokens → one (doc, bucket) aggregate → per-doc dense
+    vector via ``map_from_entries`` + a ``dim``-step transform (dim is
+    small and static; the per-element map lookup is O(dim), so vector
+    assembly is O(dim²) per doc — trivial next to tokenization).
+    Deterministic md5 hashing: the same text yields the same vector on
+    any engine/cluster/run. Empty docs get the zero vector (cosine 0
+    to everything). Output: ``(id, embedding array<double>)``.
+    """
+    from ..functions.portable_hash import md5_hash64
+    from .text import tokens
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    h = md5_hash64("token", seed=seed)
+    entries = (df.repartition(par, id_col)
+               .select(F.col(id_col).alias("doc"),
+                       F.explode(tokens(text_col)).alias("token"))
+               .select("doc", (h % dim).cast("int").alias("bucket"),
+                       (F.when(F.call_function(
+                           "shiftright", h, F.lit(20))
+                           .bitwiseAND(F.lit(1)) == 1,
+                           F.lit(1.0)).otherwise(F.lit(-1.0))).alias("sign"))
+               .groupBy("doc", "bucket").agg(F.sum("sign").alias("val")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("__m"), i), F.lit(0.0)))
+    dense = (entries.groupBy("doc")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("bucket", "val"))).alias("__m"))
+             .select("doc", vec.alias("embedding")))
+    if normalize:
+        # materialize the norm in its own projection: inside the
+        # transform lambda it would otherwise re-evaluate the O(dim)
+        # fold once per element (the _with_tokens lesson)
+        dense = (dense.withColumn("__n", _norm(F.col("embedding")))
+                 .select("doc", F.when(F.col("__n") > 0, F.transform(
+                     F.col("embedding"), lambda x: x / F.col("__n")))
+                     .otherwise(F.col("embedding")).alias("embedding")))
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    return (df.select(F.col(id_col).alias("doc"))
+            .join(dense, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("embedding", zero).alias("embedding")))
+
+
 def _dot_expanded(a: Column, b: Column, dim: int) -> Column:
     """Dot product as an expanded left-deep codegen sum — bitwise equal
     to the left-to-right HOF fold of :func:`_dot` but ~10x faster (the
@@ -69,8 +127,13 @@ def brute_force_topk(vectors: DataFrame, *, id_col: str = "vec_id",
           .withColumn("qnrm", _norm(F.col("qvec"))))
     scored = (
         vecs.join(F.broadcast(qs), F.col("nid") != F.col("query_id"))
-        .withColumn("sim", _dot(F.col("qvec"), F.col("nvec"))
-                    / (F.col("qnrm") * F.col("nnrm")))
+        # zero-norm vectors (e.g. hash_embedding of an empty doc) have
+        # cosine 0 to everything by convention — a bare division would
+        # throw DIVIDE_BY_ZERO under ANSI mode
+        .withColumn("sim", F.when(
+            (F.col("qnrm") > 0) & (F.col("nnrm") > 0),
+            _dot(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnrm") * F.col("nnrm"))).otherwise(F.lit(0.0)))
     )
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nid"))

@@ -315,3 +315,62 @@ def test_corpus_mixture_matches_duckdb(spark, sf_small):
     again = sorted(r.doc_id for r in corpus_mixture(
         docs, rates, default_rate=0.5).collect())
     assert got == again
+
+
+def test_hash_embedding_numpy_parity_and_ann_compose(spark):
+    """Feature-hashing embeddings: exact python recompute of the signed
+    histogram, determinism, zero-vector empties, and cosine behavior
+    (near-dup texts high, unrelated low) feeding brute_force_topk."""
+    import math
+
+    from apsviz_timeseriesdb_ingest_spark.functions.portable_hash import (
+        HEX_CHARS,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        brute_force_topk,
+        hash_embedding,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank on a sunny day with friends")
+    rows = [(1, base),
+            (2, base + " okay"),                       # near-dup of 1
+            (3, "completely different text about spark shuffles and "
+                "parquet row groups and codegen stages"),
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.embedding)
+           for r in hash_embedding(df, dim=32).collect()}
+
+    import hashlib
+
+    def h64(tok):
+        return int(hashlib.md5(f"hashemb-v1|{tok}".encode()).hexdigest()
+                   [:HEX_CHARS], 16)
+
+    def ref_vec(text):
+        v = [0.0] * 32
+        for t in text.lower().split():
+            hv = h64(t)
+            v[hv % 32] += 1.0 if (hv >> 20) & 1 else -1.0
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n else v
+
+    for i, t in rows:
+        assert got[i] == ref_vec(t), i
+    assert got[4] == [0.0] * 32
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(got[1], got[2]) > 0.95
+    assert cos(got[1], got[3]) < 0.5
+
+    # composes with the ANN stack: doc 1's nearest (non-self) neighbor
+    # is its near-dup doc 2, then the unrelated doc 3; the zero-vector
+    # doc 4 ranks last with cosine 0 (exercises the ANSI-safe guard)
+    emb = hash_embedding(df, dim=32)
+    top = brute_force_topk(emb, id_col="doc_id", query_ids=[1],
+                           top_k=3).collect()
+    ranked = sorted(top, key=lambda r: r.rank)
+    assert [r.neighbor_id for r in ranked] == [2, 3, 4]
