@@ -374,3 +374,28 @@ def test_hash_embedding_numpy_parity_and_ann_compose(spark):
                            top_k=3).collect()
     ranked = sorted(top, key=lambda r: r.rank)
     assert [r.neighbor_id for r in ranked] == [2, 3, 4]
+
+
+def test_hash_embedding_feeds_embedding_neardup(spark):
+    """Full text->vector->near-dup loop with zero external models:
+    hash embeddings of near-identical texts collide through the banded
+    LSH candidate path and survive the exact cosine verify."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        embedding_neardup_pairs,
+        hash_embedding,
+    )
+
+    base = ("a long enough document with many distinct words about "
+            "rivers mountains forests and the animals living there "
+            "written for the purpose of this very test")
+    rows = [(1, base), (2, base + " appended"),
+            (3, "totally unrelated content covering parquet files and "
+                "shuffle partitions and adaptive query execution plans"),
+            (4, "another unrelated piece on cooking pasta with garlic "
+                "and olive oil for a quick weeknight dinner at home")]
+    emb = hash_embedding(
+        spark.createDataFrame(rows, "doc_id long, text string"), dim=64)
+    pairs = embedding_neardup_pairs(
+        emb, id_col="doc_id", threshold=0.9, dim=64,
+        planes=4, bands=8).collect()
+    assert {(r.vec_id_a, r.vec_id_b) for r in pairs} == {(1, 2)}
