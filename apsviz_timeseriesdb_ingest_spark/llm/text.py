@@ -130,12 +130,19 @@ def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                      *counts)
 
 
+def _gram_cols(n: int) -> tuple[str, str]:
+    return (("top_bigram_frac", "n_bigrams") if n == 2
+            else (f"top_{n}gram_frac", f"n_{n}grams"))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                     ) -> DataFrame:
+                     *, ns: tuple[int, ...] = (2,)) -> DataFrame:
     """Gopher-style repetition signals: duplicate-line fraction (map-side,
-    from the line array) and top-bigram fraction (share of all token
-    bigrams taken by the most frequent one — one explode + two partial
-    aggs, shuffling only (doc, bigram) counts)."""
+    from the line array) and, for each order in ``ns``, the top-n-gram
+    fraction (share of all token n-grams taken by the most frequent
+    one — one explode + two partial aggs, shuffling only (doc, n, gram)
+    counts). The Gopher paper gates on orders 2-4; the default ``(2,)``
+    keeps the original two-column output (driver-gated)."""
     lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines)
     dup_line_frac = F.round(
@@ -146,18 +153,34 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     base = (_with_tokens(df.repartition(par, id_col), text_col)
             .select(F.col(id_col).alias("doc"),
                     dup_line_frac.alias("dup_line_frac"), F.col("__tk")))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("__tk") - 2, F.lit(0))),
-        lambda i: F.array_join(F.slice("__tk", i + 1, 2), " "))
-    per_doc = (
-        base.select("doc", "dup_line_frac", F.explode(bigrams).alias("bg"))
-        .groupBy("doc", "dup_line_frac", "bg").agg(F.count("*").alias("cnt"))
-        .groupBy("doc", "dup_line_frac")
-        .agg(F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac"),
-             F.sum("cnt").alias("n_bigrams"))
+    def _grams_of(n: int) -> Column:
+        # NOTE: the lambda must take ONE argument — a two-arg transform
+        # lambda is interpreted as (element, index) by Spark
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__tk") - n, F.lit(0))),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice("__tk", i + 1, n), " ").alias("g")))
+
+    grams = F.flatten(F.array(*[_grams_of(n) for n in ns]))
+    per_n = (
+        base.select("doc", "dup_line_frac", F.explode(grams).alias("p"))
+        .groupBy("doc", "dup_line_frac", "p.n", "p.g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc", "dup_line_frac", "n")
+        .agg(F.round(F.max("cnt") / F.sum("cnt"), 6).alias("tf"),
+             F.sum("cnt").alias("ng"))
     )
-    return per_doc.select(F.col("doc").alias(id_col), "dup_line_frac",
-                          "top_bigram_frac", "n_bigrams")
+    aggs = []
+    for n in ns:
+        tf_name, ng_name = _gram_cols(n)
+        aggs.append(F.max(F.when(F.col("n") == n, F.col("tf")))
+                    .alias(tf_name))
+        aggs.append(F.max(F.when(F.col("n") == n, F.col("ng")))
+                    .alias(ng_name))
+    out = per_n.groupBy("doc", "dup_line_frac").agg(*aggs)
+    return out.select(F.col("doc").alias(id_col), "dup_line_frac",
+                      *[c for n in ns for c in _gram_cols(n)])
 
 
 def language_score_cols(toks: Column, profiles: dict[str, tuple[str, ...]],

@@ -167,3 +167,25 @@ def test_gopher_quality_stats_and_reasons(spark):
     assert reasons[3] == "symbol_ratio"
     assert reasons[5] == "non_alpha_words"
     assert reasons[4] is None  # NULL ratios never drop
+
+
+def test_repetition_multi_ngram_orders(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import repetition_stats
+
+    text = "a b c a b c a b c d e f"   # "a b" x3, "a b c" x3 of 10 trigram slots
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # default output unchanged (the driver-gated two-column form)
+    d2 = repetition_stats(df).collect()[0]
+    assert d2.asDict().keys() == {"doc_id", "dup_line_frac",
+                                  "top_bigram_frac", "n_bigrams"}
+    multi = repetition_stats(df, ns=(2, 3, 4)).collect()[0]
+    assert multi.top_bigram_frac == d2.top_bigram_frac
+    assert multi.n_bigrams == d2.n_bigrams
+    # python recompute for n=3 (grams built over slice windows 0..len-3)
+    toks = text.split()
+    tri = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 3 + 1)]
+    from collections import Counter
+    c = Counter(tri)
+    assert multi.n_3grams == len(tri)
+    assert multi.top_3gram_frac == round(max(c.values()) / len(tri), 6)
+    assert multi.n_4grams == len(toks) - 4 + 1
