@@ -142,7 +142,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     fraction (share of all token n-grams taken by the most frequent
     one — one explode + two partial aggs, shuffling only (doc, n, gram)
     counts). The Gopher paper gates on orders 2-4; the default ``(2,)``
-    keeps the original two-column output (driver-gated)."""
+    keeps the original two-column output shape (driver-gated).
+
+    Docs with fewer than ``n`` tokens have NO n-grams at that order:
+    the fraction is NULL and the count 0 — a truncated phantom gram
+    would read every short doc as 100% repetitive and a Gopher gate
+    would drop it (NULL-never-drops, like :func:`gopher_quality_stats`).
+    """
     lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines)
     dup_line_frac = F.round(
@@ -154,33 +160,37 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             .select(F.col(id_col).alias("doc"),
                     dup_line_frac.alias("dup_line_frac"), F.col("__tk")))
     def _grams_of(n: int) -> Column:
-        # NOTE: the lambda must take ONE argument — a two-arg transform
-        # lambda is interpreted as (element, index) by Spark
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("__tk") - n, F.lit(0))),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice("__tk", i + 1, n), " ").alias("g")))
+        # element_at + concat_ws (the shingles_from_tokens idiom — no
+        # per-gram subarray allocation); size guard first: an
+        # unguarded sequence(0, size-n) DESCENDS for short docs.
+        # NOTE: transform lambdas must take ONE argument — a two-arg
+        # lambda is interpreted as (element, index) by Spark.
+        idx = F.when(F.size("__tk") >= n,
+                     F.sequence(F.lit(0), F.size("__tk") - n)
+                     ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        return F.transform(idx, lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", *[F.element_at(F.col("__tk"), i + j + 1)
+                               for j in range(n)]).alias("g")))
 
     grams = F.flatten(F.array(*[_grams_of(n) for n in ns]))
-    per_n = (
+    counts = (
         base.select("doc", "dup_line_frac", F.explode(grams).alias("p"))
         .groupBy("doc", "dup_line_frac", "p.n", "p.g")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc", "dup_line_frac", "n")
-        .agg(F.round(F.max("cnt") / F.sum("cnt"), 6).alias("tf"),
-             F.sum("cnt").alias("ng"))
-    )
+        .agg(F.count("*").alias("cnt")))
     aggs = []
     for n in ns:
         tf_name, ng_name = _gram_cols(n)
-        aggs.append(F.max(F.when(F.col("n") == n, F.col("tf")))
-                    .alias(tf_name))
-        aggs.append(F.max(F.when(F.col("n") == n, F.col("ng")))
-                    .alias(ng_name))
-    out = per_n.groupBy("doc", "dup_line_frac").agg(*aggs)
-    return out.select(F.col("doc").alias(id_col), "dup_line_frac",
-                      *[c for n in ns for c in _gram_cols(n)])
+        cnt_n = F.when(F.col("n") == n, F.col("cnt"))
+        aggs.append(F.round(F.max(cnt_n) / F.sum(cnt_n), 6).alias(tf_name))
+        aggs.append(F.sum(cnt_n).alias(ng_name))
+    stats = counts.groupBy("doc", "dup_line_frac").agg(*aggs)
+    fills = [F.col(c) if c.startswith("top_")
+             else F.coalesce(c, F.lit(0)).alias(c)
+             for n in ns for c in _gram_cols(n)]
+    return (base.select("doc", "dup_line_frac")
+            .join(stats, ["doc", "dup_line_frac"], "left")
+            .select(F.col("doc").alias(id_col), "dup_line_frac", *fills))
 
 
 def language_score_cols(toks: Column, profiles: dict[str, tuple[str, ...]],

@@ -210,26 +210,32 @@ def llm_pii_scrub(spark, sf_dir):
 
 @query("llm_repetition", sql=f"""
     WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS ts FROM documents),
-    b AS (SELECT doc_id,
+    base AS (SELECT doc_id,
           round(CASE WHEN len(list_filter(string_split(text, chr(10)),
                                           x -> trim(x) <> '')) > 0
                 THEN 1 - len(list_distinct(list_filter(string_split(text, chr(10)),
                                                        x -> trim(x) <> '')))
                      / len(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''))
-                ELSE 0.0 END, 6) AS dup_line_frac,
-          unnest([array_to_string(ts[i:i+1], ' ')
-                  FOR i IN generate_series(1, greatest(len(ts)-1, 1))]) AS bg
+                ELSE 0.0 END, 6) AS dup_line_frac
           FROM t),
-    c AS (SELECT doc_id, dup_line_frac, bg, count(*) AS cnt
-          FROM b GROUP BY 1, 2, 3)
-    SELECT doc_id, dup_line_frac,
-           round(max(cnt) / sum(cnt), 6) AS top_bigram_frac,
-           CAST(sum(cnt) AS BIGINT) AS n_bigrams
-    FROM c GROUP BY doc_id, dup_line_frac
+    b AS (SELECT doc_id,
+          unnest([array_to_string(ts[i:i+1], ' ')
+                  FOR i IN generate_series(1, len(ts)-1)]) AS bg
+          FROM t WHERE len(ts) >= 2),
+    c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+    s AS (SELECT doc_id,
+          round(max(cnt) / sum(cnt), 6) AS top_bigram_frac,
+          CAST(sum(cnt) AS BIGINT) AS n_bigrams
+          FROM c GROUP BY doc_id)
+    SELECT base.doc_id, base.dup_line_frac, s.top_bigram_frac,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams
+    FROM base LEFT JOIN s USING (doc_id)
 """)
 def llm_repetition(spark, sf_dir):
     """Gopher-style repetition signals: duplicate-line fraction (map-side)
-    + top-bigram fraction (one explode, two partial aggs)."""
+    + top-bigram fraction (one explode, two partial aggs). Docs under
+    n tokens report NULL fraction / 0 grams — no phantom truncated
+    gram (oracle mirrors via the len >= 2 gate + left join)."""
     from ..llm.text import repetition_stats
     return repetition_stats(tables(spark, sf_dir, "documents"))
 

@@ -189,3 +189,20 @@ def test_repetition_multi_ngram_orders(spark):
     assert multi.n_3grams == len(tri)
     assert multi.top_3gram_frac == round(max(c.values()) / len(tri), 6)
     assert multi.n_4grams == len(toks) - 4 + 1
+
+
+def test_repetition_short_docs_have_no_phantom_grams(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b c")], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           repetition_stats(df, ns=(2, 4)).collect()}
+    # 1-token and empty docs: no bigrams at all, never "100% repetitive"
+    for i in (1, 2):
+        assert got[i].n_bigrams == 0 and got[i].top_bigram_frac is None, i
+    # 3-token doc has bigrams but no 4-grams
+    assert got[3].n_bigrams == 2 and got[3].top_bigram_frac == 0.5
+    assert got[3].n_4grams == 0 and got[3].top_4gram_frac is None
+    # every input doc is present
+    assert set(got) == {1, 2, 3}
