@@ -144,6 +144,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     counts). The Gopher paper gates on orders 2-4; the default ``(2,)``
     keeps the original two-column output shape (driver-gated).
 
+    Per-document statistics need no corpus shuffle: each order's grams
+    live in one row's array, the top-gram count is the longest run in
+    the SORTED gram array (one ``array_sort`` + one fold per order),
+    so the whole operator is a single map-side projection — no
+    aggregate, no join, nothing keyed on the corpus.
+
     Docs with fewer than ``n`` tokens have NO n-grams at that order:
     the fraction is NULL and the count 0 — a truncated phantom gram
     would read every short doc as 100% repetitive and a Gopher gate
@@ -159,6 +165,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     base = (_with_tokens(df.repartition(par, id_col), text_col)
             .select(F.col(id_col).alias("doc"),
                     dup_line_frac.alias("dup_line_frac"), F.col("__tk")))
+
     def _grams_of(n: int) -> Column:
         # element_at + concat_ws (the shingles_from_tokens idiom — no
         # per-gram subarray allocation); size guard first: an
@@ -168,29 +175,35 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         idx = F.when(F.size("__tk") >= n,
                      F.sequence(F.lit(0), F.size("__tk") - n)
                      ).otherwise(F.expr("CAST(array() AS array<int>)"))
-        return F.transform(idx, lambda i: F.struct(
-            F.lit(n).alias("n"),
-            F.concat_ws(" ", *[F.element_at(F.col("__tk"), i + j + 1)
-                               for j in range(n)]).alias("g")))
+        return F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__tk"), i + j + 1)
+                   for j in range(n)]))
 
-    grams = F.flatten(F.array(*[_grams_of(n) for n in ns]))
-    counts = (
-        base.select("doc", "dup_line_frac", F.explode(grams).alias("p"))
-        .groupBy("doc", "dup_line_frac", "p.n", "p.g")
-        .agg(F.count("*").alias("cnt")))
-    aggs = []
+    def _max_run(sorted_grams: Column) -> Column:
+        # longest run of equal adjacent values == the top gram's count
+        zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                        F.lit(0).alias("best"))
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(x.alias("prev"), run.alias("run"),
+                            F.greatest(acc["best"], run).alias("best"))
+
+        return F.aggregate(sorted_grams, zero, step, lambda acc: acc["best"])
+
+    cols = []
     for n in ns:
         tf_name, ng_name = _gram_cols(n)
-        cnt_n = F.when(F.col("n") == n, F.col("cnt"))
-        aggs.append(F.round(F.max(cnt_n) / F.sum(cnt_n), 6).alias(tf_name))
-        aggs.append(F.sum(cnt_n).alias(ng_name))
-    stats = counts.groupBy("doc", "dup_line_frac").agg(*aggs)
-    fills = [F.col(c) if c.startswith("top_")
-             else F.coalesce(c, F.lit(0)).alias(c)
-             for n in ns for c in _gram_cols(n)]
-    return (base.select("doc", "dup_line_frac")
-            .join(stats, ["doc", "dup_line_frac"], "left")
-            .select(F.col("doc").alias(id_col), "dup_line_frac", *fills))
+        base = base.withColumn("__g", F.array_sort(_grams_of(n)))
+        total = F.size("__g")
+        base = (base
+                .withColumn(tf_name, F.when(
+                    total > 0,
+                    F.round(_max_run(F.col("__g")) / total, 6)))
+                .withColumn(ng_name, total.cast("bigint"))
+                .drop("__g"))
+        cols += [tf_name, ng_name]
+    return base.select(F.col("doc").alias(id_col), "dup_line_frac", *cols)
 
 
 def language_score_cols(toks: Column, profiles: dict[str, tuple[str, ...]],
