@@ -32,10 +32,11 @@ Design points (the 100 TB shape):
 Reference parity note: the reference engine (RENCI/apsviz-timeseriesdb-
 ingest) has no training-data pipeline; this module is part of the
 training-data extension suite (SURVEY.md "Training-data extensions").
-The stages themselves are individually driver-gated (llm_clean_text,
-llm_pii_scrub, llm_token_stats (the text_stats fold), llm_language_id,
-llm_exact_dedup,
-llm_minhash_lsh_pairs, llm_decontaminate, llm_train_split); the
+The stages themselves are individually driver-gated (llm_pii_scrub —
+which also gates the clean_text regexp class, llm_token_stats (the
+text_stats fold), llm_language_id, llm_exact_dedup,
+llm_minhash_lsh_pairs, llm_decontaminate, and llm_gopher_stats — which
+carries the train-split and mixture expressions); the
 composition contains the iterative connected-components step, which is
 not expressible as a single SQL oracle — pytest covers it end to end.
 """

@@ -350,12 +350,25 @@ def corpus_mixture(df: DataFrame, rates: dict[str, float], *,
     schedule concern, not a filter — do it downstream with an explode
     on a repeat count.
     """
+    return df.filter(mixture_keep_expr(
+        rates, source_col=source_col, id_col=id_col,
+        default_rate=default_rate, seed=seed))
+
+
+def mixture_keep_expr(rates: dict[str, float], *,
+                      source_col: str = "source", id_col: str = "doc_id",
+                      default_rate: float = 1.0,
+                      seed: str = "mixture-v1") -> Column:
+    """The boolean keep decision of :func:`corpus_mixture` as a bare
+    expression — for tag-don't-filter pipelines and audit frames that
+    want the decision as a COLUMN next to other per-doc signals rather
+    than an applied filter."""
     u = md5_hash64(F.col(id_col).cast("string"), seed=seed) / F.lit(float(2 ** 60))
     rate = F.lit(min(1.0, float(default_rate)))
     for src, r in sorted(rates.items()):
         rate = F.when(F.col(source_col) == src,
                       F.lit(min(1.0, float(r)))).otherwise(rate)
-    return df.filter(u < rate)
+    return u < rate
 
 
 def vocabulary(df: DataFrame, text_col: str = "text", *, min_count: int = 1,
@@ -891,6 +904,7 @@ def decontaminate_bloom_table(train: DataFrame, catalog, *,
 def gopher_quality_stats(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          stopwords: tuple[str, ...] = DEFAULT_LANG_PROFILES["en"],
+                         extra: dict[str, Column] | None = None,
                          ) -> DataFrame:
     """The Gopher rule-set quality signals (Rae et al. 2021, public
     paper): per-doc ratios the published thresholds gate on, computed in
@@ -909,6 +923,11 @@ def gopher_quality_stats(df: DataFrame, text_col: str = "text",
     Ratios are NULL for token-free/line-free docs (nothing to measure —
     gate on ``n_tokens`` first). Rounded to 6 dp for engine parity.
     Use :func:`gopher_drop_reason` to fold the thresholds into a tag.
+
+    ``extra`` appends named expressions over the INPUT columns (length
+    buckets, split assignment, mixture decisions …) to the same
+    map-side projection — per-doc signal suites stay one pass instead
+    of joining per-signal frames back on the id.
     """
     toks = F.col("__tk")
     n_tok = F.size(toks)
@@ -947,6 +966,7 @@ def gopher_quality_stats(df: DataFrame, text_col: str = "text",
                     F.array_distinct(toks),
                     F.array(*[F.lit(s) for s in stopwords]))))
                 .alias("stop_hits"),
+                *[expr.alias(name) for name, expr in (extra or {}).items()],
             ))
 
 

@@ -276,69 +276,218 @@ def llm_fingerprint(spark, sf_dir):
     return document_fingerprint(tables(spark, sf_dir, "documents"))
 
 
-@query("llm_clean_text", sql="""
-    SELECT doc_id,
-           trim(regexp_replace(
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(text, 'https?://[^\\s]+', ' ', 'g'),
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-               '\\s+', ' ', 'g')) AS clean_text,
-           length(trim(regexp_replace(
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(text, 'https?://[^\\s]+', ' ', 'g'),
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
-                   '<[^>]*>', ' ', 'g'),
-               '\\s+', ' ', 'g'))) AS clean_chars
-    FROM documents
+# clean_text / train_split / vocabulary / length_buckets left the gate in
+# r3 to make room under the driver's 50-query cap: cleaning stays gated
+# through the same regexp_replace class as llm_pii_scrub, vocabulary
+# through llm_tfidf_top_terms (same explode+count shape), and the
+# split/bucket expressions are FOLDED into llm_gopher_stats below — the
+# freed rows gate the newer corpus-prep operators (gopher signals,
+# chunking, paragraph dedup, duplicate spans, BM25).
+
+#: mixture rates for the gated per-doc signal suite (arbitrary but fixed;
+#: exercises both the mapped-source and default-rate branches)
+_MIXTURE_RATES = {"src0": 0.25, "src3": 0.75}
+
+_SQL_CLEAN_LINE = "regexp_replace(lower(trim(ln)), '\\s+', ' ', 'g')"
+
+
+@query("llm_gopher_stats", sql=f"""
+    WITH t AS (SELECT doc_id, text, source, {SQL_TOKS} AS ts,
+               list_filter(string_split_regex(text, '\\n'),
+                           ln -> trim(ln) <> '') AS lns
+               FROM documents),
+    m AS (SELECT doc_id, text, source,
+          len(ts) AS n_tok, len(lns) AS n_lines,
+          list_sum(list_transform(ts, x -> length(x))) AS word_chars,
+          (length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
+          len(list_filter(lns, ln -> regexp_matches(trim(ln), '^[-*•]')))
+            AS bullets,
+          len(list_filter(lns, ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+            AS ellipses,
+          len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+          len(list_intersect(list_distinct(ts),
+              ['the', 'a', 'and', 'of', 'to', 'is'])) AS stop_hits,
+          {_md5int_sql("'split-v1|' || doc_id::VARCHAR")} % 100 AS split_bucket,
+          {_md5int_sql("'mixture-v1|' || doc_id::VARCHAR")} / 1152921504606846976.0
+              AS mix_u
+          FROM t),
+    s AS (SELECT doc_id,
+          CAST(n_tok AS INT) AS n_tokens, CAST(n_lines AS INT) AS n_lines,
+          CASE WHEN n_tok > 0 THEN round(word_chars / n_tok, 6) END
+              AS mean_word_chars,
+          CASE WHEN n_tok > 0 THEN round(n_sym / n_tok, 6) END
+              AS symbol_word_ratio,
+          CASE WHEN n_lines > 0 THEN round(bullets / n_lines, 6) END
+              AS bullet_line_ratio,
+          CASE WHEN n_lines > 0 THEN round(ellipses / n_lines, 6) END
+              AS ellipsis_line_ratio,
+          CASE WHEN n_tok > 0 THEN round(alpha / n_tok, 6) END
+              AS alpha_word_ratio,
+          CASE WHEN n_tok > 0 THEN CAST(stop_hits AS INT) END AS stop_hits,
+          CAST(least(length(text) // 100, 8) AS INT) AS length_bucket,
+          split_bucket,
+          CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split,
+          mix_u < (CASE source WHEN 'src0' THEN 0.25
+                   WHEN 'src3' THEN 0.75 ELSE 1.0 END) AS mixture_keep
+          FROM m)
+    SELECT *,
+           CASE WHEN mean_word_chars < 3 OR mean_word_chars > 10
+                    THEN 'word_length'
+                WHEN symbol_word_ratio > 0.1 THEN 'symbol_ratio'
+                WHEN bullet_line_ratio > 0.9 THEN 'bullet_lines'
+                WHEN ellipsis_line_ratio > 0.3 THEN 'ellipsis_lines'
+                WHEN alpha_word_ratio < 0.8 THEN 'non_alpha_words'
+                WHEN stop_hits < 2 THEN 'no_stopwords'
+           END AS drop_reason
+    FROM s
 """)
-def llm_clean_text(spark, sf_dir):
-    """Boilerplate cleaning: URL/email/HTML strip + whitespace collapse."""
-    from ..llm.text import clean_text
-    return clean_text(tables(spark, sf_dir, "documents"))
+def llm_gopher_stats(spark, sf_dir):
+    """Per-doc signal suite in ONE map-side projection: the Gopher
+    rule-set quality ratios (Rae et al. 2021) + published-threshold drop
+    reason, plus the other pure per-doc assignments folded in (length
+    bucket for packing, deterministic train/eval hash split, mixture
+    keep decision) — zero shuffles, zero Python."""
+    from ..llm.text import (
+        gopher_drop_reason,
+        gopher_quality_stats,
+        mixture_keep_expr,
+        train_split_cols,
+    )
+    d = tables(spark, sf_dir, "documents")
+    split_bucket, split = train_split_cols()
+    return gopher_quality_stats(d, extra={
+        "length_bucket": F.least(F.floor(F.length("text") / 100),
+                                 F.lit(8)).cast("int"),
+        "split_bucket": split_bucket,
+        "split": split,
+        "mixture_keep": mixture_keep_expr(_MIXTURE_RATES),
+    }).withColumn("drop_reason", gopher_drop_reason())
 
 
-@query("llm_train_split", sql=f"""
-    WITH b AS (SELECT doc_id,
-               {_md5int_sql("'split-v1|' || doc_id::VARCHAR")} % 100 AS split_bucket
-               FROM documents)
-    SELECT doc_id, split_bucket,
-           CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split
-    FROM b
+@query("llm_chunk_documents", sql=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1),
+    st AS (SELECT doc_id, ts,
+           [s FOR s IN generate_series(1, greatest(n, 1), 48)
+            IF s = 1 OR s + 16 <= n] AS starts FROM n),
+    ch AS (SELECT doc_id,
+           [{{'cid': i - 1, 'ck': ts[starts[i]:starts[i] + 63]}}
+            FOR i IN generate_series(1, len(starts))] AS cl FROM st),
+    u AS (SELECT doc_id, unnest(cl, recursive := true) FROM ch)
+    SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+           array_to_string(ck, ' ') AS chunk_text,
+           CAST(len(ck) AS INT) AS n_chunk_tokens
+    FROM u
 """)
-def llm_train_split(spark, sf_dir):
-    """Deterministic hash-based train/eval split (stable across runs and
-    engines — the reproducibility primitive for dataset versioning)."""
-    from ..llm.text import train_split
-    return train_split(tables(spark, sf_dir, "documents"))
+def llm_chunk_documents(spark, sf_dir):
+    """Token-aligned sliding-window chunking (64-token windows, 16-token
+    overlap — small enough that sf0.01 docs actually split): the
+    long-document → context-length stage, one map-side expansion."""
+    from ..llm.text import chunk_documents
+    return chunk_documents(tables(spark, sf_dir, "documents"),
+                           max_tokens=64, overlap=16)
 
 
-@query("llm_vocabulary", sql=f"""
-    WITH tok AS (SELECT unnest({SQL_TOKS}) AS token FROM documents),
-    dtok AS (SELECT unnest(list_distinct({SQL_TOKS})) AS token FROM documents)
-    SELECT c.token, c.term_count, d.doc_freq
-    FROM (SELECT token, count(*) AS term_count FROM tok GROUP BY token) c
-    JOIN (SELECT token, count(*) AS doc_freq FROM dtok GROUP BY token) d
-      ON c.token = d.token
-    WHERE c.term_count >= 1
+@query("llm_paragraph_dedup", sql=f"""
+    WITH pl AS (SELECT doc_id,
+                string_split_regex(text, '\\n[ \\t\\r]*\\n+') AS l
+                FROM documents),
+    px AS (SELECT doc_id, [{{'pos': i - 1, 'para': l[i]}}
+           FOR i IN generate_series(1, len(l))] AS ps FROM pl),
+    p AS (SELECT doc_id AS doc, unnest(ps, recursive := true) FROM px),
+    pp AS (SELECT doc, pos, para,
+           {_md5int_sql(_SQL_CLEAN_LINE.replace('ln', 'para'))} AS pkey
+           FROM p WHERE trim(para) <> ''),
+    st AS (SELECT doc, pos, para,
+           count(*) OVER (PARTITION BY pkey) AS freq,
+           row_number() OVER (PARTITION BY pkey ORDER BY doc, pos) AS rn
+           FROM pp),
+    fl AS (SELECT doc, pos, para, (freq > 1 AND rn <> 1) AS dropped FROM st),
+    rb AS (SELECT doc,
+           coalesce(string_agg(CASE WHEN NOT dropped THEN para END,
+                               chr(10) || chr(10) ORDER BY pos), '')
+               AS deduped_text,
+           count(*) AS n_paragraphs,
+           CAST(sum(CAST(dropped AS INT)) AS BIGINT) AS n_removed
+           FROM fl GROUP BY doc)
+    SELECT d.doc_id, coalesce(rb.deduped_text, '') AS deduped_text,
+           coalesce(rb.n_paragraphs, 0) AS n_paragraphs,
+           coalesce(rb.n_removed, 0) AS n_removed
+    FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc
 """)
-def llm_vocabulary(spark, sf_dir):
-    """Corpus vocabulary: term counts + document frequency."""
-    from ..llm.text import vocabulary
-    return vocabulary(tables(spark, sf_dir, "documents"))
+def llm_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (RefinedWeb boilerplate pass):
+    normalized-paragraph keep-first with deterministic winners; every
+    input doc preserved (tag-don't-filter)."""
+    from ..llm.spans import dedup_paragraphs
+    return dedup_paragraphs(tables(spark, sf_dir, "documents"))
 
 
-@query("llm_length_buckets", sql="""
-    SELECT doc_id, length(text) AS n_chars_measured,
-           CAST(least(length(text) // 100, 8) AS INT) AS bucket
-    FROM documents
+@query("llm_duplicate_spans", sql=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    lst AS (SELECT doc_id, [{{'pos': i - 1,
+            'sh': array_to_string(ts[i:i+2], ' ')}}
+            FOR i IN generate_series(1, greatest(len(ts) - 2, 1))] AS l
+            FROM toks),
+    pos AS (SELECT doc_id AS doc, unnest(l, recursive := true) FROM lst),
+    p AS (SELECT doc, pos, sh FROM pos WHERE sh <> ''),
+    dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc) AS c
+            FROM p GROUP BY sh) WHERE c >= 2),
+    m AS (SELECT doc, pos,
+          row_number() OVER (PARTITION BY doc ORDER BY pos) AS rn
+          FROM p WHERE sh IN (SELECT sh FROM dup))
+    SELECT doc AS doc_id, min(pos) AS span_start, max(pos) AS span_end,
+           count(*) AS n_shingles
+    FROM m GROUP BY doc, pos - rn HAVING count(*) >= 2
 """)
-def llm_length_buckets(spark, sf_dir):
-    """Length bucketing for packing/curriculum partitioning."""
-    from ..llm.text import length_buckets
-    return length_buckets(tables(spark, sf_dir, "documents"))
+def llm_duplicate_spans(spark, sf_dir):
+    """Maximal cross-document duplicated token spans (the ExactSubstr
+    dedup of Lee et al. 2021 at shingle grain): positioned 3-shingles →
+    corpus doc-frequency → gaps-and-islands run assembly."""
+    from ..llm.spans import duplicate_spans
+    return duplicate_spans(tables(spark, sf_dir, "documents"), k=3)
+
+
+@query("llm_bm25_topk", sql=f"""
+    WITH lens AS (SELECT doc_id, {SQL_TOKS} AS ts,
+                  len({SQL_TOKS}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, sum(dl) AS total FROM lens),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(ts) AS term FROM lens)
+           GROUP BY doc_id, dl, term),
+    idf AS (SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+            FROM (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 stats),
+    q AS (SELECT doc_id AS qid, unnest(list_distinct(ts[1:8])) AS term
+          FROM lens WHERE doc_id < 3),
+    contrib AS (SELECT q.qid, tf.doc_id,
+                CAST(idf.idf * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+                        / (stats.total / stats.n)))
+                     AS DECIMAL(38, 12)) AS s
+                FROM tf JOIN idf USING (term) JOIN q USING (term)
+                CROSS JOIN stats),
+    scored AS (SELECT qid, doc_id,
+               round(CAST(sum(s) AS DOUBLE), 6) AS bm25
+               FROM contrib GROUP BY qid, doc_id)
+    SELECT qid AS query_id, doc_id, bm25,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+    FROM scored QUALIFY rnk <= 5
+""")
+def llm_bm25_topk(spark, sf_dir):
+    """BM25 top-5 retrieval (Okapi k1=1.2 b=0.75) with deterministic
+    decimal-sum scoring; queries are the first 8 tokens of docs 0-2 (a
+    fixed rule that scales with the corpus)."""
+    from ..llm.retrieval import bm25_topk
+    from ..llm.text import tokens
+    d = tables(spark, sf_dir, "documents")
+    q = (d.filter(F.col("doc_id") < 3)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.array_join(F.slice(tokens("text"), 1, 8), " ")
+                 .alias("text")))
+    return bm25_topk(d, q, top_k=5)
 
 
 @query("llm_tfidf_top_terms", sql=f"""
