@@ -114,7 +114,10 @@ from .lm import (  # noqa: F401
 )
 from .retrieval import (  # noqa: F401
     bm25_topk,
+    bm25_topk_from_index,
+    build_bm25_index,
     contamination_report,
+    rrf_fuse,
 )
 from .classifier import (  # noqa: F401
     apply_standardization,

@@ -139,17 +139,33 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
 
     tf = (base.select("doc", "dl", F.explode("__tk").alias("term"))
           .groupBy("doc", "dl", "term").agg(F.count("*").alias("tf")))
-    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
-             .withColumn("idf", F.log(
-                 F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                 / (F.col("df") + 0.5))))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = _query_terms(queries, query_id_col, query_text_col)
+    return _rank_bm25(tf, dfreq, qterms, n_docs=n_docs, avgdl=avgdl,
+                      k1=k1, b=b, min_idf=min_idf, top_k=top_k,
+                      query_id_col=query_id_col, id_col=id_col)
+
+
+def _query_terms(queries: DataFrame, query_id_col: str,
+                 query_text_col: str) -> DataFrame:
+    return (queries
+            .select(F.col(query_id_col).alias("q"),
+                    F.explode(F.array_distinct(tokens(query_text_col)))
+                    .alias("term")))
+
+
+def _rank_bm25(tf: DataFrame, dfreq: DataFrame, qterms: DataFrame, *,
+               n_docs: int, avgdl: float, k1: float, b: float,
+               min_idf: float | None, top_k: int,
+               query_id_col: str, id_col: str) -> DataFrame:
+    """Shared BM25 scoring tail over a ``(doc, dl, term, tf)`` frame —
+    the direct and the persisted-index paths both end here, so probe
+    scores are bit-identical to a from-scratch run by construction."""
+    dfreq = dfreq.withColumn("idf", F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)))
     if min_idf is not None:
         dfreq = dfreq.filter(F.col("idf") >= min_idf)
-
-    qterms = (queries
-              .select(F.col(query_id_col).alias("q"),
-                      F.explode(F.array_distinct(tokens(query_text_col)))
-                      .alias("term")))
     contrib = (tf.join(dfreq.select("term", "idf"), "term")
                .join(F.broadcast(qterms), "term")
                .select("q", "doc",
@@ -164,3 +180,135 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
             .filter(F.col("rnk") <= top_k)
             .select(F.col("q").alias(query_id_col),
                     F.col("doc").alias(id_col), "bm25", "rnk"))
+
+
+#: number of term-hash directories the persisted index is partitioned
+#: into: probes prune the tf/df scans to the query terms' buckets
+_BM25_TERM_BUCKETS = 64
+
+
+def _term_bucket() -> F.Column:
+    from ..functions.portable_hash import md5_hash64
+
+    # fast (xxhash64) is fine: the bucket is engine-internal layout,
+    # never oracle-compared
+    return F.pmod(md5_hash64(F.col("term"), fast=True),
+                  F.lit(_BM25_TERM_BUCKETS)).cast("int")
+
+
+def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     append: bool = False) -> None:
+    """Persist the BM25 corpus statistics so queries never re-tokenize
+    the corpus — the build-once/probe-many seam, same pattern as the
+    MinHash dedup index and the partitioned ANN layout.
+
+    Three tables, all LOG-STRUCTURED so ``append=True`` is a plain
+    parquet append of the increment's own counts (no read-modify-write
+    of corpus-sized state):
+
+    - ``{table}_tf``: (doc, dl, term, tf), partitioned by a 64-way term
+      hash bucket — probes prune the scan to the query terms' buckets;
+    - ``{table}_df``: per-batch (term, df) rows; true document
+      frequency = SUM per term at probe time (vocabulary-sized);
+    - ``{table}_stats``: per-batch (n_docs, total_tokens) rows; summed
+      at probe time for N and avgdl (exact integers).
+
+    Replaying a batch double-counts it — gate appends behind a ledger
+    anti-join (``operators/ledger``) exactly as the ingest pipelines
+    do; the dedup-index stream shows the shape.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (docs.repartition(par, id_col)
+            .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))
+            .select("doc", "__tk", F.size("__tk").alias("dl")))
+    tf = (base.select("doc", "dl", F.explode("__tk").alias("term"))
+          .groupBy("doc", "dl", "term").agg(F.count("*").alias("tf"))
+          .withColumn("term_bucket", _term_bucket()))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .withColumn("term_bucket", _term_bucket()))
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.coalesce(F.sum("dl"), F.lit(0)).alias("total_tokens"))
+    write = catalog.append if append else catalog.overwrite
+    write(tf, f"{table}_tf", partition_by=["term_bucket"])
+    write(dfreq, f"{table}_df", partition_by=["term_bucket"])
+    write(stats, f"{table}_stats")
+
+
+def bm25_topk_from_index(catalog, queries: DataFrame, *,
+                         table: str = "bm25", top_k: int = 10,
+                         k1: float = 1.2, b: float = 0.75,
+                         min_idf: float | None = None,
+                         id_col: str = "doc_id",
+                         query_id_col: str = "query_id",
+                         query_text_col: str = "text") -> DataFrame:
+    """Score a query batch against a :func:`build_bm25_index` corpus.
+
+    The query terms' hash buckets become a LITERAL partition filter on
+    the tf/df tables (the IVF-probe trick), so the scan touches ~|query
+    vocabulary|/64 of the index regardless of corpus size; scoring then
+    runs the exact same tail as :func:`bm25_topk`. The driver holds
+    only the distinct query terms (queries are small by contract — the
+    same bound as the broadcast in the direct path).
+    """
+    qterms = _query_terms(queries, query_id_col, query_text_col)
+    qterms = qterms.localCheckpoint(eager=True)  # tiny; scanned thrice
+    buckets = sorted({r[0] for r in
+                      qterms.select(_term_bucket()).distinct().collect()})
+    stats = (catalog.read(f"{table}_stats")
+             .agg(F.sum("n_docs").alias("n"),
+                  F.sum("total_tokens").alias("t")).collect()[0])
+    n_docs = stats["n"] or 0
+    if not n_docs:
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        dt = catalog.read(f"{table}_tf").schema["doc"].dataType.simpleString()
+        return (queries.sparkSession.createDataFrame(
+            [], f"{query_id_col} {qt}, {id_col} {dt}, bm25 double, rnk int"))
+    avgdl = stats["t"] / n_docs
+    tf = (catalog.read(f"{table}_tf")
+          .filter(F.col("term_bucket").isin(buckets)))
+    dfreq = (catalog.read(f"{table}_df")
+             .filter(F.col("term_bucket").isin(buckets))
+             .groupBy("term").agg(F.sum("df").alias("df")))
+    return _rank_bm25(tf, dfreq, qterms, n_docs=n_docs, avgdl=avgdl,
+                      k1=k1, b=b, min_idf=min_idf, top_k=top_k,
+                      query_id_col=query_id_col, id_col=id_col)
+
+
+def rrf_fuse(rankings: list[DataFrame], *, k: int = 60, top_k: int = 10,
+             query_id_col: str = "query_id", id_col: str = "doc_id",
+             rank_col: str = "rnk") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of per-query
+    rankings from heterogeneous systems — the standard hybrid-retrieval
+    combiner for a lexical (:func:`bm25_topk`) and a dense
+    (``similarity.brute_force_topk`` / ``ivf_probe``) ranking, which
+    have incomparable scores but comparable RANKS:
+
+        rrf(q, d) = Σ_systems 1 / (k + rank_s(q, d))
+
+    Every input frame must expose (query_id_col, id_col, rank_col) —
+    rename dense outputs (``neighbor_id``/``rank``) at the call site.
+    One union + one (query, doc) aggregate + one per-query ranking
+    window: state bounded by candidates per query, never the corpus.
+    Contributions sum as DECIMAL (order-independent); the fused score
+    is rounded to 9 dp and ties break on doc id, so the fused ranking
+    is reproducible across runs and engines.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    norm = [r.select(F.col(query_id_col).alias("q"),
+                     F.col(id_col).alias("doc"),
+                     (F.lit(1.0) / (F.lit(k) + F.col(rank_col).cast("int")))
+                     .cast("decimal(38,18)").alias("s"))
+            for r in rankings]
+    u = norm[0]
+    for frame in norm[1:]:
+        u = u.unionByName(frame)
+    w = Window.partitionBy("q").orderBy(F.desc("rrf"), F.col("doc"))
+    return (u.groupBy("q", "doc")
+            .agg(F.round(F.sum("s").cast("double"), 9).alias("rrf"),
+                 F.count("*").alias("n_systems"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select(F.col("q").alias(query_id_col),
+                    F.col("doc").alias(id_col), "rrf", "n_systems", "rnk"))

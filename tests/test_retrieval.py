@@ -146,3 +146,127 @@ def test_bm25_precomputed_stats_and_string_id_schema(spark):
     assert out.count() == 0
     assert dict(out.dtypes)["doc_id"] == "string"
     assert dict(out.dtypes)["query_id"] == "string"
+
+
+def test_bm25_index_probe_matches_direct(spark, sf_small, tmp_path):
+    """The persisted-index probe ends in the same scoring tail as the
+    direct path — rows must be identical, and the pruned tf scan must
+    show a term_bucket partition filter."""
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    docs = load_table(spark, sf_small, "documents")
+    sample = docs.orderBy("doc_id").limit(2).collect()
+    queries = spark.createDataFrame(
+        [(i, " ".join(r.text.lower().split()[:6]))
+         for i, r in enumerate(sample)], "query_id long, text string")
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    build_bm25_index(catalog, docs)
+    probe = bm25_topk_from_index(catalog, queries, top_k=7)
+    direct = bm25_topk(docs, queries, top_k=7)
+    got = sorted(map(tuple, probe.collect()))
+    exp = sorted(map(tuple, direct.collect()))
+    assert got == exp and got
+
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "term_bucket" in plan and "PartitionFilters: [" in plan
+
+
+def test_bm25_index_incremental_append(spark, sf_small, tmp_path):
+    """Log-structured stats: building on half the corpus then appending
+    the other half probes identically to one full build (df/stats sum
+    per term; no read-modify-write)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    queries = spark.createDataFrame(
+        [(0, " ".join(docs.orderBy("doc_id").limit(1)
+                      .collect()[0].text.lower().split()[:6]))],
+        "query_id long, text string")
+
+    catalog = Catalog(spark, str(tmp_path / "inc"))
+    build_bm25_index(catalog, first)
+    build_bm25_index(catalog, second, append=True)
+    full = Catalog(spark, str(tmp_path / "full"))
+    build_bm25_index(full, docs)
+
+    got = sorted(map(tuple,
+                     bm25_topk_from_index(catalog, queries).collect()))
+    exp = sorted(map(tuple, bm25_topk_from_index(full, queries).collect()))
+    assert got == exp and got
+
+
+def test_rrf_fuse_matches_python_recompute(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        "query_id long, doc_id long, rnk int")
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (1, 20, 1), (1, 21, 2)],
+        "query_id long, doc_id long, rnk int")
+    got = {(r.query_id, r.doc_id): (r.rrf, r.n_systems, r.rnk)
+           for r in rrf_fuse([lex, dense], k=60, top_k=10).collect()}
+
+    scores: dict = {}
+    for rows in ([(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+                 [(0, 11, 1), (0, 13, 2), (1, 20, 1), (1, 21, 2)]):
+        for q, d, r in rows:
+            s, n = scores.get((q, d), (0.0, 0))
+            scores[(q, d)] = (s + 1.0 / (60 + r), n + 1)
+    for q in (0, 1):
+        ranked = sorted(((d, v) for (qq, d), v in scores.items() if qq == q),
+                        key=lambda x: (-round(x[1][0], 9), x[0]))
+        for rnk, (d, (s, n)) in enumerate(ranked, start=1):
+            assert got[(q, d)] == (round(s, 9), n, rnk)
+    # doc 11 (in both systems) outranks every single-system doc for q0
+    assert got[(0, 11)][2] == 1
+
+
+def test_hybrid_retrieval_composes_on_testdata(spark, sf_small):
+    """Lexical BM25 + dense hash-embedding rankings fuse end-to-end:
+    deterministic across runs, and the fused winner is a doc BOTH
+    systems retrieved (the testdata plants near-dups of the probe;
+    brute_force_topk excludes the self-match, so the winner is a
+    near-dup, not the probe itself)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import rrf_fuse
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        brute_force_topk,
+        hash_embedding,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    probe = docs.orderBy("doc_id").limit(1).collect()[0]
+    queries = spark.createDataFrame([(int(probe.doc_id), probe.text)],
+                                    "query_id long, text string")
+    lex = bm25_topk(docs, queries, top_k=5)
+    dense = (brute_force_topk(hash_embedding(docs),
+                              id_col="doc_id", query_ids=[int(probe.doc_id)],
+                              top_k=5)
+             .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                     F.col("rank").alias("rnk")))
+    fused1 = sorted(map(tuple, rrf_fuse([lex, dense], top_k=5).collect()))
+    fused2 = sorted(map(tuple, rrf_fuse([lex, dense], top_k=5).collect()))
+    assert fused1 == fused2 and fused1
+    # lexical self-retrieval keeps the probe in the fused set ...
+    assert probe.doc_id in {t[1] for t in fused1}
+    # ... but the winner is a two-system consensus doc: rrf's point
+    top = min(fused1, key=lambda t: t[4])
+    assert top[3] == 2  # n_systems
