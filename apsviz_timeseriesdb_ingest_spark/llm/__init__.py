@@ -27,9 +27,11 @@ from .text import (  # noqa: F401
     language_id,
     language_mix,
     length_buckets,
+    mixture_keep_expr,
     pack_documents,
     quality_score,
     remove_repeated_lines,
+    repeat_for_epochs,
     repetition_stats,
     scrub_pii,
     shuffle_rank,
@@ -45,10 +47,12 @@ from .text import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     dedup_keep_representative,
+    evaluate_pair_candidates,
     exact_dedup,
     lsh_pairs_from_buckets,
     minhash_band_buckets,
     minhash_lsh_pairs,
+    minhash_tune,
     neardup_clusters,
     ngram_jaccard_pairs,
     simhash,
@@ -117,6 +121,7 @@ from .retrieval import (  # noqa: F401
     bm25_topk_from_index,
     build_bm25_index,
     contamination_report,
+    ranking_recall_at_k,
     rrf_fuse,
 )
 from .classifier import (  # noqa: F401

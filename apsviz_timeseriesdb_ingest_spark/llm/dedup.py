@@ -172,6 +172,80 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
     return sh.groupBy("doc").agg(*aggs)
 
 
+def minhash_tune(threshold: float, num_hashes: int = 16, *,
+                 fp_weight: float = 0.5) -> dict:
+    """Pick the (bands, rows) split of ``num_hashes`` whose LSH S-curve
+    best matches a target Jaccard ``threshold`` — the standard
+    collision-probability analysis (Leskovec/Rajaraman/Ullman, *Mining
+    of Massive Datasets* ch. 3, public): a pair with similarity s
+    collides with probability ``1 - (1 - s^rows)^bands``. The chosen
+    split minimizes ``fp_weight * FP + (1 - fp_weight) * FN`` where FP
+    is the integral of the curve below the threshold (dissimilar pairs
+    that still collide → wasted verify work) and FN the integral of
+    (1 - curve) above it (true pairs never bucketed together — the
+    unrecoverable misses).
+
+    Returns ``{"bands", "rows", "fp", "fn", "threshold_50"}`` with
+    threshold_50 = (1/b)^(1/r), the conventional S-curve inflection
+    estimate (collision odds there are exactly 1-(1-1/b)^b, i.e.
+    0.63-0.75 — the start of the curve's steep rise).
+    Driver-side arithmetic only — feed ``bands`` (and ``num_hashes``)
+    to :func:`minhash_band_buckets` / :func:`minhash_lsh_pairs` /
+    ``incremental.build_dedup_index``.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    steps = 1000
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** rows) ** bands
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        cost = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or cost < best[0]:
+            best = (cost, {"bands": bands, "rows": rows,
+                           "fp": round(fp, 6), "fn": round(fn, 6),
+                           "threshold_50":
+                           round((1.0 / bands) ** (1.0 / rows), 6)})
+    return best[1]
+
+
+def evaluate_pair_candidates(candidates: DataFrame, truth: DataFrame, *,
+                             a_col: str = "doc_a",
+                             b_col: str = "doc_b") -> DataFrame:
+    """Precision/recall of a candidate-pair frame against a ground-truth
+    pair frame — the measurement side of :func:`minhash_tune`: tune
+    picks (bands, rows) from theory, this verifies the realized
+    candidate quality on a sample (e.g. ``minhash_lsh_pairs`` vs
+    ``ngram_jaccard_pairs`` above the threshold, or a banded embedding
+    LSH vs the blas verifier). Pair order is normalized on both sides;
+    extra columns (sim, jaccard) are ignored. Returns ONE row
+    ``(n_candidates, n_truth, n_hit, precision, recall)`` — join-sized
+    work, aggregates to the driver."""
+    def pairs(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("pa"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("pb")).distinct()
+
+    c, t = pairs(candidates), pairs(truth)
+    hit = c.join(t, ["pa", "pb"], "left_semi")
+    n_c, n_t, n_h = c.count(), t.count(), hit.count()
+    return c.sparkSession.createDataFrame(
+        [(n_c, n_t, n_h,
+          round(n_h / n_c, 6) if n_c else None,
+          round(n_h / n_t, 6) if n_t else None)],
+        "n_candidates long, n_truth long, n_hit long, "
+        "precision double, recall double")
+
+
 def minhash_band_buckets(df: DataFrame, *, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3,
                          num_hashes: int = 16, bands: int = 4,

@@ -355,6 +355,40 @@ def corpus_mixture(df: DataFrame, rates: dict[str, float], *,
         default_rate=default_rate, seed=seed))
 
 
+def repeat_for_epochs(df: DataFrame, epochs: dict[str, float], *,
+                      source_col: str = "source", id_col: str = "doc_id",
+                      default_epochs: float = 1.0,
+                      seed: str = "epochs-v1") -> DataFrame:
+    """UPSAMPLING counterpart of :func:`corpus_mixture`: repeat every
+    document its source's (possibly fractional) epoch count — the "see
+    curated sources 3.4 times per crawl epoch" schedule of published
+    pretraining mixes. A doc with epoch weight e appears ``floor(e)``
+    times plus one more with probability ``frac(e)``, decided by the
+    same md5 unit-interval primitive (pure function of the id, distinct
+    seed — independent of the mixture/split hashes), so the replicated
+    corpus is identical on every run and engine and expected copies
+    per source equal e exactly.
+
+    Output adds an ``epoch`` column (0-based copy index, part of the
+    effective key downstream shufflers/packers should include). The
+    expansion is one map-side Generate — no shuffle, no Python;
+    weights below 1 are a *sampling* concern: use
+    :func:`corpus_mixture` (this function floors at one copy only when
+    the fractional draw keeps it, i.e. e<1 behaves like mixture).
+    """
+    u = md5_hash64(F.col(id_col).cast("string"), seed=seed) / F.lit(float(2 ** 60))
+    e = F.lit(float(default_epochs))
+    for src, r in sorted(epochs.items()):
+        e = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(e)
+    n = (F.floor(e) + F.when(u < e - F.floor(e), F.lit(1))
+         .otherwise(F.lit(0))).cast("int")
+    return (df.withColumn("__n_copies", n)
+            .filter(F.col("__n_copies") >= 1)
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(0), F.col("__n_copies") - 1)))
+            .drop("__n_copies"))
+
+
 def mixture_keep_expr(rates: dict[str, float], *,
                       source_col: str = "source", id_col: str = "doc_id",
                       default_rate: float = 1.0,

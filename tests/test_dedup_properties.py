@@ -65,3 +65,82 @@ def test_merge_equals_one_shot(existing, incoming):
     oneshot = sorted(map(tuple, keep_latest(
         spark.createDataFrame(existing + incoming, schema), ["key"], order).collect()))
     assert merged == oneshot
+
+
+def test_minhash_tune_properties():
+    """The (bands, rows) solver: exact split of the budget, steeper
+    curves for higher thresholds, 50%-collision point solves the
+    S-curve, and the chosen split beats the alternatives on its own
+    cost function (brute recompute)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import minhash_tune
+
+    prev_rows = 0
+    for th in (0.2, 0.4, 0.6, 0.8):
+        out = minhash_tune(th, 16)
+        b, r = out["bands"], out["rows"]
+        assert b * r == 16
+        assert r >= prev_rows  # higher threshold -> steeper
+        prev_rows = r
+        # threshold_50 is the textbook (1/b)^(1/r) inflection estimate
+        assert out["threshold_50"] == round((1 / b) ** (1 / r), 6)
+        # ... at which the curve sits at exactly 1-(1-1/b)^b — between
+        # 1-1/e (b→∞) and 0.75 (b=2); the conventional "rising part of
+        # the S" landmark
+        if b > 1:
+            s = (1 / b) ** (1 / r)
+            p = 1 - (1 - s ** r) ** b
+            assert 0.6 < p <= 0.75
+
+    # brute-force cost recompute at one setting
+    def cost(bands, rows, th, w=0.5, steps=1000):
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1 - (1 - s ** rows) ** bands
+            if s < th:
+                fp += p / steps
+            else:
+                fn += (1 - p) / steps
+        return w * fp + (1 - w) * fn
+
+    chosen = minhash_tune(0.5, 16)
+    best = min(((b, 16 // b) for b in (1, 2, 4, 8, 16)),
+               key=lambda br: cost(*br, 0.5))
+    assert (chosen["bands"], chosen["rows"]) == best
+
+    import pytest
+    with pytest.raises(ValueError):
+        minhash_tune(1.5, 16)
+
+
+def test_evaluate_pair_candidates(spark, sf_small):
+    """Pair-candidate quality metric: hand case with order-normalized
+    pairs, then the real composition — LSH candidates vs exact Jaccard
+    truth on testdata (tune theory, measure reality)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import (
+        evaluate_pair_candidates,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5), (5, 6)], "doc_a long, doc_b long")
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 6), (7, 8)], "doc_a long, doc_b long")
+    row = evaluate_pair_candidates(cand, truth).collect()[0]
+    # (1,2) and (5,6) hit; (6,5)/(5,6) dedup to one candidate
+    assert (row.n_candidates, row.n_truth, row.n_hit) == (3, 3, 2)
+    assert row.precision == round(2 / 3, 6) and row.recall == round(2 / 3, 6)
+
+    docs = load_table(spark, sf_small, "documents")
+    lsh = minhash_lsh_pairs(docs)  # unverified candidates
+    exact = (ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+             .select("doc_a", "doc_b"))
+    m = evaluate_pair_candidates(lsh, exact).collect()[0]
+    # sf0.001 plants extreme near-dups (jaccard well above the 16/4
+    # geometry's ~0.7 inflection): candidates recover essentially all
+    # of them without false candidates (measured 28/28/28)
+    assert m.n_truth > 0 and m.n_hit > 0
+    assert m.precision >= 0.9
+    assert m.recall >= 0.9

@@ -399,3 +399,32 @@ def test_hash_embedding_feeds_embedding_neardup(spark):
         emb, id_col="doc_id", threshold=0.9, dim=64,
         planes=4, bands=8).collect()
     assert {(r.vec_id_a, r.vec_id_b) for r in pairs} == {(1, 2)}
+
+
+def test_repeat_for_epochs(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import repeat_for_epochs
+
+    rows = [(i, "srcA" if i < 200 else "srcB", f"doc {i}")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # integer epochs: exactly e copies, epoch = 0..e-1
+    out = repeat_for_epochs(df, {"srcA": 3.0, "srcB": 1.0}).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(by_doc[i]) == [0, 1, 2] for i in range(200))
+    assert all(by_doc[i] == [0] for i in range(200, 400))
+
+    # fractional epochs: deterministic, expected count ~ e * n
+    e = 2.4
+    out1 = repeat_for_epochs(df, {"srcA": e, "srcB": 0.5})
+    out2 = repeat_for_epochs(df, {"srcA": e, "srcB": 0.5})
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+    n_a = out1.filter("source = 'srcA'").count()
+    assert abs(n_a - 200 * e) < 0.15 * 200 * e
+    # e < 1 degrades to sampling (0 or 1 copies)
+    b_epochs = {r.epoch for r in out1.filter("source = 'srcB'").collect()}
+    assert b_epochs == {0}
+    n_b = out1.filter("source = 'srcB'").count()
+    assert 0 < n_b < 200
