@@ -116,6 +116,12 @@ from .lm import (  # noqa: F401
     train_bigram_lm,
     train_ngram_lm,
 )
+from .unigram import (  # noqa: F401
+    UnigramModel,
+    train_unigram,
+    unigram_encode_docs,
+    unigram_word_pieces,
+)
 from .retrieval import (  # noqa: F401
     bm25_topk,
     bm25_topk_from_index,
