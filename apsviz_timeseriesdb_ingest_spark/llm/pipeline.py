@@ -119,6 +119,9 @@ def prepare_training_corpus(
     paragraph_max_freq: int | None = None,
     blocked_domains: DataFrame | None = None,
     url_col: str = "url",
+    mixture_rates: dict[str, float] | None = None,
+    source_col: str = "source",
+    default_mixture_rate: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -171,6 +174,15 @@ def prepare_training_corpus(
     ``url_col`` on the ORIGINAL frame) tags matching docs
     ``blocked_domain`` — the FIRST reason in decision order, since it
     needs no content at all.
+
+    ``mixture_rates`` applies :func:`text.corpus_mixture`'s
+    source-weighted downsampling as the LAST decision (reason
+    ``mixture_sampled``): the keep test is a pure function of
+    (id, source), so it commutes with every other stage, but
+    precedence-last keeps the audit attributing docs to the cheaper
+    reason that also dropped them. Upsampling (epochs > 1) is a
+    repetition schedule, not a filter — run
+    :func:`text.repeat_for_epochs` on the returned corpus.
 
     ``catalog`` (a ``sources.catalog.Catalog``) switches the reused
     intermediates from executor cache to CHECKPOINT TABLES
@@ -326,6 +338,22 @@ def prepare_training_corpus(
         contaminated = spark.createDataFrame(
             [], f"{id_col} long, r_contam boolean")
 
+    if mixture_rates is not None:
+        from .text import mixture_keep_expr
+
+        if source_col not in docs.columns:
+            raise ValueError(
+                f"mixture_rates needs a {source_col!r} column on the input")
+        mixture_losers = (
+            docs.select(id_col, source_col)
+            .filter(~mixture_keep_expr(mixture_rates, source_col=source_col,
+                                       id_col=id_col,
+                                       default_rate=default_mixture_rate))
+            .select(id_col).withColumn("r_mixture", F.lit(True)))
+    else:
+        mixture_losers = spark.createDataFrame(
+            [], f"{id_col} long, r_mixture boolean")
+
     reason_cols = [F.when(F.col("r_domain"), F.lit("blocked_domain")),
                    F.col("q_reason")]
     if quality_model is not None:
@@ -340,6 +368,7 @@ def prepare_training_corpus(
         F.when(F.col("r_exact"), F.lit("exact_dup")),
         F.when(F.col("r_near"), F.lit("near_dup")),
         F.when(F.col("r_contam"), F.lit("contaminated")),
+        F.when(F.col("r_mixture"), F.lit("mixture_sampled")),
     ]
     audit = (
         tagged
@@ -349,6 +378,7 @@ def prepare_training_corpus(
         .join(exact_losers, id_col, "left")
         .join(near_losers, id_col, "left")
         .join(contaminated, id_col, "left")
+        .join(mixture_losers, id_col, "left")
         .select(
             id_col, "text", "n_tokens", "repetition_ratio", "predicted_lang",
             "quality_prob", "perplexity",

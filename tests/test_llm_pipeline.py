@@ -276,3 +276,51 @@ def test_paragraph_winner_never_lands_in_blocked_doc(spark):
     assert "shared unique paragraph" in texts[2]
     reasons = {r.doc_id: r.drop_reason for r in audit.collect()}
     assert reasons[1] == "blocked_domain"
+
+
+def test_pipeline_mixture_stage(spark):
+    """mixture_rates downsamples by source as the LAST decision: rate-0
+    sources vanish with reason mixture_sampled, rate-1 sources are
+    untouched, and a doc another stage already dropped keeps the
+    cheaper reason."""
+    bases = [
+        "the cat sat on the mat and the dog is a friend of the cat today",
+        "a quick brown fox jumps over the lazy dog in the green field",
+        "the train to the city leaves at noon and the station is busy",
+        "she reads a book about the sea and the ships that sail on it",
+        "the garden is full of roses and the bees visit them every day",
+        "he cooks a big dinner for the family and they eat it together",
+        "the mountain trail is steep but the view from the top is worth",
+        "a band plays music in the park and the crowd claps to the beat",
+    ]
+    rows = [(i, t + " and so the story goes on for a while longer",
+             "web") for i, t in enumerate(bases, start=1)]
+    rows += [(20, "the library keeps old maps of the town and the river "
+                  "and people come to study them with great care", "books"),
+             (21, "spam " * 40, "web")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    corpus, audit = prepare_training_corpus(
+        docs, mixture_rates={"web": 0.0}, cache=False)
+    reasons = {r.doc_id: r.drop_reason for r in audit.collect()}
+    # every web doc gone; the repetitive one keeps its cheaper reason
+    assert reasons[21] == "repetitive"
+    assert all(reasons[i] == "mixture_sampled" for i in range(1, 9))
+    # books (default rate 1.0) kept
+    assert reasons[20] is None
+    assert {r.doc_id for r in corpus.collect()} == {20}
+
+    # fractional rate: deterministic subset, between the extremes
+    c2, _ = prepare_training_corpus(docs, mixture_rates={"web": 0.5},
+                                    cache=False)
+    c3, _ = prepare_training_corpus(docs, mixture_rates={"web": 0.5},
+                                    cache=False)
+    ids2 = {r.doc_id for r in c2.collect()}
+    assert ids2 == {r.doc_id for r in c3.collect()}
+    assert 20 in ids2 and len(ids2) < 9
+
+    # missing source column is a loud error
+    import pytest
+    with pytest.raises(ValueError, match="source"):
+        prepare_training_corpus(docs.drop("source"),
+                                mixture_rates={"web": 0.5}, cache=False)
