@@ -123,6 +123,60 @@ def _logadd(a: float, b: float) -> float:
     return a + math.log1p(math.exp(b - a))
 
 
+def _sample_py(word: str, logp: dict[str, float], max_len: int,
+               alpha: float, seed: str) -> list[str]:
+    """Sample a segmentation with probability ∝ P(seg)^alpha — the
+    subword-regularization draw of Kudo 2018, via forward filtering /
+    backward sampling over the same lattice as :func:`_viterbi_py`.
+    The RNG is seeded from md5(seed|word), so the draw is a pure
+    function of (word, seed): re-runs, engines, and partitionings all
+    produce the same segmentation, and varying ``seed`` per epoch
+    yields the per-epoch diversity the regularizer wants. alpha → ∞
+    approaches Viterbi; alpha → 0 approaches uniform over segmentations.
+    Unknown single characters use the UNK floor, as in Viterbi."""
+    import hashlib
+    import random
+
+    n = len(word)
+    alphas = [-math.inf] * (n + 1)
+    alphas[0] = 0.0
+    edges: list[list[tuple[int, float]]] = [[] for _ in range(n + 1)]
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None and j - i == 1:
+                lp = UNK_LOG_PROB
+            if lp is None:
+                continue
+            lp *= alpha
+            edges[j].append((i, lp))
+            if alphas[i] > -math.inf:
+                a = alphas[i] + lp
+                alphas[j] = (a if alphas[j] == -math.inf
+                             else _logadd(alphas[j], a))
+    rng = random.Random(int(hashlib.md5(
+        f"{seed}|{word}".encode()).hexdigest()[:15], 16))
+    out = []
+    j = n
+    while j > 0:
+        cands = [(i, alphas[i] + lp) for i, lp in edges[j]
+                 if alphas[i] > -math.inf]
+        mx = max(w for _, w in cands)
+        weights = [math.exp(w - mx) for _, w in cands]
+        total = sum(weights)
+        u = rng.random() * total
+        acc = 0.0
+        pick = cands[-1][0]
+        for (i, _), w in zip(cands, weights):
+            acc += w
+            if u <= acc:
+                pick = i
+                break
+        out.append(word[pick:j])
+        j = pick
+    return out[::-1]
+
+
 def _viterbi_py(word: str, logp: dict[str, float],
                 max_len: int) -> list[str]:
     """Max-probability segmentation; ties prefer the LONGER last piece
@@ -324,10 +378,17 @@ def train_unigram(df: DataFrame, *, vocab_size: int = 512,
 
 def unigram_word_pieces(words: DataFrame, model: UnigramModel, *,
                         word_col: str = "word",
-                        max_piece_len: int = 8) -> DataFrame:
-    """Viterbi-segment a distinct-word frame → ``(word_col, pieces)``
-    in one Arrow batch pass (model broadcast via closure, memoized per
-    batch)."""
+                        max_piece_len: int = 8,
+                        sample_alpha: float | None = None,
+                        sample_seed: str = "sp-v1") -> DataFrame:
+    """Segment a distinct-word frame → ``(word_col, pieces)`` in one
+    Arrow batch pass (model broadcast via closure, memoized per batch).
+    Default is Viterbi; ``sample_alpha`` switches to the
+    subword-regularization DRAW (segmentation sampled ∝ P^alpha, seeded
+    per (word, sample_seed) — see :func:`_sample_py`): vary
+    ``sample_seed`` per training epoch (e.g. from
+    ``text.repeat_for_epochs``'s epoch column) for per-epoch
+    segmentation diversity that is still fully reproducible."""
     import pandas as pd
 
     logp = model.as_dict()
@@ -339,7 +400,12 @@ def unigram_word_pieces(words: DataFrame, model: UnigramModel, *,
             for w in pdf[word_col].fillna("").astype(str):
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = _viterbi_py(w, logp, max_piece_len)
+                    if sample_alpha is None:
+                        got = _viterbi_py(w, logp, max_piece_len)
+                    else:
+                        got = _sample_py(w, logp, max_piece_len,
+                                         sample_alpha, sample_seed)
+                    memo[w] = got
                 out.append(got)
             yield pd.DataFrame({word_col: pdf[word_col], "pieces": out})
 
@@ -349,11 +415,16 @@ def unigram_word_pieces(words: DataFrame, model: UnigramModel, *,
 
 def unigram_encode_docs(df: DataFrame, model: UnigramModel, *,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_piece_len: int = 8) -> DataFrame:
+                        max_piece_len: int = 8,
+                        sample_alpha: float | None = None,
+                        sample_seed: str = "sp-v1") -> DataFrame:
     """Tokenize every doc → ``(id_col, unigram_tokens, n_unigram_tokens)``:
-    Viterbi over the corpus' DISTINCT words once, then join back and
+    segment the corpus' DISTINCT words once, then join back and
     reassemble per doc (the ``bpe_encode_docs`` shape — encoding cost
-    scales with the vocabulary of the corpus, not its length)."""
+    scales with the vocabulary of the corpus, not its length).
+    ``sample_alpha``/``sample_seed`` switch the segmentation from
+    Viterbi to the subword-regularization draw (per-word, seeded —
+    pass a per-epoch seed for regularized multi-epoch encodings)."""
     from .text import tokens
 
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -363,7 +434,9 @@ def unigram_encode_docs(df: DataFrame, model: UnigramModel, *,
             .select("__id", F.posexplode(F.col("__tk"))
                     .alias("__pos", "word")))
     vocab = unigram_word_pieces(toks.select("word").distinct(), model,
-                                max_piece_len=max_piece_len)
+                                max_piece_len=max_piece_len,
+                                sample_alpha=sample_alpha,
+                                sample_seed=sample_seed)
     encoded = (toks.join(vocab, "word")
                .groupBy("__id")
                .agg(F.flatten(F.transform(

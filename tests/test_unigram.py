@@ -96,3 +96,43 @@ def test_unigram_compression_beats_chars(spark):
     n_chars = sum(len(w) for _, t in ROWS
                   for w in re.split(r"\s+", t.lower()) if w)
     assert n_pieces < 0.7 * n_chars
+
+
+def test_subword_regularization_sampling(spark):
+    """The sampling encoder: deterministic per (word, seed), diverse
+    across seeds, concat-invariant, and empirical draw frequencies track
+    the lattice distribution on a controlled two-segmentation word."""
+    from apsviz_timeseriesdb_ingest_spark.llm.unigram import _sample_py
+
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    model = train_unigram(docs, vocab_size=40, seed_size=120,
+                          max_piece_len=6)
+
+    s1 = unigram_encode_docs(docs, model, max_piece_len=6,
+                             sample_alpha=1.0, sample_seed="e0").collect()
+    s2 = unigram_encode_docs(docs, model, max_piece_len=6,
+                             sample_alpha=1.0, sample_seed="e0").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # reproducible
+    for r in s1:  # concat invariance survives sampling
+        text = dict(ROWS)[r.doc_id]
+        words = [w for w in re.split(r"\s+", text.lower()) if w]
+        assert "".join(r.unigram_tokens) == "".join(words)
+    # (the tiny trained model is confident enough that two seeds can
+    # legitimately agree corpus-wide; seed diversity is asserted below
+    # on the controlled lattice instead)
+
+    # controlled lattice: pieces {ab, c, a, bc} over "abc" → segs
+    # [ab,c] and [a,bc] with probs ∝ p(ab)p(c) vs p(a)p(bc)
+    logp = {"ab": math.log(0.4), "c": math.log(0.1),
+            "a": math.log(0.2), "bc": math.log(0.3), "b": math.log(0.0001)}
+    p1 = 0.4 * 0.1          # [ab, c]
+    p2 = 0.2 * 0.3          # [a, bc]
+    want = p1 / (p1 + p2)   # ≈ 0.4 (ignoring the tiny b-path)
+    draws = [tuple(_sample_py("abc", logp, 4, 1.0, f"s{i}"))
+             for i in range(2000)]
+    assert len(set(draws)) >= 2  # seeds actually diversify
+    n1 = draws.count(("ab", "c"))
+    assert abs(n1 / 2000 - want) < 0.05
+    # alpha -> large approaches Viterbi (the argmax segmentation)
+    hard = [_sample_py("abc", logp, 4, 50.0, f"s{i}") for i in range(50)]
+    assert all(h == ["a", "bc"] for h in hard)
