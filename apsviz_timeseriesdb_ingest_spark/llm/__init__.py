@@ -10,6 +10,7 @@ an ``fast=True`` xxhash64 switch for production scale.
 
 from .text import (  # noqa: F401
     build_shingle_bloom,
+    canonical_url,
     build_shingle_bloom_table,
     chunk_documents,
     clean_text,
@@ -41,6 +42,7 @@ from .text import (  # noqa: F401
     token_stats,
     tokens,
     train_split,
+    url_dedup,
     url_host,
     weighted_sample,
     vocabulary,
@@ -115,6 +117,9 @@ from .lm import (  # noqa: F401
     perplexity_ngram,
     train_bigram_lm,
     train_ngram_lm,
+)
+from .graph import (  # noqa: F401
+    pagerank,
 )
 from .unigram import (  # noqa: F401
     UnigramModel,

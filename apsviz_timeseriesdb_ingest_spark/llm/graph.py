@@ -1,0 +1,94 @@
+"""Distributed PageRank over an edge frame (Brin & Page 1998, public).
+
+Training-data use: rank HOSTS by the crawl's link graph — the
+centrality-flavored quality prior in the Common Crawl curation lineage
+(alongside :func:`llm.text.domain_stats` / blocklists); join the rank
+back on ``url_host`` to weight or gate documents by source reputation.
+The operator itself is graph-generic: any ``(src, dst)`` edge frame.
+
+Execution shape — the same driver-holds-nothing iteration as
+large-star/small-star connected components and the k-means trainer:
+
+- state per iteration is ONE (node, rank) frame, re-derived by one
+  edges⋈ranks join + one ``dst`` aggregate (map-side partial);
+- dangling mass (nodes without out-edges) and the teleport term are two
+  DRIVER-SIZED scalars per pass (one tiny aggregate), redistributed
+  uniformly — the standard stochastic-matrix completion, so ranks sum
+  to 1 at every iteration;
+- lineage is cut per pass with ``localCheckpoint`` (iterative-plan
+  rule, as in ``dedup._star_components``).
+
+Duplicate edges are counted once (weights belong in a weighted variant);
+self-loops are legitimate. Ranks are rounded to 12 dp at the end for
+cross-engine comparability; the serial reference (`_pagerank_py`) runs
+the identical update, and tests pin the distributed result to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pagerank_py(edges: list[tuple], *, damping: float = 0.85,
+                 iters: int = 20) -> dict:
+    """Serial reference: identical update order and arithmetic shape."""
+    es = sorted(set(edges))
+    nodes = sorted({x for e in es for x in e})
+    n = len(nodes)
+    if not n:
+        return {}
+    out: dict = {}
+    for s, _ in es:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib: dict = {v: 0.0 for v in nodes}
+        for s, d in es:
+            contrib[d] += rank[s] / out[s]
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        base = (1.0 - damping) / n + damping * dangling / n
+        rank = {v: base + damping * contrib[v] for v in nodes}
+    return {v: round(r, 12) for v, r in rank.items()}
+
+
+def pagerank(edges: DataFrame, *, src_col: str = "src",
+             dst_col: str = "dst", damping: float = 0.85,
+             iters: int = 20) -> DataFrame:
+    """PageRank over ``edges`` → ``(node, rank)`` (see module
+    docstring). ``iters`` fixed passes (20 ≈ 1e-4 residual on web-like
+    graphs); each pass is one join + one aggregate + one scalar
+    aggregate."""
+    es = (edges.select(F.col(src_col).alias("src"),
+                       F.col(dst_col).alias("dst"))
+          .distinct().localCheckpoint(eager=True))
+    nodes = (es.select(F.col("src").alias("node"))
+             .unionByName(es.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if not n:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = (es.groupBy("src").agg(F.count("*").alias("out"))
+              .withColumnRenamed("src", "node")
+              .localCheckpoint(eager=True))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        rated = (ranks.join(outdeg, "node", "left")
+                 .select("node", "rank",
+                         (F.col("rank") / F.col("out")).alias("w")))
+        dangling = (rated.filter(F.col("w").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        base = (1.0 - damping) / n + damping * dangling / n
+        contrib = (es.join(rated.filter(F.col("w").isNotNull())
+                           .select(F.col("node").alias("src"), "w"),
+                           "src")
+                   .groupBy("dst").agg(F.sum("w").alias("c"))
+                   .withColumnRenamed("dst", "node"))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce(F.col("c"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("node", F.round("rank", 12).alias("rank"))

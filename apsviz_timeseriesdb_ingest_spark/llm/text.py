@@ -1087,6 +1087,61 @@ def url_host(url: Column | str) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
+#: query parameters that never identify content — the standard
+#: tracking-parameter strip list (UTM campaign tags, click ids)
+TRACKING_PARAM_RE = (r"^(utm_[^=]*|fbclid|gclid|msclkid|dclid|mc_cid|"
+                     r"mc_eid|ref_src|igshid)=")
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for URL-grain dedup: lower-cased scheme
+    and host (www. stripped), default ports dropped, fragment dropped,
+    tracking query parameters removed and the REST SORTED (param order
+    is presentation, not identity), trailing slash trimmed from
+    non-root paths. NULL for unparseable URLs (``try_parse_url`` —
+    plain ``parse_url`` would abort a distributed read on one bad row
+    under ANSI, the CLAUDE.md rule). Pure map-side expression."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(F.try_parse_url(c, F.lit("HOST"))),
+                         r"^www\.", ""),
+        r":(80|443)$", "")
+    path = F.regexp_replace(F.coalesce(F.try_parse_url(c, F.lit("PATH")),
+                                       F.lit("")), r"/+$", "")
+    query = F.try_parse_url(c, F.lit("QUERY"))
+    kept = F.array_sort(F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qtail = F.when(F.size(kept) > 0,
+                   F.concat(F.lit("?"), F.array_join(kept, "&"))
+                   ).otherwise(F.lit(""))
+    return F.when(scheme.isNotNull() & host.isNotNull(),
+                  F.concat(scheme, F.lit("://"), host, path, qtail))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-grain exact dedup (the crawl pipeline's cheapest first pass
+    — recrawls and tracking-tagged links collapse before any content
+    hashing): keep the lowest id per :func:`canonical_url`. Returns
+    ``(canonical_url, kept_id, n_copies)`` — the ``dedup.exact_dedup``
+    shape, one hash-groupBy. Unparseable URLs (NULL canonical form)
+    are NOT grouped together: each keeps itself (a missing URL is no
+    evidence two docs are the same)."""
+    cu = canonical_url(url_col)
+    grouped = (df.select(F.col(id_col), cu.alias("canonical_url"))
+               .filter(F.col("canonical_url").isNotNull())
+               .groupBy("canonical_url")
+               .agg(F.min(id_col).alias("kept_id"),
+                    F.count("*").alias("n_copies")))
+    loners = (df.select(F.col(id_col), cu.alias("canonical_url"))
+              .filter(F.col("canonical_url").isNull())
+              .select("canonical_url", F.col(id_col).alias("kept_id"),
+                      F.lit(1).cast("long").alias("n_copies")))
+    return grouped.unionByName(loners)
+
+
 def _host_suffixes(host: Column) -> Column:
     """All dot-suffixes of a host (``a.b.com`` → ``[a.b.com, b.com,
     com]``) — bounded by label count, so domain-list matching becomes an

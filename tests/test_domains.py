@@ -206,3 +206,41 @@ def test_repetition_short_docs_have_no_phantom_grams(spark):
     assert got[3].n_4grams == 0 and got[3].top_4gram_frac is None
     # every input doc is present
     assert set(got) == {1, 2, 3}
+
+
+def test_canonical_url_and_url_dedup(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        canonical_url,
+        url_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "https://WWW.Example.com/a/b/?utm_source=x&id=2&utm_medium=y"),
+        (2, "https://example.com/a/b?id=2"),             # same as 1
+        (3, "HTTP://example.com:80/a/b/"),               # scheme+port+slash
+        (4, "https://example.com/a/b?id=3"),             # different param value
+        (5, "https://other.net/"),
+        (6, "not a url at all"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {r.doc_id: r.c
+             for r in df.select("doc_id",
+                                canonical_url("url").alias("c")).collect()}
+    assert canon[1] == canon[2] == "https://example.com/a/b?id=2"
+    assert canon[3] == "http://example.com/a/b"
+    assert canon[4] == "https://example.com/a/b?id=3"
+    assert canon[5] == "https://other.net"
+    assert canon[7] is None
+
+    out = url_dedup(df).collect()
+    by_url = {r.canonical_url: r for r in out if r.canonical_url is not None}
+    assert by_url["https://example.com/a/b?id=2"].kept_id == 1
+    assert by_url["https://example.com/a/b?id=2"].n_copies == 2
+    # every doc is represented exactly once across keepers+copies
+    assert sum(r.n_copies for r in out) == len(rows)
+    # unparseable/null URLs never merge
+    nulls = [r for r in out if r.canonical_url is None]
+    assert sorted(r.kept_id for r in nulls) == [6, 7] or \
+        sorted(r.kept_id for r in nulls) == [6]  # "not a url" may parse

@@ -1,0 +1,48 @@
+"""PageRank: distributed result pinned to the serial reference on known
+graphs; stochastic invariants (ranks sum to 1, dangling handled)."""
+
+from __future__ import annotations
+
+from apsviz_timeseriesdb_ingest_spark.llm.graph import _pagerank_py, pagerank
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_serial_reference(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"),            # d has no in-links
+             ("c", "e")]            # e is dangling (no out-links)
+    got = _run(spark, edges, iters=15)
+    exp = _pagerank_py(edges, iters=15)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic: mass conserved
+    # the hub everything points at outranks the unreferenced node
+    assert got["c"] > got["d"]
+
+
+def test_pagerank_classic_cycle_uniform(spark):
+    # a→b→c→a: perfect symmetry ⇒ uniform ranks
+    got = _run(spark, [("a", "b"), ("b", "c"), ("c", "a")], iters=10)
+    assert all(abs(r - 1 / 3) < 1e-9 for r in got.values())
+
+
+def test_pagerank_duplicate_edges_and_empty(spark):
+    # duplicate edges count once
+    g1 = _run(spark, [("a", "b"), ("a", "b"), ("b", "a")], iters=8)
+    g2 = _run(spark, [("a", "b"), ("b", "a")], iters=8)
+    assert g1 == g2
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+
+
+def test_pagerank_all_dangling(spark):
+    # one edge, dst dangling: teleport + dangling redistribution keeps
+    # the distribution proper
+    got = _run(spark, [("a", "b")], iters=30)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["b"] > got["a"]
