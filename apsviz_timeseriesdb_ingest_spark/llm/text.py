@@ -1055,6 +1055,52 @@ def remove_repeated_lines(df: DataFrame, text_col: str = "text",
                     .alias("n_removed")))
 
 
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", *,
+                      level: int = 6) -> DataFrame:
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    information-density quality signal crawl pipelines use alongside
+    the Gopher rules: machine-generated repetition compresses far below
+    prose (ratio → 0), while random gibberish/base64 blobs refuse to
+    compress (ratio → 1). Thresholds are corpus-specific; pair with
+    :func:`corpus_profile`'s percentiles rather than hardcoding.
+
+    zlib is deliberate: DEFLATE at a fixed ``level`` is bit-stable
+    across platforms for our purposes (ratio, not bytes, is consumed),
+    stdlib-only, and cheap. This is a real per-row Python stage — an
+    Arrow-batched ``mapInPandas`` like the multimodal decode path, NOT
+    a row-at-a-time UDF; it is the documented exception to the
+    zero-UDF surface because DEFLATE has no Spark-native expression.
+    Empty/NULL text yields NULL ratio (nothing to measure).
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, n_bytes int, n_compressed int, "
+              "compression_ratio double")
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if isinstance(t, str) else b""
+                   for t in pdf[text_col].fillna("")]
+            comp = [len(zlib.compress(b, level)) if b else None
+                    for b in raw]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": [len(b) for b in raw],
+                "n_compressed": [c or 0 for c in comp],
+                "compression_ratio": [
+                    round(c / len(b), 6) if c else None
+                    for c, b in zip(comp, raw)],
+            })
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartition(par, id_col)
+            .select(id_col, text_col).mapInPandas(run, schema))
+
+
 def corpus_manifest(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """One-row corpus manifest: doc/char/token totals, distinct-id

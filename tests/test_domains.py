@@ -244,3 +244,37 @@ def test_canonical_url_and_url_dedup(spark):
     nulls = [r for r in out if r.canonical_url is None]
     assert sorted(r.kept_id for r in nulls) == [6, 7] or \
         sorted(r.kept_id for r in nulls) == [6]  # "not a url" may parse
+
+
+def test_compression_ratio_signal(spark):
+    """zlib ratio separates repetitive text (compresses hard) from
+    prose from incompressible noise; python-recompute parity."""
+    import zlib
+
+    from apsviz_timeseriesdb_ingest_spark.llm.text import compression_ratio
+
+    import random
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randint(33, 126)) for _ in range(400))
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quiet morning river carries small boats past the old "
+            "mill while children watch from the stone bridge above " * 4),
+        (3, noise),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+
+    for doc_id, text in rows:
+        if text:
+            b = text.encode()
+            assert out[doc_id].n_bytes == len(b)
+            assert out[doc_id].compression_ratio == round(
+                len(zlib.compress(b, 6)) / len(b), 6)
+    assert out[1].compression_ratio < 0.1            # repetition collapses
+    assert 0.1 < out[2].compression_ratio < 0.7      # prose in between
+    assert out[3].compression_ratio > 0.8            # noise won't compress
+    assert out[4].compression_ratio is None
+    assert out[5].compression_ratio is None

@@ -143,3 +143,24 @@ def test_paragraph_dedup_partial_agg_no_bnlj(spark, sf_small):
     assert "BroadcastNestedLoop" not in plan
     # the paragraph-key stats aggregate must be map-side partial
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_gopher_signals_zero_exchange(spark, sf_small):
+    """The gated per-doc signal suite (gopher + bucket + split +
+    mixture) must stay ONE map-side projection: no Exchange, no Python
+    execution, filters absent — scan → project only."""
+    plan = _plan(QUERIES["llm_gopher_stats"](spark, sf_small))
+    assert "Exchange" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_chunk_documents_single_expansion(spark, sf_small):
+    """Chunking = repartition + one Generate; no aggregate, no join,
+    no Python."""
+    plan = _plan(QUERIES["llm_chunk_documents"](spark, sf_small))
+    # formatted plans list each node twice (tree + detail section)
+    assert plan.count("Generate") == 2
+    assert "Join" not in plan and "Aggregate" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
