@@ -114,6 +114,7 @@ from .ivfpq import (  # noqa: F401
     residuals,
 )
 from .lm import (  # noqa: F401
+    min_k_prob,
     perplexity,
     perplexity_ngram,
     train_bigram_lm,

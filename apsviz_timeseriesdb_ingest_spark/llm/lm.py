@@ -154,6 +154,67 @@ def perplexity_ngram(df: DataFrame, lm: dict[str, DataFrame | int], *,
                     "perplexity"))
 
 
+def min_k_prob(df: DataFrame, lm: dict[str, DataFrame | int], *,
+               k_frac: float = 0.2, text_col: str = "text",
+               id_col: str = "doc_id", add_k: float = 0.1) -> DataFrame:
+    """Min-K% probability score (Shi et al. 2023, "Detecting
+    Pretraining Data from Large Language Models", public paper) under a
+    :func:`train_ngram_lm` model: the mean log-prob of each document's
+    LOWEST ``k_frac`` fraction of n-gram events. A document the model
+    has effectively memorized (because it, or near-copies, sit in the
+    LM's training corpus) has no low-probability outliers, so its
+    min-k mean sits far above an unseen document's — a sharper
+    membership/leakage signal than mean perplexity, which averages the
+    outliers away. Corpus-side uses: score a candidate eval set against
+    the corpus LM to rank likely-leaked items, or flag
+    suspiciously-memorized corpus docs (templated boilerplate) that
+    plain dedup missed.
+
+    Returns ``(id, n_ngrams, n_bottom, min_k_avg_logp)``; docs shorter
+    than n tokens score NULL. Same join shape as
+    :func:`perplexity_ngram` (two many-to-one LEFT joins, add-k total);
+    the bottom-k selection is a per-doc sorted array slice — state
+    bounded by one document's n-grams, never the corpus.
+    """
+    if not 0 < k_frac <= 1:
+        raise ValueError("k_frac must be in (0, 1]")
+    v = float(lm["vocab_size"])
+    n = int(lm["n"])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    doc_ng = (df.repartition(par, id_col)
+              .select(F.col(id_col).alias("doc"),
+                      tokens(text_col).alias("__tk"))
+              .select("doc",
+                      F.explode_outer(_ngrams(F.col("__tk"), n)).alias("g"))
+              .select("doc", F.col("g.context").alias("context"),
+                      F.col("g.token").alias("token")))
+    ng = lm["ngrams"].select("context", "token",
+                             F.col("count").alias("c_ng"))
+    cx = lm["contexts"].select("context", F.col("count").alias("c_cx"))
+    logp = (F.log(F.coalesce(F.col("c_ng"), F.lit(0)) + F.lit(add_k))
+            - F.log(F.coalesce(F.col("c_cx"), F.lit(0)) + F.lit(add_k * v)))
+    scored = (doc_ng.join(ng, ["context", "token"], "left")
+              .join(cx, ["context"], "left")
+              .withColumn("__logp",
+                          F.when(F.col("context").isNotNull(), logp)))
+    arr = F.array_sort(F.collect_list("__logp"))  # ascending: worst first
+    agg = scored.groupBy("doc").agg(arr.alias("__lp"))
+    nb = F.when(F.size("__lp") > 0,
+                F.greatest(F.ceil(F.size("__lp") * F.lit(float(k_frac)))
+                           .cast("int"), F.lit(1)))
+    bottom = F.slice(F.col("__lp"), 1, F.coalesce(nb, F.lit(0)))
+    return (agg
+            .withColumn("__nb", nb)
+            .select(F.col("doc").alias(id_col),
+                    F.size("__lp").alias("n_ngrams"),
+                    F.coalesce("__nb", F.lit(0)).alias("n_bottom"),
+                    F.when(F.col("__nb").isNotNull(),
+                           F.round(F.aggregate(bottom, F.lit(0.0),
+                                               lambda a, x: a + x)
+                                   / F.col("__nb"), 9))
+                    .alias("min_k_avg_logp")))
+
+
 def perplexity(df: DataFrame, lm: dict[str, DataFrame | int], *,
                text_col: str = "text", id_col: str = "doc_id",
                add_k: float = 0.1) -> DataFrame:

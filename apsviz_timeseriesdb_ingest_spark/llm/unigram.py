@@ -53,7 +53,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bpe import _WS, _word_counts
+from .bpe import _word_counts
 
 #: log-prob floor for characters never seen at training time — keeps
 #: Viterbi total without letting unknowns beat any real piece

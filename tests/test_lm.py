@@ -143,3 +143,59 @@ def test_trigram_ranks_and_short_docs(spark):
     rows = {r.doc_id: r for r in perplexity_ngram(test, lm).collect()}
     assert rows[100].perplexity < rows[101].perplexity
     assert rows[102].n_ngrams == 0 and rows[102].perplexity is None
+
+
+def test_min_k_prob_formula_and_membership_signal(spark):
+    """Min-K%: python recompute of the bottom-k mean on a hand corpus,
+    and the membership property — a heavily-repeated (memorized) doc
+    scores far above a fresh doc of the same length."""
+    import math
+
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        min_k_prob,
+        train_ngram_lm,
+    )
+
+    common = "the cat sat on the mat near the door and slept all day"
+    train_rows = [(i, common) for i in range(10)]
+    train_rows.append((10, "the dog sat near the door and the cat ran out"))
+    docs = spark.createDataFrame(train_rows, "doc_id long, text string")
+    lm = train_ngram_lm(docs, n=2)
+
+    rows = [(0, common),  # member (memorized)
+            (100, "a strange new sentence with rare words arrives here"),
+            (101, "the cat sat on a strange mat near rare words today")]
+    score = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           min_k_prob(score, lm, k_frac=0.25).collect()}
+
+    # python recompute for one doc
+    # r["count"], not r.count — Row is a tuple and .count is its method
+    ng = {(r.context, r.token): r["count"] for r in lm["ngrams"].collect()}
+    cx = {r.context: r["count"] for r in lm["contexts"].collect()}
+    v, k = lm["vocab_size"], 0.1
+
+    def logps(text):
+        t = text.lower().split()
+        return sorted(
+            math.log(ng.get((a, b), 0) + k) - math.log(cx.get(a, 0) + k * v)
+            for a, b in zip(t, t[1:]))
+
+    for doc_id, text in ((0, common), (100, rows[1][1])):
+        lp = logps(text)
+        nb = max(1, math.ceil(len(lp) * 0.25))
+        want = round(sum(lp[:nb]) / nb, 9)
+        assert abs(out[doc_id].min_k_avg_logp - want) < 1e-9
+        assert out[doc_id].n_bottom == nb
+
+    # membership: the memorized member scores far above both the fresh
+    # doc and the partial overlap (no ordering claim BETWEEN the two
+    # non-members: add-k punishes rare continuations of common
+    # contexts harder than wholly novel contexts)
+    assert out[0].min_k_avg_logp > out[100].min_k_avg_logp + 1.0
+    assert out[0].min_k_avg_logp > out[101].min_k_avg_logp + 1.0
+
+    # short doc -> NULL
+    short = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    r = min_k_prob(short, lm).collect()[0]
+    assert r.min_k_avg_logp is None and r.n_ngrams == 0 and r.n_bottom == 0
