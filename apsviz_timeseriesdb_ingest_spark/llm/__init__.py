@@ -86,6 +86,7 @@ from .incremental import (  # noqa: F401
     dedup_increment,
 )
 from .pipeline import (  # noqa: F401
+    data_card,
     attrition_report,
     corpus_signals,
     prepare_training_corpus,

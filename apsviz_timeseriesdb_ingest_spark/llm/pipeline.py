@@ -393,6 +393,67 @@ def prepare_training_corpus(
     return corpus, audit
 
 
+def data_card(corpus: DataFrame, audit: DataFrame | None = None, *,
+              text_col: str = "text", id_col: str = "doc_id",
+              source_col: str | None = None,
+              lang_col: str | None = "predicted_lang") -> DataFrame:
+    """The dataset documentation artifact (Gebru et al. 2021
+    "Datasheets for Datasets" lineage) as ONE tidy ``(section, metric,
+    value)`` frame — sizes and checksum from
+    :func:`text.corpus_manifest`, language/source composition, token
+    percentiles, and (when the pipeline ``audit`` frame is passed) the
+    per-reason attrition — ready to write next to the corpus as its
+    release receipt.
+
+    Everything is derived from existing single-aggregate operators;
+    section frames are tiny (one row per metric), unioned driver-free.
+    ``value`` is a STRING column so heterogeneous metrics share one
+    schema; numeric consumers should go to the underlying operators.
+    """
+    def rows(section: str, kv: DataFrame) -> DataFrame:
+        return kv.select(F.lit(section).alias("section"),
+                         F.col("metric"), F.col("value").cast("string"))
+
+    from .text import corpus_manifest, tokens as _tokens
+
+    man = corpus_manifest(corpus, text_col=text_col, id_col=id_col)
+    size = rows("size", man.selectExpr(
+        "stack(5, 'n_docs', CAST(n_docs AS STRING), "
+        "'n_distinct_ids', CAST(n_distinct_ids AS STRING), "
+        "'n_chars', CAST(n_chars_measured AS STRING), "
+        "'n_tokens', CAST(n_tokens AS STRING), "
+        "'corpus_checksum', CAST(corpus_checksum AS STRING)) "
+        "AS (metric, value)"))
+
+    lens = corpus.select(F.size(_tokens(text_col)).alias("n"))
+    pct = rows("tokens_per_doc", lens.agg(
+        F.min("n").alias("min"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+        F.max("n").alias("max"),
+    ).selectExpr(
+        "stack(5, 'min', CAST(min AS STRING), 'p50', CAST(p50 AS STRING), "
+        "'p90', CAST(p90 AS STRING), 'p99', CAST(p99 AS STRING), "
+        "'max', CAST(max AS STRING)) AS (metric, value)"))
+
+    out = size.unionByName(pct)
+    for section, col in (("languages", lang_col), ("sources", source_col)):
+        if col is not None and col in corpus.columns:
+            comp = (corpus.groupBy(F.col(col).alias("metric"))
+                    .agg(F.count("*").alias("value")))
+            out = out.unionByName(rows(section, comp))
+    if audit is not None:
+        att = (attrition_report(audit)
+               .select(F.col("stage").alias("metric"),
+                       F.concat(F.col("n_docs").cast("string"),
+                                F.lit(" ("),
+                                F.col("fraction").cast("string"),
+                                F.lit(")")).alias("value")))
+        out = out.unionByName(rows("attrition", att))
+    return out
+
+
 def attrition_report(audit: DataFrame) -> DataFrame:
     """Per-stage attrition counts from the audit frame: one row per drop
     reason (plus 'kept'), with count and fraction of the input corpus.

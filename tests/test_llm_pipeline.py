@@ -324,3 +324,36 @@ def test_pipeline_mixture_stage(spark):
     with pytest.raises(ValueError, match="source"):
         prepare_training_corpus(docs.drop("source"),
                                 mixture_rates={"web": 0.5}, cache=False)
+
+
+def test_data_card(spark):
+    """The release receipt: sizes/checksum, token percentiles,
+    language+source composition, and attrition when the audit frame is
+    supplied — one (section, metric, value) frame."""
+    from apsviz_timeseriesdb_ingest_spark.llm.pipeline import data_card
+
+    docs = _docs(spark).withColumn("source", F.lit("web"))
+    corpus, audit = prepare_training_corpus(docs, _benchmark(spark), cache=False)
+    corpus = corpus.withColumn("source", F.lit("web"))
+
+    card = data_card(corpus, audit, source_col="source").collect()
+    by = {(r.section, r.metric): r.value for r in card}
+    n_kept = corpus.count()
+    assert by[("size", "n_docs")] == str(n_kept)
+    assert int(by[("size", "n_tokens")]) > 0
+    assert ("size", "corpus_checksum") in by
+    assert float(by[("tokens_per_doc", "p50")]) >= float(
+        by[("tokens_per_doc", "min")])
+    assert by[("sources", "web")] == str(n_kept)
+    assert by[("languages", "en")] == str(n_kept)
+    # attrition covers every input doc: kept + drops == input size
+    att = {m: v for (s, m), v in by.items() if s == "attrition"}
+    total = sum(int(v.split(" ")[0]) for v in att.values())
+    assert total == docs.count()
+    # deterministic: same corpus -> same card (incl. checksum)
+    card2 = data_card(corpus, audit, source_col="source").collect()
+    assert sorted(map(tuple, card)) == sorted(map(tuple, card2))
+    # without audit: no attrition section, rest identical
+    lean = data_card(corpus, source_col="source").collect()
+    assert {r.section for r in lean} == {"size", "tokens_per_doc",
+                                         "languages", "sources"}
