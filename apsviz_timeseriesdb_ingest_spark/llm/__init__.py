@@ -87,6 +87,7 @@ from .incremental import (  # noqa: F401
 )
 from .pipeline import (  # noqa: F401
     data_card,
+    export_training_shards,
     attrition_report,
     corpus_signals,
     prepare_training_corpus,

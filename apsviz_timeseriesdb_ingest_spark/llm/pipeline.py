@@ -393,6 +393,56 @@ def prepare_training_corpus(
     return corpus, audit
 
 
+def export_training_shards(corpus: DataFrame, path: str, *,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           target_tokens: int | None = None,
+                           docs_per_shard: int = 50_000,
+                           compression: str | None = "gzip",
+                           seed: str = "shuffle-v1") -> DataFrame:
+    """The SHIP-IT step after :func:`prepare_training_corpus`: order the
+    corpus by the deterministic shuffle, optionally assign token-budget
+    pack ids, write uniformly-sized JSONL shards, and return the ONE-ROW
+    export receipt (shards, docs, tokens, order-independent corpus
+    checksum from :func:`text.corpus_manifest`) to store next to the
+    data card.
+
+    ``target_tokens`` switches on :func:`text.pack_documents` (packing
+    by whitespace token counts; for tokenizer-true budgets pre-compute
+    ``n_bpe_tokens``/``n_unigram_tokens`` and pack yourself) — every doc
+    then carries ``pack_id`` + ``shuffle_pos`` so the trainer can
+    re-group shards into sequences without another shuffle. Without it,
+    docs still carry ``shuffle_pos`` (epoch-stable order). Determinism
+    end to end: same corpus + seed → same shard contents and the same
+    receipt checksum on any cluster or partitioning (shard FILE
+    boundaries are the round-robin repartition's and are not part of
+    the contract — the checksum is order-independent by construction).
+    """
+    from ..sources.jsonl import write_jsonl_sharded
+    from .text import corpus_manifest, pack_documents, shuffle_rank
+
+    if target_tokens is not None:
+        from .text import tokens as _tokens
+
+        weighted = corpus.withColumn("__n_tok", F.size(_tokens(text_col)))
+        plan = pack_documents(weighted, text_col=text_col, id_col=id_col,
+                              target_chars=target_tokens,
+                              weight_col="__n_tok", seed=seed)
+        out = (corpus.join(plan.select(id_col, "shuffle_pos", "pack_id"),
+                           id_col))
+    else:
+        out = corpus.join(
+            shuffle_rank(corpus, id_col=id_col, seed=seed)
+            .select(id_col, "shuffle_pos"), id_col)
+
+    n = out.count()
+    shards = write_jsonl_sharded(out, path, docs_per_shard=docs_per_shard,
+                                 compression=compression, known_count=n)
+    return (corpus_manifest(corpus, text_col=text_col, id_col=id_col)
+            .withColumn("n_shards", F.lit(shards))
+            .withColumn("packed", F.lit(target_tokens is not None)))
+
+
 def data_card(corpus: DataFrame, audit: DataFrame | None = None, *,
               text_col: str = "text", id_col: str = "doc_id",
               source_col: str | None = None,

@@ -357,3 +357,42 @@ def test_data_card(spark):
     lean = data_card(corpus, source_col="source").collect()
     assert {r.section for r in lean} == {"size", "tokens_per_doc",
                                          "languages", "sources"}
+
+
+def test_export_training_shards(spark, tmp_path):
+    """Prepare → export: shards hold every doc exactly once in the
+    deterministic shuffle order, pack ids are token-budget-consistent,
+    and the receipt checksum matches a fresh manifest of the corpus."""
+    from apsviz_timeseriesdb_ingest_spark.llm.pipeline import (
+        export_training_shards,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.text import corpus_manifest
+
+    corpus, _ = prepare_training_corpus(
+        load_table(spark, "/root/testdata/sf0.001", "documents"),
+        None, fast=True)
+    path = str(tmp_path / "shards")
+    receipt = export_training_shards(
+        corpus, path, target_tokens=256, docs_per_shard=40,
+        compression=None).collect()[0]
+
+    back = spark.read.json(path)
+    assert back.count() == receipt.n_docs == corpus.count()
+    assert receipt.n_shards >= 2 and receipt.packed
+    # every doc exactly once, with order + pack metadata
+    ids = [r.doc_id for r in back.collect()]
+    assert sorted(ids) == sorted(r.doc_id for r in corpus.collect())
+    rows = back.select("doc_id", "shuffle_pos", "pack_id").collect()
+    assert len({r.shuffle_pos for r in rows}) == len(rows)  # total order
+    # packs respect the budget: every pack below target + one doc's slack
+    toks = {r.doc_id: len(r.text.split()) for r in back.collect()}
+    packs: dict = {}
+    for r in rows:
+        packs.setdefault(r.pack_id, []).append(r.doc_id)
+    for members in packs.values():
+        total = sum(toks[d] for d in members)
+        biggest = max(toks[d] for d in members)
+        assert total < 256 + biggest
+    # receipt checksum == fresh manifest of the same corpus
+    man = corpus_manifest(corpus).collect()[0]
+    assert receipt.corpus_checksum == man.corpus_checksum
