@@ -32,20 +32,27 @@ from pyspark.sql import functions as F
 
 def _pagerank_py(edges: list[tuple], *, damping: float = 0.85,
                  iters: int = 20) -> dict:
-    """Serial reference: identical update order and arithmetic shape."""
-    es = sorted(set(edges))
-    nodes = sorted({x for e in es for x in e})
+    """Serial reference: identical update order and arithmetic shape.
+    Edges are (src, dst) pairs (each counted once) or (src, dst, w)
+    weighted triples (duplicate pairs SUM their weights)."""
+    agg: dict = {}
+    for e in edges:
+        s, d = e[0], e[1]
+        w = float(e[2]) if len(e) > 2 else 1.0
+        agg[(s, d)] = (agg.get((s, d), 0.0) + w) if len(e) > 2 else 1.0
+    es = sorted((s, d, w) for (s, d), w in agg.items())
+    nodes = sorted({x for s, d, _ in es for x in (s, d)})
     n = len(nodes)
     if not n:
         return {}
     out: dict = {}
-    for s, _ in es:
-        out[s] = out.get(s, 0) + 1
+    for s, _, w in es:
+        out[s] = out.get(s, 0.0) + w
     rank = {v: 1.0 / n for v in nodes}
     for _ in range(iters):
         contrib: dict = {v: 0.0 for v in nodes}
-        for s, d in es:
-            contrib[d] += rank[s] / out[s]
+        for s, d, w in es:
+            contrib[d] += w * (rank[s] / out[s])
         dangling = sum(r for v, r in rank.items() if v not in out)
         base = (1.0 - damping) / n + damping * dangling / n
         rank = {v: base + damping * contrib[v] for v in nodes}
@@ -53,37 +60,50 @@ def _pagerank_py(edges: list[tuple], *, damping: float = 0.85,
 
 
 def pagerank(edges: DataFrame, *, src_col: str = "src",
-             dst_col: str = "dst", damping: float = 0.85,
-             iters: int = 20) -> DataFrame:
+             dst_col: str = "dst", weight_col: str | None = None,
+             damping: float = 0.85, iters: int = 20) -> DataFrame:
     """PageRank over ``edges`` → ``(node, rank)`` (see module
     docstring). ``iters`` fixed passes (20 ≈ 1e-4 residual on web-like
     graphs); each pass is one join + one aggregate + one scalar
-    aggregate."""
-    es = (edges.select(F.col(src_col).alias("src"),
-                       F.col(dst_col).alias("dst"))
-          .distinct().localCheckpoint(eager=True))
+    aggregate. ``weight_col`` switches to the weighted walk (a host
+    graph's natural edge weight is its LINK COUNT): rank flows
+    proportional to weight over the source's weight total, and
+    duplicate (src, dst) rows SUM their weights — unweighted mode
+    counts each distinct pair once."""
+    if weight_col is None:
+        es = (edges.select(F.col(src_col).alias("src"),
+                           F.col(dst_col).alias("dst"))
+              .distinct().withColumn("w", F.lit(1.0))
+              .localCheckpoint(eager=True))
+    else:
+        es = (edges.select(F.col(src_col).alias("src"),
+                           F.col(dst_col).alias("dst"),
+                           F.col(weight_col).cast("double").alias("w"))
+              .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+              .localCheckpoint(eager=True))
     nodes = (es.select(F.col("src").alias("node"))
              .unionByName(es.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
     if not n:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = (es.groupBy("src").agg(F.count("*").alias("out"))
+    outdeg = (es.groupBy("src").agg(F.sum("w").alias("out"))
               .withColumnRenamed("src", "node")
               .localCheckpoint(eager=True))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         rated = (ranks.join(outdeg, "node", "left")
                  .select("node", "rank",
-                         (F.col("rank") / F.col("out")).alias("w")))
-        dangling = (rated.filter(F.col("w").isNull())
+                         (F.col("rank") / F.col("out")).alias("rate")))
+        dangling = (rated.filter(F.col("rate").isNull())
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                     .collect()[0][0])
         base = (1.0 - damping) / n + damping * dangling / n
-        contrib = (es.join(rated.filter(F.col("w").isNotNull())
-                           .select(F.col("node").alias("src"), "w"),
+        contrib = (es.join(rated.filter(F.col("rate").isNotNull())
+                           .select(F.col("node").alias("src"), "rate"),
                            "src")
-                   .groupBy("dst").agg(F.sum("w").alias("c"))
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("w") * F.col("rate")).alias("c"))
                    .withColumnRenamed("dst", "node"))
         ranks = (nodes.join(contrib, "node", "left")
                  .select("node",

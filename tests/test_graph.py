@@ -46,3 +46,28 @@ def test_pagerank_all_dangling(spark):
     got = _run(spark, [("a", "b")], iters=30)
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["b"] > got["a"]
+
+
+def test_pagerank_weighted(spark):
+    """Weighted walk: duplicate (src,dst) weights sum, rank flows
+    proportional to weight, serial parity holds, and a heavier in-link
+    buys a higher rank."""
+    edges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+             ("c", "a", 1.0), ("a", "b", 1.0)]  # a→b total weight 4
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank
+           for r in pagerank(df, weight_col="w", iters=12).collect()}
+    exp = _pagerank_py(edges, iters=12)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["b"] > got["c"]  # 4/5 of a's rank vs 1/5
+
+    # weight 1.0 everywhere == unweighted
+    uni = spark.createDataFrame([(s, d, 1.0) for s, d in
+                                 [("a", "b"), ("b", "c"), ("c", "a")]],
+                                "src string, dst string, w double")
+    w1 = {r.node: r.rank
+          for r in pagerank(uni, weight_col="w", iters=8).collect()}
+    u = _run(spark, [("a", "b"), ("b", "c"), ("c", "a")], iters=8)
+    assert all(abs(w1[v] - u[v]) < 1e-12 for v in u)
