@@ -144,3 +144,109 @@ def test_evaluate_pair_candidates(spark, sf_small):
     assert m.n_truth > 0 and m.n_hit > 0
     assert m.precision >= 0.9
     assert m.recall >= 0.9
+
+
+# --- property tests for the r3 corpus-prep operators -------------------
+
+import string as _string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(st.text(alphabet=_string.ascii_lowercase,
+                          min_size=1, max_size=5),
+                  min_size=0, max_size=40)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_words, st.integers(2, 12), st.integers(0, 6))
+def test_chunk_documents_covers_every_token(words, max_tokens, overlap):
+    """Every token of every doc lands in at least one chunk, chunks are
+    exact slices of the token stream, and the no-redundant-tail rule
+    holds (a chunk fully contained in its predecessor never appears)."""
+    from pyspark.sql import SparkSession
+
+    from apsviz_timeseriesdb_ingest_spark.llm.text import chunk_documents
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    chunks = sorted(
+        ((r.chunk_id, r.chunk_text.split(" ") if r.chunk_text else [])
+         for r in chunk_documents(df, max_tokens=max_tokens,
+                                  overlap=overlap).collect()))
+    if not words:
+        assert chunks == []
+        return
+    stride = max_tokens - overlap
+    covered = []
+    for cid, toks in chunks:
+        start = cid * stride
+        assert toks == words[start:start + max_tokens]  # exact slice
+        covered.extend(range(start, start + len(toks)))
+    assert set(covered) == set(range(len(words)))  # full coverage
+    # no chunk adds nothing beyond its predecessor
+    for (c1, t1), (c2, t2) in zip(chunks, chunks[1:]):
+        assert c2 * stride + len(t2) > c1 * stride + len(t1)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="ab ", min_size=1, max_size=8),
+                         min_size=0, max_size=4),
+                min_size=1, max_size=6))
+def test_dedup_paragraphs_conserves_distinct_content(doc_paras):
+    """keep_first paragraph dedup never loses CONTENT: every distinct
+    normalized paragraph present in the input survives somewhere, and
+    every doc comes back."""
+    import re
+
+    from pyspark.sql import SparkSession
+
+    from apsviz_timeseriesdb_ingest_spark.llm.spans import dedup_paragraphs
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    rows = [(i, "\n\n".join(ps)) for i, ps in enumerate(doc_paras)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs(df).collect()
+    assert {r.doc_id for r in out} == set(range(len(doc_paras)))
+
+    def norm_set(texts):
+        s = set()
+        for t in texts:
+            for p in re.split(r"\n[ \t\r]*\n+", t):
+                if p.strip():
+                    s.add(re.sub(r"\s+", " ", p.strip().lower()))
+        return s
+
+    assert norm_set(r.deduped_text for r in out) == \
+        norm_set(t for _, t in rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 50), st.floats(0.0, 4.0))
+def test_repeat_for_epochs_copy_counts(n_docs, e):
+    """Every doc gets floor(e) or ceil(e) copies (exactly floor when e
+    is integral), epochs are 0..k-1, and the draw is deterministic."""
+    import math
+
+    from pyspark.sql import SparkSession
+
+    from apsviz_timeseriesdb_ingest_spark.llm.text import repeat_for_epochs
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.createDataFrame([(i, "s", "t") for i in range(n_docs)],
+                               "doc_id long, source string, text string")
+    out = repeat_for_epochs(df, {"s": e}).collect()
+    per: dict = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append(r.epoch)
+    lo, hi = math.floor(e), math.ceil(e)
+    for i in range(n_docs):
+        k = len(per.get(i, []))
+        assert k in (lo, hi)
+        if k:
+            assert sorted(per[i]) == list(range(k))
+    out2 = repeat_for_epochs(df, {"s": e}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
