@@ -14,6 +14,7 @@ from .text import (  # noqa: F401
     build_shingle_bloom_table,
     chunk_documents,
     clean_text,
+    composition_drift,
     compression_ratio,
     corpus_manifest,
     corpus_mixture,

@@ -455,6 +455,44 @@ def corpus_profile(df: DataFrame, text_col: str = "text",
     )
 
 
+def composition_drift(a: DataFrame, b: DataFrame, *,
+                      group_col: str = "source") -> DataFrame:
+    """Composition drift between two corpus snapshots (yesterday's
+    crawl vs today's, pre- vs post-filter): per-group document
+    fractions side by side with each group's Jensen-Shannon divergence
+    term — ``sum(js_term)`` over the result IS the JS divergence (in
+    nats, 0 = identical mix, ln 2 = disjoint), so the drift monitor is
+    one more tiny aggregate away. Groups missing on either side appear
+    with a zero fraction (their JS term is the one-sided limit; 0·ln0
+    terms are dropped exactly).
+
+    Two group-count aggregates + one outer join over GROUP-cardinality
+    frames — corpus-sized work is only the two counts.
+    """
+    ca = (a.groupBy(F.col(group_col).alias("grp"))
+          .agg(F.count("*").alias("n_a")))
+    cb = (b.groupBy(F.col(group_col).alias("grp"))
+          .agg(F.count("*").alias("n_b")))
+    j = (ca.join(cb, "grp", "full")
+         .select("grp", F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p = F.col("n_a") / F.sum("n_a").over(w)
+    q = F.col("n_b") / F.sum("n_b").over(w)
+    m = (p + q) / 2
+    js = (F.when(F.col("n_a") > 0, p / 2 * F.log(p / m)).otherwise(F.lit(0.0))
+          + F.when(F.col("n_b") > 0, q / 2 * F.log(q / m)).otherwise(F.lit(0.0)))
+    return j.select(
+        "grp", "n_a", "n_b",
+        F.round(p, 9).alias("frac_a"),
+        F.round(q, 9).alias("frac_b"),
+        F.round(q - p, 9).alias("delta"),
+        F.round(js, 9).alias("js_term"),
+    )
+
+
 def language_mix(df: DataFrame, text_col: str = "text",
                  group_col: str = "source",
                  profiles: dict[str, tuple[str, ...]] | None = None,

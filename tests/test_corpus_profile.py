@@ -177,3 +177,40 @@ def test_corpus_profile_approximate_close_to_exact(spark, sf_small):
         for c in ("p50_tokens", "p90_tokens", "p99_tokens"):
             assert abs(approx[s][c] - exact[s][c]) <= max(
                 5.0, 0.05 * exact[s][c]), (s, c)
+
+
+def test_composition_drift_js_divergence(spark):
+    """Python-recomputed JS divergence; identical mixes score 0; a
+    one-sided group carries the one-sided limit term."""
+    import math
+
+    from apsviz_timeseriesdb_ingest_spark.llm.text import composition_drift
+
+    a = spark.createDataFrame(
+        [(i, "web") for i in range(60)] + [(i + 100, "books") for i in range(30)]
+        + [(i + 200, "code") for i in range(10)],
+        "doc_id long, source string")
+    b = spark.createDataFrame(
+        [(i, "web") for i in range(40)] + [(i + 100, "books") for i in range(55)]
+        + [(i + 300, "wiki") for i in range(5)],
+        "doc_id long, source string")
+    rows = {r.grp: r for r in composition_drift(a, b).collect()}
+    assert set(rows) == {"web", "books", "code", "wiki"}
+    assert rows["code"].n_b == 0 and rows["wiki"].n_a == 0
+    assert rows["web"].frac_a == 0.6 and rows["web"].frac_b == 0.4
+
+    # python recompute
+    pa = {"web": .6, "books": .3, "code": .1, "wiki": 0.0}
+    pb = {"web": .4, "books": .55, "code": 0.0, "wiki": .05}
+    js = 0.0
+    for g in pa:
+        m = (pa[g] + pb[g]) / 2
+        for p in (pa[g], pb[g]):
+            if p > 0:
+                js += p / 2 * math.log(p / m)
+    got_js = sum(r.js_term for r in rows.values())
+    assert abs(got_js - js) < 1e-8
+
+    # identical corpora -> zero everywhere
+    same = {r.grp: r for r in composition_drift(a, a).collect()}
+    assert all(r.js_term == 0.0 and r.delta == 0.0 for r in same.values())

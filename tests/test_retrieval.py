@@ -298,3 +298,52 @@ def test_ranking_recall_at_k(spark):
     rank = bm25_topk(docs, queries, top_k=5)
     perfect = ranking_recall_at_k(rank, rank, k=5).collect()
     assert all(r.recall == 1.0 for r in perfect) and perfect
+
+
+def test_bm25_index_ledger_gated_append_idempotent(spark, tmp_path):
+    """The documented append discipline, executably: batch appends to
+    the BM25 index gated by the ingest ledger anti-join — replaying an
+    already-indexed batch is a no-op, so probes stay correct under
+    at-least-once delivery."""
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from apsviz_timeseriesdb_ingest_spark.operators.ledger import (
+        new_files_anti_join,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "batch", F.lit("batch-1"))
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "batch", F.lit("batch-2"))
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    ledger_t = "bm25_ingest_ledger"
+
+    def ingest(batch):
+        ledger = (catalog.read(ledger_t, batch.select("batch").schema)
+                  if catalog.exists(ledger_t)
+                  else spark.createDataFrame([], "batch string"))
+        fresh = new_files_anti_join(batch, ledger, file_col="batch")
+        if fresh.take(1):
+            build_bm25_index(catalog, fresh.drop("batch"),
+                             append=catalog.exists("bm25_tf"))
+            catalog.append(fresh.select("batch").distinct(), ledger_t)
+
+    ingest(b1)
+    ingest(b2)
+    ingest(b1)  # replay: ledger-gated, must not double-count
+    ingest(b2)
+
+    queries = spark.createDataFrame(
+        [(0, " ".join(docs.orderBy("doc_id").limit(1)
+                      .collect()[0].text.lower().split()[:6]))],
+        "query_id long, text string")
+    got = sorted(map(tuple,
+                     bm25_topk_from_index(catalog, queries).collect()))
+    exp = sorted(map(tuple, bm25_topk(docs, queries).collect()))
+    assert got == exp and got
