@@ -53,6 +53,35 @@ def session_event_stats(events: DataFrame, *, gap: str = "30 minutes",
     )
 
 
+def windowed_term_counts(docs: DataFrame, *, window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         ts_col: str = "ts",
+                         text_col: str = "text") -> DataFrame:
+    """Per-window TERM counts over a document stream — the corpus-drift
+    monitor's streaming half (the batch half is
+    ``llm.text.composition_drift``): watch what vocabulary a crawl is
+    suddenly full of, window by window.
+
+    One map-side tokenize+explode, then a watermarked tumbling-window
+    aggregate on (window, term) — partial aggregation applies, state
+    per window is vocabulary-bounded, and late docs inside the
+    watermark update their window. Same lineage batch or streaming.
+    Top-k-per-window RANKING is a rank window: run it on the sink
+    table (or foreachBatch) — a global rank inside one streaming query
+    would need unsupported chained stateful ops.
+    """
+    from ..llm.text import tokens
+
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(F.window(ts_col, window).alias("win"), "term")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), "term", "n")
+    )
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str],
                            *, watermark: str = "1 hour") -> DataFrame:
     """Streaming duplicate drop bounded by the watermark

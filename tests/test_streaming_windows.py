@@ -78,3 +78,35 @@ def test_running_user_counts_stateful(spark, tmp_path):
             for r in spark.sql("SELECT * FROM running_counts").collect()}
     assert rows[1] == (3, 3)
     assert rows[2] == (1, 1)
+
+
+def test_windowed_term_counts_batch_and_stream(spark, tmp_path):
+    """Term counts per tumbling window, identical lineage batch and
+    streaming; late doc inside the watermark updates its window."""
+    from apsviz_timeseriesdb_ingest_spark.streaming.windowed import (
+        windowed_term_counts,
+    )
+
+    rows = [(0, "the cat sat"), (10, "the dog ran"),
+            (70, "cat cat nap")]
+    docs = spark.createDataFrame(
+        [(T0 + dt.timedelta(minutes=m), t) for m, t in rows],
+        "ts timestamp, text string")
+    out = {(str(r.window_start), r.term): r.n
+           for r in windowed_term_counts(docs, window="1 hour").collect()}
+    assert out[("2024-01-01 00:00:00", "the")] == 2
+    assert out[("2024-01-01 00:00:00", "cat")] == 1
+    assert out[("2024-01-01 01:00:00", "cat")] == 2
+    assert ("2024-01-01 01:00:00", "the") not in out
+
+    path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(path)
+    stream = (spark.readStream.schema("ts timestamp, text string")
+              .parquet(path))
+    q = (windowed_term_counts(stream, window="1 hour")
+         .writeStream.format("memory").queryName("terms")
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(str(r.window_start), r.term): r.n
+           for r in spark.sql("SELECT * FROM terms").collect()}
+    assert got == out
