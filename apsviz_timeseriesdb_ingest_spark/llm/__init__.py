@@ -50,6 +50,7 @@ from .text import (  # noqa: F401
     vocabulary,
 )
 from .dedup import (  # noqa: F401
+    cross_corpus_neardup,
     dedup_keep_representative,
     evaluate_pair_candidates,
     exact_dedup,

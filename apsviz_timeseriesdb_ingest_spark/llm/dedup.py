@@ -323,6 +323,80 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     return lsh_pairs_from_buckets(buckets, max_bucket_size=max_bucket_size)
 
 
+def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame, *,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3, num_hashes: int = 16, bands: int = 4,
+                         threshold: float = 0.5, fast: bool = False,
+                         max_bucket_size: int | None = None) -> DataFrame:
+    """Flag corpus documents that NEAR-duplicate any document of a
+    separate ``reference`` corpus — the fuzzy counterpart of
+    :func:`llm.text.decontaminate` (which needs one exact shared
+    shingle) and the frame-vs-frame form of the persisted-index
+    increment probe (``llm.incremental.plan_increment``): dedup an eval
+    set against the training set, or a new crawl against last month's,
+    without building an index first.
+
+    Returns ``(id, neardup_of_reference, best_jaccard)`` for EVERY
+    corpus doc. Shape: MinHash band buckets on both sides → cross-side
+    (band, bucket) equi-join (never corpus², ``max_bucket_size`` caps
+    hot buckets as in :func:`lsh_pairs_from_buckets`) → exact
+    ``k``-shingle Jaccard verify computed ONLY for candidate pairs
+    (shingles of matched docs via semi-join, so the verify stage is
+    bounded by the candidate count, the contamination_report trick) →
+    keep pairs at/above ``threshold``. Same LSH recall caveat as any
+    banded probe: a true near-dup colliding in no band is missed.
+    """
+    bl = minhash_band_buckets(corpus, text_col=text_col, id_col=id_col,
+                              k=k, num_hashes=num_hashes, bands=bands,
+                              fast=fast)
+    br = minhash_band_buckets(reference, text_col=text_col, id_col=id_col,
+                              k=k, num_hashes=num_hashes, bands=bands,
+                              fast=fast)
+    if max_bucket_size is not None:
+        for name, b in (("l", bl), ("r", br)):
+            sizes = (b.groupBy("band", "bucket")
+                     .agg(F.count("*").alias("n"))
+                     .filter(F.col("n") <= max_bucket_size)
+                     .select("band", "bucket"))
+            if name == "l":
+                bl = bl.join(sizes, ["band", "bucket"], "left_semi")
+            else:
+                br = br.join(sizes, ["band", "bucket"], "left_semi")
+    cand = (bl.select("band", "bucket", F.col("doc").alias("cdoc"))
+            .join(br.select("band", "bucket", F.col("doc").alias("rdoc")),
+                  ["band", "bucket"])
+            .select("cdoc", "rdoc").distinct())
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(par).localCheckpoint(eager=True)
+
+    def shingled(d: DataFrame, keep: DataFrame, out: str) -> DataFrame:
+        return (d.join(keep, d[id_col] == keep[out], "left_semi")
+                .repartition(par, id_col)
+                .select(F.col(id_col).alias(out),
+                        tokens(text_col).alias("__tk"))
+                .select(out, F.explode(F.array_distinct(
+                    shingles_from_tokens(F.col("__tk"), k))).alias("sh")))
+
+    csh = shingled(corpus, cand.select("cdoc"), "cdoc")
+    rsh = shingled(reference, cand.select("rdoc"), "rdoc")
+    csz = csh.groupBy("cdoc").agg(F.count("*").alias("nc"))
+    rsz = rsh.groupBy("rdoc").agg(F.count("*").alias("nr"))
+    inter = (cand.join(csh, "cdoc").join(rsh, ["rdoc", "sh"], "left_semi")
+             .groupBy("cdoc", "rdoc").agg(F.count("*").alias("ni")))
+    best = (cand.join(inter, ["cdoc", "rdoc"], "left")
+            .join(csz, "cdoc").join(rsz, "rdoc")
+            .select("cdoc", (F.coalesce("ni", F.lit(0))
+                             / (F.col("nc") + F.col("nr")
+                                - F.coalesce("ni", F.lit(0)))).alias("j"))
+            .groupBy("cdoc").agg(F.round(F.max("j"), 6).alias("best_jaccard")))
+    return (corpus.select(F.col(id_col).alias("cdoc"))
+            .join(best, "cdoc", "left")
+            .select(F.col("cdoc").alias(id_col),
+                    F.coalesce(F.col("best_jaccard") >= threshold,
+                               F.lit(False)).alias("neardup_of_reference"),
+                    "best_jaccard"))
+
+
 def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 60, fast: bool = False) -> DataFrame:
     """SimHash signature per document over unigram token counts.

@@ -250,3 +250,46 @@ def test_repeat_for_epochs_copy_counts(n_docs, e):
             assert sorted(per[i]) == list(range(k))
     out2 = repeat_for_epochs(df, {"s": e}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_cross_corpus_neardup(spark):
+    """Eval-vs-train fuzzy dedup: a near-copy of a reference doc flags
+    with the exact pairwise jaccard, unrelated docs pass, and the
+    jaccard matches a python recompute."""
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import (
+        cross_corpus_neardup,
+    )
+
+    ref_text = ("the quick brown fox jumps over the lazy dog near the "
+                "old stone bridge every single morning without fail")
+    reference = spark.createDataFrame(
+        [(100, ref_text),
+         (101, "reference corpora hold the documents we must not "
+               "duplicate in any freshly prepared training batch")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, ref_text + " indeed"),            # near-copy
+         (2, "completely different prose about cooking pasta with "
+             "garlic butter and fresh basil leaves tonight"),
+         (3, ref_text)],                        # exact copy
+        "doc_id long, text string")
+
+    out = {r.doc_id: r for r in
+           cross_corpus_neardup(corpus, reference, threshold=0.5).collect()}
+    assert out[3].neardup_of_reference and out[3].best_jaccard == 1.0
+    assert out[1].neardup_of_reference
+    assert not out[2].neardup_of_reference
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    a, b = sh(ref_text + " indeed"), sh(ref_text)
+    assert out[1].best_jaccard == round(len(a & b) / len(a | b), 6)
+
+    # empty reference: nothing flags, every corpus doc present
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out2 = cross_corpus_neardup(corpus, empty).collect()
+    assert len(out2) == 3
+    assert all(not r.neardup_of_reference and r.best_jaccard is None
+               for r in out2)
