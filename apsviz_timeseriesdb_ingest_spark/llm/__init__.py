@@ -95,6 +95,7 @@ from .pipeline import (  # noqa: F401
     prepare_training_corpus,
 )
 from .spans import (  # noqa: F401
+    split_sentences,
     dedup_paragraphs,
     duplicate_spans,
     mask_duplicate_spans,

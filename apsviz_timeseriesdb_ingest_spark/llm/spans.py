@@ -96,6 +96,30 @@ def duplicate_spans(df: DataFrame, *, text_col: str = "text",
     )
 
 
+def split_sentences(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_chars: int = 1) -> DataFrame:
+    """Heuristic sentence segmentation → ``(id, sentence_id, sentence)``
+    (0-based position, original text preserved): split after ``.!?``
+    runs followed by whitespace, with newlines as unconditional
+    boundaries — the cheap regex segmenter pipelines use before
+    sentence-grain dedup (``dedup_paragraphs`` on the output, joined by
+    sentence) or per-sentence quality scoring. Known heuristic limits
+    (documented, not handled): abbreviations ("Dr. Smith") and
+    decimal points inside numbers split when followed by a space.
+
+    Map-side only. The boundary pattern uses a lookbehind, which Spark's
+    Java regex supports — an oracle twin would need a DuckDB-side
+    reformulation (RE2 has no lookarounds, the CLAUDE.md rule), so this
+    operator is pytest-covered rather than driver-gated.
+    """
+    sents = F.filter(
+        F.split(F.col(text_col), r"(?<=[.!?])\s+|\n+"),
+        lambda s: F.length(F.trim(s)) >= min_chars)
+    return (df.select(id_col, F.posexplode(sents)
+                      .alias("sentence_id", "sentence")))
+
+
 def dedup_paragraphs(df: DataFrame, *, text_col: str = "text",
                      id_col: str = "doc_id", max_freq: int = 1,
                      mode: str = "keep_first",

@@ -156,3 +156,40 @@ def test_paragraph_dedup_within_doc_repeats(spark):
     # occurrence-count semantics: the second in-doc copy is removed
     assert got.deduped_text == "Repeated paragraph text.\n\nMiddle bit."
     assert got.n_removed == 1
+
+
+def test_split_sentences(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.spans import split_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "First sentence. Second one! Third?\nFourth on a new line"),
+         (2, "No terminal punctuation at all"),
+         (3, ""),
+         (4, "Spaces...   everywhere.  ")],
+        "doc_id long, text string")
+    out: dict = {}
+    for r in split_sentences(docs).collect():
+        out.setdefault(r.doc_id, []).append((r.sentence_id, r.sentence))
+    for v in out.values():
+        v.sort()
+    assert [s for _, s in out[1]] == [
+        "First sentence.", "Second one!", "Third?", "Fourth on a new line"]
+    assert [i for i, _ in out[1]] == [0, 1, 2, 3]  # contiguous positions
+    assert [s for _, s in out[2]] == ["No terminal punctuation at all"]
+    assert 3 not in out  # empty text -> no sentences
+    # trailing whitespace after the final boundary is consumed as a
+    # delimiter; the empty tail element is filtered
+    assert [s for _, s in out[4]] == ["Spaces...", "everywhere."]
+
+    # composition: sentence-grain keep-first dedup across docs
+    two = spark.createDataFrame(
+        [(1, "Shared boilerplate sentence here. Unique alpha."),
+         (2, "Shared boilerplate sentence here. Unique beta.")],
+        "doc_id long, text string")
+    sents = split_sentences(two)
+    from pyspark.sql import functions as F
+    first = (sents.groupBy(F.lower(F.trim("sentence")).alias("k"))
+             .agg(F.min(F.struct("doc_id", "sentence_id")).alias("w"))
+             .select("w.doc_id", "w.sentence_id"))
+    kept = sents.join(first, ["doc_id", "sentence_id"], "left_semi")
+    assert kept.count() == 3  # boilerplate survives once
