@@ -9,7 +9,9 @@ an ``fast=True`` xxhash64 switch for production scale.
 """
 
 from .text import (  # noqa: F401
+    blocked_terms_expr,
     build_shingle_bloom,
+    c4_line_filter,
     canonical_url,
     build_shingle_bloom_table,
     chunk_documents,

@@ -122,6 +122,9 @@ def prepare_training_corpus(
     mixture_rates: dict[str, float] | None = None,
     source_col: str = "source",
     default_mixture_rate: float = 1.0,
+    c4_lines: bool = False,
+    c4_min_words: int = 3,
+    blocked_terms: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -174,6 +177,13 @@ def prepare_training_corpus(
     ``url_col`` on the ORIGINAL frame) tags matching docs
     ``blocked_domain`` — the FIRST reason in decision order, since it
     needs no content at all.
+
+    ``c4_lines`` runs :func:`text.c4_line_filter` on the RAW text
+    (line structure predates cleaning, same reasoning as paragraph
+    dedup) after the paragraph stage — per-doc and map-side, so it
+    applies to every doc; a doc filtered to nothing tags ``too_short``
+    downstream. ``blocked_terms`` adds the C4 bad-words gate as a
+    ``blocked_terms`` drop reason over the cleaned text's tokens.
 
     ``mixture_rates`` applies :func:`text.corpus_mixture`'s
     source-weighted downsampling as the LAST decision (reason
@@ -234,6 +244,15 @@ def prepare_training_corpus(
             docs.join(blocked.select(id_col), id_col, "left_semi")
             .select(*deduped.columns))
 
+    if c4_lines:
+        from .text import c4_line_filter
+
+        c4 = c4_line_filter(docs, text_col=text_col, id_col=id_col,
+                            min_words=c4_min_words)
+        docs = (docs.drop(text_col)
+                .join(c4.select(id_col, F.col("filtered_text")
+                                .alias(text_col)), id_col))
+
     sig = corpus_signals(docs, text_col=text_col, id_col=id_col,
                          profiles=profiles)
     quality_reason = (
@@ -242,6 +261,12 @@ def prepare_training_corpus(
         .when(F.col("repetition_ratio") > max_repetition_ratio, F.lit("repetitive"))
         .when(~F.col("predicted_lang").isin(*languages), F.lit("language"))
     )
+    if blocked_terms is not None:
+        from .text import blocked_terms_expr
+
+        quality_reason = quality_reason.when(
+            blocked_terms_expr(blocked_terms, "text"),
+            F.lit("blocked_terms"))
     tagged = _persist(sig.withColumn("q_reason", quality_reason), "tagged")
     clean = tagged.filter(F.col("q_reason").isNull())
     if blocked_domains is not None:

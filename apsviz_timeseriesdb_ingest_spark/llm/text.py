@@ -973,6 +973,54 @@ def decontaminate_bloom_table(train: DataFrame, catalog, *,
                     .alias("contaminated")))
 
 
+def blocked_terms_expr(terms: tuple[str, ...] | list[str],
+                       text_col: str = "text") -> Column:
+    """TRUE when the doc's token set intersects a term blocklist — the
+    C4-style "bad words" gate (Raffel et al. 2020 filter corpora
+    against a public word list), as a map-side expression for
+    tag-don't-filter audits. Matching is whole-token over the
+    lower-cased tokenizer output (the published filter's convention;
+    substring matching is a different, much noisier gate — use an
+    rlike over the raw text if that is really wanted). The list folds
+    into an array literal: fine for word lists (hundreds of terms);
+    corpus-scale lists belong in the Bloom path."""
+    return F.arrays_overlap(
+        tokens(text_col),
+        F.array(*[F.lit(t.lower()) for t in terms]))
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *, min_words: int = 3,
+                   require_terminal: bool = True) -> DataFrame:
+    """The C4 line-grain cleanup (Raffel et al. 2020, public): keep
+    only lines with at least ``min_words`` words and (by default) a
+    terminal-punctuation ending — the rule that strips menus, nav
+    bars, and cookie banners from web text. Returns ``(id,
+    filtered_text, n_lines, n_removed)`` with survivors rejoined by
+    newline, original line text preserved; every input doc appears
+    (tag-don't-filter: an all-removed doc comes back empty and trips
+    the ``too_short`` gate downstream). Entirely map-side."""
+    lines = F.split(F.col(text_col), r"\n")
+
+    def _keep(ln: Column) -> Column:
+        wc = F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                             lambda w: w != ""))
+        k = wc >= min_words
+        if require_terminal:
+            k = k & F.trim(ln).rlike(r'[.!?"”]$')
+        return k
+
+    return (df.select(id_col, lines.alias("__lines"))
+            .select(id_col, "__lines",
+                    F.filter(F.col("__lines"), _keep).alias("__keep"))
+            .select(id_col,
+                    F.array_join(F.col("__keep"), "\n")
+                    .alias("filtered_text"),
+                    F.size("__lines").alias("n_lines"),
+                    (F.size("__lines") - F.size("__keep"))
+                    .alias("n_removed")))
+
+
 def gopher_quality_stats(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          stopwords: tuple[str, ...] = DEFAULT_LANG_PROFILES["en"],

@@ -278,3 +278,48 @@ def test_compression_ratio_signal(spark):
     assert out[3].compression_ratio > 0.8            # noise won't compress
     assert out[4].compression_ratio is None
     assert out[5].compression_ratio is None
+
+
+def test_blocked_terms_and_c4_line_filter(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        blocked_terms_expr,
+        c4_line_filter,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a perfectly ordinary sentence about gardens."),
+         (2, "this text mentions JACKPOT winnings right here."),
+         (3, "jackpots are not the word jackpot is."),  # whole-token only
+         (4, None)],
+        "doc_id long, text string")
+    flags = {r.doc_id: r.f for r in docs.select(
+        "doc_id", blocked_terms_expr(("jackpot", "casino"))
+        .alias("f")).collect()}
+    assert flags[1] is False
+    assert flags[2] is True       # case-insensitive via tokenizer
+    assert flags[3] is True       # 'jackpot' appears as its own token
+    assert not flags[4]           # null text never flags
+
+    text = ("Welcome to our site.\n"
+            "Home | About | Contact\n"
+            "Cookies settings\n"
+            "This is a real paragraph of prose that ends properly.\n"
+            "short line\n"
+            'He said "stop right there!"\n'
+            "Trailing words without punctuation ending here")
+    out = c4_line_filter(spark.createDataFrame(
+        [(1, text)], "doc_id long, text string")).collect()[0]
+    kept = out.filtered_text.split("\n")
+    assert kept == ["Welcome to our site.",
+                    "This is a real paragraph of prose that ends properly.",
+                    'He said "stop right there!"']
+    assert out.n_lines == 7 and out.n_removed == 4
+
+    # min_words only (no terminal requirement)
+    loose = c4_line_filter(spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"),
+        require_terminal=False).collect()[0]
+    assert "Trailing words without punctuation ending here" \
+        in loose.filtered_text
+    assert "short line" not in loose.filtered_text

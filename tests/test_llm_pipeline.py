@@ -396,3 +396,28 @@ def test_export_training_shards(spark, tmp_path):
     # receipt checksum == fresh manifest of the same corpus
     man = corpus_manifest(corpus).collect()[0]
     assert receipt.corpus_checksum == man.corpus_checksum
+
+
+def test_pipeline_c4_and_blocked_terms_stages(spark):
+    """c4_lines strips non-prose lines before signals (a doc reduced to
+    nothing tags too_short); blocked_terms adds the C4 bad-words drop
+    reason over cleaned tokens."""
+    rows = [
+        (1, "This is a fine long sentence that ends with punctuation "
+            "and keeps enough words to pass every heuristic gate.\n"
+            "Home | About | Contact"),
+        (2, "Nav | Menu | Login\nCookies settings\nshort"),
+        (3, "Gambling jackpot promotions are the entire topic of this "
+            "long and otherwise well formed document right here."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, audit = prepare_training_corpus(
+        docs, c4_lines=True, blocked_terms=("jackpot",),
+        min_tokens=5, cache=False)
+    reasons = {r.doc_id: r.drop_reason for r in audit.collect()}
+    assert reasons[1] is None
+    assert reasons[2] == "too_short"       # every line filtered away
+    assert reasons[3] == "blocked_terms"
+    kept = {r.doc_id: r.text for r in corpus.collect()}
+    assert set(kept) == {1}
+    assert "About" not in kept[1]          # nav line stripped
