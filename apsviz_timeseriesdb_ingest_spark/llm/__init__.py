@@ -123,6 +123,7 @@ from .ivfpq import (  # noqa: F401
 from .lm import (  # noqa: F401
     min_k_prob,
     perplexity,
+    perplexity_buckets,
     perplexity_ngram,
     train_bigram_lm,
     train_ngram_lm,

@@ -154,6 +154,47 @@ def perplexity_ngram(df: DataFrame, lm: dict[str, DataFrame | int], *,
                     "perplexity"))
 
 
+def perplexity_buckets(df: DataFrame, lm: dict[str, DataFrame | int], *,
+                       cuts: tuple[float, ...] = (1 / 3, 2 / 3),
+                       labels: tuple[str, ...] = ("head", "middle", "tail"),
+                       text_col: str = "text", id_col: str = "doc_id",
+                       add_k: float = 0.1,
+                       approximate: bool = False) -> DataFrame:
+    """CCNet's head/middle/tail partitioning (Wenzek et al. 2019,
+    public): score every doc's perplexity under the reference LM, cut
+    the corpus at the given perplexity QUANTILES, and label each doc's
+    bucket — ``head`` (most reference-like) down to ``tail``. The
+    published pipeline keeps head+middle and drops or down-weights the
+    tail; composition is the caller's policy (tag-don't-filter here).
+
+    The cut points are ``len(cuts)`` driver-side scalars from one
+    quantile aggregate over the scored frame (exact ``percentile`` by
+    default — same interpolation convention as ``corpus_profile``;
+    ``approximate=True`` uses Greenwald-Khanna for the 100 TB path);
+    labelling is then one map-side CASE. Docs with NULL perplexity (too
+    short for the model's n) get a NULL bucket. Returns the
+    ``perplexity``/``perplexity_ngram`` frame plus ``ppl_bucket``; the
+    model kind is picked off the ``lm`` dict's keys.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need len(cuts) + 1 labels")
+    scorer = perplexity_ngram if "ngrams" in lm else perplexity
+    scored = scorer(df, lm, text_col=text_col, id_col=id_col, add_k=add_k)
+    fn = "approx_percentile" if approximate else "percentile"
+    arr = ", ".join(repr(float(c)) for c in cuts)
+    row = (scored.filter(F.col("perplexity").isNotNull())
+           .agg(F.expr(f"{fn}(perplexity, array({arr}))")).collect()[0][0])
+    if row is None:  # nothing scorable: every bucket NULL
+        return scored.withColumn("ppl_bucket",
+                                 F.lit(None).cast("string"))
+    expr = F.when(F.col("perplexity") <= float(row[0]), F.lit(labels[0]))
+    for i in range(1, len(cuts)):
+        expr = expr.when(F.col("perplexity") <= float(row[i]),
+                         F.lit(labels[i]))
+    expr = expr.when(F.col("perplexity").isNotNull(), F.lit(labels[-1]))
+    return scored.withColumn("ppl_bucket", expr)
+
+
 def min_k_prob(df: DataFrame, lm: dict[str, DataFrame | int], *,
                k_frac: float = 0.2, text_col: str = "text",
                id_col: str = "doc_id", add_k: float = 0.1) -> DataFrame:

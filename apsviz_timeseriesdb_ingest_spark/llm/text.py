@@ -689,10 +689,23 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
 
 def decontaminate(train: DataFrame, benchmark: DataFrame, *,
                   text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 3) -> DataFrame:
-    """Benchmark decontamination: flag training docs sharing any k-gram
-    shingle with the benchmark set. Shingle inverted-index semi-join —
-    the benchmark side is tiny and broadcasts."""
+                  k: int = 3,
+                  min_overlap_frac: float | None = None) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing k-gram
+    shingles with the benchmark set. Shingle inverted-index semi-join —
+    the benchmark side is tiny and broadcasts.
+
+    Default rule: ANY shared shingle flags (the strict form — right for
+    verbatim leakage). ``min_overlap_frac`` switches to the
+    fractional-overlap rule of the PaLM/GPT-4-class contamination
+    analyses (public reports): a doc is contaminated only when at least
+    that fraction of its DISTINCT shingles appear in the benchmark —
+    tolerant of incidental phrase collisions on long documents, which
+    the any-rule over-flags (the sf0.1 soak's 87% artifact). Fractional
+    mode returns an extra ``overlap_frac`` column (rounded 6 dp;
+    shingle-free docs carry NULL and never flag); cost adds only two
+    per-doc count aggregates over the same exploded frame.
+    """
     from .dedup import shingles_from_tokens
 
     par = train.sparkSession.sparkContext.defaultParallelism
@@ -705,16 +718,33 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, *,
                 .select(out, F.explode(shingles_from_tokens(F.col("__tk"), k))
                         .alias("shingle")))
 
-    contaminated = (
-        shingled(train, "doc")
-        .join(F.broadcast(shingled(benchmark, "bench_doc").select("shingle").distinct()),
-              "shingle", "left_semi")
-        .select("doc").distinct()
-    )
+    bench_sh = F.broadcast(
+        shingled(benchmark, "bench_doc").select("shingle").distinct())
+    if min_overlap_frac is None:
+        contaminated = (
+            shingled(train, "doc")
+            .join(bench_sh, "shingle", "left_semi")
+            .select("doc").distinct()
+        )
+        return (train.select(F.col(id_col).alias("doc"))
+                .join(contaminated.withColumn("contaminated", F.lit(True)),
+                      "doc", "left")
+                .select(F.col("doc").alias(id_col),
+                        F.coalesce("contaminated", F.lit(False))
+                        .alias("contaminated")))
+    if not 0 < min_overlap_frac <= 1:
+        raise ValueError("min_overlap_frac must be in (0, 1]")
+    tsh = shingled(train, "doc").distinct()
+    tot = tsh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    hit = (tsh.join(bench_sh, "shingle", "left_semi")
+           .groupBy("doc").agg(F.count("*").alias("n_hit")))
+    frac = F.coalesce("n_hit", F.lit(0)) / F.col("n_sh")
     return (train.select(F.col(id_col).alias("doc"))
-            .join(contaminated.withColumn("contaminated", F.lit(True)), "doc", "left")
+            .join(tot, "doc", "left").join(hit, "doc", "left")
             .select(F.col("doc").alias(id_col),
-                    F.coalesce("contaminated", F.lit(False)).alias("contaminated")))
+                    F.coalesce(frac >= min_overlap_frac, F.lit(False))
+                    .alias("contaminated"),
+                    F.round(frac, 6).alias("overlap_frac")))
 
 
 class ShingleBloom:

@@ -428,3 +428,42 @@ def test_repeat_for_epochs(spark):
     assert b_epochs == {0}
     n_b = out1.filter("source = 'srcB'").count()
     assert 0 < n_b < 200
+
+
+def test_decontaminate_fractional_overlap(spark):
+    """min_overlap_frac: incidental single-shingle collisions pass, high
+    fractional overlap flags; python-recomputed fraction; default
+    any-shingle rule unchanged."""
+    from apsviz_timeseriesdb_ingest_spark.llm.text import decontaminate
+
+    bench_text = ("what is the capital of france the answer is paris "
+                  "and everyone knows it")
+    bench = spark.createDataFrame([(0, bench_text)],
+                                  "doc_id long, text string")
+    rows = [
+        (1, "prefix " + bench_text + " suffix words here"),   # heavy overlap
+        (2, "an essay about travel that asks what is the capital "
+            "city of italy and many other questions entirely"),  # one 3-gram
+        (3, "no shared phrases at all in this other document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    strict = {r.doc_id: r.contaminated
+              for r in decontaminate(docs, bench).collect()}
+    assert strict[1] and strict[2] and not strict[3]  # any-rule flags 2
+
+    frac = {r.doc_id: r for r in
+            decontaminate(docs, bench, min_overlap_frac=0.3).collect()}
+    assert frac[1].contaminated and not frac[2].contaminated
+    assert not frac[3].contaminated and frac[3].overlap_frac == 0.0
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    a, b = sh(rows[0][1]), sh(bench_text)
+    assert frac[1].overlap_frac == round(len(a & b) / len(a), 6)
+
+    import pytest
+    with pytest.raises(ValueError):
+        decontaminate(docs, bench, min_overlap_frac=1.5)

@@ -199,3 +199,50 @@ def test_min_k_prob_formula_and_membership_signal(spark):
     short = spark.createDataFrame([(1, "word")], "doc_id long, text string")
     r = min_k_prob(short, lm).collect()[0]
     assert r.min_k_avg_logp is None and r.n_ngrams == 0 and r.n_bottom == 0
+
+
+def test_perplexity_buckets_ccnet_partitioning(spark):
+    """head/middle/tail: thirds by perplexity quantile, reference-like
+    docs in the head, gibberish in the tail, NULL ppl -> NULL bucket."""
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    ref_rows = [(i, "the cat sat on the mat and the dog ran to the park")
+                for i in range(20)]
+    lm = train_bigram_lm(spark.createDataFrame(
+        ref_rows, "doc_id long, text string"))
+
+    score_rows = [
+        (1, "the cat sat on the mat"),                  # reference-like
+        (2, "the dog ran to the park"),                 # reference-like
+        (3, "the cat ran on the park and the mat"),     # mixed
+        (4, "zx qv wt plk mnb asd fgh jkl"),            # gibberish
+        (5, "purple quantum economics debate yesterday evening"),
+        (6, "word"),                                    # too short: NULL
+    ]
+    out = {r.doc_id: r for r in perplexity_buckets(
+        spark.createDataFrame(score_rows, "doc_id long, text string"),
+        lm).collect()}
+    assert out[6].ppl_bucket is None and out[6].perplexity is None
+    assert out[1].ppl_bucket == "head" and out[2].ppl_bucket == "head"
+    # the worst-scoring doc is in the tail. (Which doc that is surprises:
+    # under add-k, an UNSEEN continuation of a COMMON context — doc 3's
+    # recombination of training words — scores below fully-OOV text,
+    # whose unseen contexts carry small denominators; same effect the
+    # min-k test documents.)
+    worst = max((r for r in out.values() if r.perplexity is not None),
+                key=lambda r: r.perplexity)
+    assert worst.ppl_bucket == "tail"
+    # bucket ordering is monotone in perplexity
+    order = {"head": 0, "middle": 1, "tail": 2}
+    scored = sorted((r.perplexity, r.ppl_bucket)
+                    for r in out.values() if r.perplexity is not None)
+    assert [order[b] for _, b in scored] == \
+        sorted(order[b] for _, b in scored)
+
+    import pytest
+    with pytest.raises(ValueError):
+        perplexity_buckets(spark.createDataFrame(
+            score_rows, "doc_id long, text string"), lm, labels=("a", "b"))
