@@ -59,7 +59,9 @@ from .text import (
 
 #: drop reasons in decision order (first failing stage wins)
 DROP_REASONS = ("blocked_domain", "too_short", "too_long", "repetitive",
-                "language", "exact_dup", "near_dup", "contaminated")
+                "language", "blocked_terms", "low_quality",
+                "high_perplexity", "exact_dup", "near_dup",
+                "contaminated", "mixture_sampled")
 
 
 def corpus_signals(docs: DataFrame, *, text_col: str = "text",
@@ -125,6 +127,7 @@ def prepare_training_corpus(
     c4_lines: bool = False,
     c4_min_words: int = 3,
     blocked_terms: tuple[str, ...] | None = None,
+    min_overlap_frac: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -184,6 +187,11 @@ def prepare_training_corpus(
     applies to every doc; a doc filtered to nothing tags ``too_short``
     downstream. ``blocked_terms`` adds the C4 bad-words gate as a
     ``blocked_terms`` drop reason over the cleaned text's tokens.
+
+    ``min_overlap_frac`` switches the decontamination stage to the
+    fractional-overlap rule (see :func:`text.decontaminate`) — the
+    tolerant setting for benchmark lists that share phrasing with
+    ordinary prose; None keeps the strict any-shingle rule.
 
     ``mixture_rates`` applies :func:`text.corpus_mixture`'s
     source-weighted downsampling as the LAST decision (reason
@@ -353,7 +361,8 @@ def prepare_training_corpus(
                                      id_col=id_col, profiles=profiles)
         contaminated = _persist(
             decontaminate(near_kept, bench_clean, text_col="text",
-                          id_col=id_col, k=shingle_k)
+                          id_col=id_col, k=shingle_k,
+                          min_overlap_frac=min_overlap_frac)
             .filter(F.col("contaminated"))
             .select(id_col)
             .withColumn("r_contam", F.lit(True)),

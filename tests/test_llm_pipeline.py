@@ -421,3 +421,28 @@ def test_pipeline_c4_and_blocked_terms_stages(spark):
     kept = {r.doc_id: r.text for r in corpus.collect()}
     assert set(kept) == {1}
     assert "About" not in kept[1]          # nav line stripped
+
+
+def test_pipeline_fractional_decontamination(spark):
+    """min_overlap_frac relaxes the contamination stage: the
+    single-phrase collision doc survives, heavy overlap still drops."""
+    corpus, audit = prepare_training_corpus(
+        _docs(spark), _benchmark(spark),
+        min_tokens=10, max_repetition_ratio=0.5,
+        min_overlap_frac=0.3, cache=False)
+    reasons = {r.doc_id: r.drop_reason for r in audit.collect()}
+    # doc 8 embeds most of the benchmark verbatim: still contaminated
+    assert reasons[8] == "contaminated"
+    # strict run agrees here (doc 8 is heavy overlap) but the stages
+    # differ on light collisions — pin that with a planted doc
+    rows = [(1, "what is the capital of spain is a different question "
+                "inside an otherwise unrelated long prose paragraph "
+                "about geography lessons and school mornings")]
+    light = spark.createDataFrame(rows, "doc_id long, text string")
+    _, a_strict = prepare_training_corpus(
+        light, _benchmark(spark), min_tokens=5, cache=False)
+    _, a_frac = prepare_training_corpus(
+        light, _benchmark(spark), min_tokens=5,
+        min_overlap_frac=0.3, cache=False)
+    assert {r.drop_reason for r in a_strict.collect()} == {"contaminated"}
+    assert {r.drop_reason for r in a_frac.collect()} == {None}
