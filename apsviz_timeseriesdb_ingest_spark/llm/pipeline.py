@@ -359,18 +359,21 @@ def prepare_training_corpus(
 
         bench_clean = corpus_signals(benchmark, text_col=text_col,
                                      id_col=id_col, profiles=profiles)
+        dec = decontaminate(near_kept, bench_clean, text_col="text",
+                            id_col=id_col, k=shingle_k,
+                            min_overlap_frac=min_overlap_frac)
+        if min_overlap_frac is None:  # strict mode carries no fraction
+            dec = dec.withColumn("overlap_frac",
+                                 F.lit(None).cast("double"))
         contaminated = _persist(
-            decontaminate(near_kept, bench_clean, text_col="text",
-                          id_col=id_col, k=shingle_k,
-                          min_overlap_frac=min_overlap_frac)
-            .filter(F.col("contaminated"))
-            .select(id_col)
+            dec.filter(F.col("contaminated"))
+            .select(id_col, "overlap_frac")
             .withColumn("r_contam", F.lit(True)),
             "contaminated",
         )
     else:
         contaminated = spark.createDataFrame(
-            [], f"{id_col} long, r_contam boolean")
+            [], f"{id_col} long, overlap_frac double, r_contam boolean")
 
     if mixture_rates is not None:
         from .text import mixture_keep_expr
@@ -415,7 +418,7 @@ def prepare_training_corpus(
         .join(mixture_losers, id_col, "left")
         .select(
             id_col, "text", "n_tokens", "repetition_ratio", "predicted_lang",
-            "quality_prob", "perplexity",
+            "quality_prob", "perplexity", "overlap_frac",
             F.coalesce(*reason_cols).alias("drop_reason"),
         )
     )
