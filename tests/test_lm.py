@@ -246,3 +246,23 @@ def test_perplexity_buckets_ccnet_partitioning(spark):
     with pytest.raises(ValueError):
         perplexity_buckets(spark.createDataFrame(
             score_rows, "doc_id long, text string"), lm, labels=("a", "b"))
+
+
+def test_perplexity_buckets_approximate_path(spark):
+    """approximate=True (Greenwald-Khanna) keeps the same schema and
+    monotone bucketing — the 100 TB path smoke check."""
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    base = "the cat sat on the mat and the dog ran far"
+    docs = spark.createDataFrame(
+        [(i, base + " " + " ".join(f"zzz{i}x{j}" for j in range(i)))
+         for i in range(12)], "doc_id long, text string")
+    lm = train_bigram_lm(docs)
+    out = perplexity_buckets(docs, lm, approximate=True).collect()
+    order = {"head": 0, "middle": 1, "tail": 2}
+    scored = sorted((r.perplexity, r.ppl_bucket) for r in out)
+    assert [order[b] for _, b in scored] == sorted(order[b] for _, b in scored)
+    assert {b for _, b in scored} >= {"head", "tail"}
