@@ -483,7 +483,8 @@ def export_training_shards(corpus: DataFrame, path: str, *,
 def data_card(corpus: DataFrame, audit: DataFrame | None = None, *,
               text_col: str = "text", id_col: str = "doc_id",
               source_col: str | None = None,
-              lang_col: str | None = "predicted_lang") -> DataFrame:
+              lang_col: str | None = "predicted_lang",
+              approximate: bool = False) -> DataFrame:
     """The dataset documentation artifact (Gebru et al. 2021
     "Datasheets for Datasets" lineage) as ONE tidy ``(section, metric,
     value)`` frame — sizes and checksum from
@@ -494,6 +495,8 @@ def data_card(corpus: DataFrame, audit: DataFrame | None = None, *,
 
     Everything is derived from existing single-aggregate operators;
     section frames are tiny (one row per metric), unioned driver-free.
+    ``approximate=True`` switches the token percentiles to the
+    bounded-memory Greenwald-Khanna aggregate (the 100 TB path).
     ``value`` is a STRING column so heterogeneous metrics share one
     schema; numeric consumers should go to the underlying operators.
     """
@@ -513,11 +516,15 @@ def data_card(corpus: DataFrame, audit: DataFrame | None = None, *,
         "AS (metric, value)"))
 
     lens = corpus.select(F.size(_tokens(text_col)).alias("n"))
+    # exact percentile buffers every value in one reducer — fine for
+    # profiling, the documented hazard at corpus scale (see
+    # corpus_profile); approximate=True is the bounded-memory GK path
+    fn = "approx_percentile" if approximate else "percentile"
     pct = rows("tokens_per_doc", lens.agg(
         F.min("n").alias("min"),
-        F.expr("percentile(n, 0.5)").alias("p50"),
-        F.expr("percentile(n, 0.9)").alias("p90"),
-        F.expr("percentile(n, 0.99)").alias("p99"),
+        F.expr(f"{fn}(n, 0.5)").alias("p50"),
+        F.expr(f"{fn}(n, 0.9)").alias("p90"),
+        F.expr(f"{fn}(n, 0.99)").alias("p99"),
         F.max("n").alias("max"),
     ).selectExpr(
         "stack(5, 'min', CAST(min AS STRING), 'p50', CAST(p50 AS STRING), "

@@ -446,3 +446,22 @@ def test_pipeline_fractional_decontamination(spark):
         min_overlap_frac=0.3, cache=False)
     assert {r.drop_reason for r in a_strict.collect()} == {"contaminated"}
     assert {r.drop_reason for r in a_frac.collect()} == {None}
+
+
+def test_data_card_approximate_percentiles(spark):
+    """approximate=True keeps the schema; exact and GK agree on this
+    small corpus."""
+    from apsviz_timeseriesdb_ingest_spark.llm.pipeline import data_card
+
+    docs = _docs(spark)
+    exact = {(r.section, r.metric): r.value
+             for r in data_card(docs).collect()}
+    approx = {(r.section, r.metric): r.value
+              for r in data_card(docs, approximate=True).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        if k[0] != "tokens_per_doc":
+            assert exact[k] == approx[k]
+    # min/max are exact in both
+    for m in ("min", "max"):
+        assert exact[("tokens_per_doc", m)] == approx[("tokens_per_doc", m)]
