@@ -61,3 +61,22 @@ def test_m4_views(env, spark):
         WHERE data_source = 'tidal_gauge'
     """).collect()
     assert [(r.station_name, r.water_level) for r in got] == [("ST_A", 1.0)]
+
+
+def test_package_imports_without_spark_session():
+    """Library hygiene: importing the package (and the full llm surface)
+    must not start a SparkSession or JVM — consumers compose lazily."""
+    import subprocess
+    import sys
+
+    code = (
+        "import apsviz_timeseriesdb_ingest_spark as p\n"
+        "import apsviz_timeseriesdb_ingest_spark.llm as llm\n"
+        "from pyspark.sql import SparkSession\n"
+        "assert SparkSession.getActiveSession() is None\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "clean" in out.stdout
