@@ -19,12 +19,18 @@ large-star/small-star connected components and the k-means trainer:
   rule, as in ``dedup._star_components``).
 
 Duplicate edges are counted once (weights belong in a weighted variant);
-self-loops are legitimate. Ranks are rounded to 12 dp at the end for
-cross-engine comparability; the serial reference (`_pagerank_py`) runs
-the identical update, and tests pin the distributed result to it.
+self-loops are legitimate. Every per-iteration aggregate sums 12-dp
+ROUNDED contributions as ``decimal(38,12)`` (the repo's
+distributed-vs-serial parity pattern) — decimal addition is
+associative, so the result is independent of partitioning and
+bit-stable across reruns; the serial reference (`_pagerank_py`)
+accumulates the same grid values, and tests pin the distributed result
+to it.
 """
 
 from __future__ import annotations
+
+from decimal import Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,7 +40,15 @@ def _pagerank_py(edges: list[tuple], *, damping: float = 0.85,
                  iters: int = 20) -> dict:
     """Serial reference: identical update order and arithmetic shape.
     Edges are (src, dst) pairs (each counted once) or (src, dst, w)
-    weighted triples (duplicate pairs SUM their weights)."""
+    weighted triples (duplicate pairs SUM their weights). The two modes
+    have different duplicate semantics, so a MIXED list is ambiguous
+    (an unweighted duplicate would silently reset an accumulated
+    weight) — uniform tuple arity is required."""
+    arities = {len(e) for e in edges}
+    if not arities <= {2} and not arities <= {3}:
+        raise ValueError(
+            f"mixed edge tuple arities {sorted(arities)}: pass all "
+            "(src, dst) or all (src, dst, w), not a mixture")
     agg: dict = {}
     for e in edges:
         s, d = e[0], e[1]
@@ -50,12 +64,18 @@ def _pagerank_py(edges: list[tuple], *, damping: float = 0.85,
         out[s] = out.get(s, 0.0) + w
     rank = {v: 1.0 / n for v in nodes}
     for _ in range(iters):
-        contrib: dict = {v: 0.0 for v in nodes}
+        # per-contribution 12-dp rounding + Decimal accumulation: the
+        # repo's distributed-vs-serial parity pattern (CLAUDE.md) — the
+        # distributed operator sums the same grid values as
+        # decimal(38,12), so both sides are order-independent
+        contrib: dict = {v: Decimal(0) for v in nodes}
         for s, d, w in es:
-            contrib[d] += w * (rank[s] / out[s])
-        dangling = sum(r for v, r in rank.items() if v not in out)
+            contrib[d] += Decimal(repr(round(w * (rank[s] / out[s]), 12)))
+        dangling = float(sum(
+            (Decimal(repr(round(r, 12)))
+             for v, r in rank.items() if v not in out), Decimal(0)))
         base = (1.0 - damping) / n + damping * dangling / n
-        rank = {v: base + damping * contrib[v] for v in nodes}
+        rank = {v: base + damping * float(contrib[v]) for v in nodes}
     return {v: round(r, 12) for v, r in rank.items()}
 
 
@@ -95,20 +115,29 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
         rated = (ranks.join(outdeg, "node", "left")
                  .select("node", "rank",
                          (F.col("rank") / F.col("out")).alias("rate")))
-        dangling = (rated.filter(F.col("rate").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
+        # Decimal sums over 12-dp-rounded contributions: decimal
+        # addition is associative, so the aggregate is independent of
+        # partition count/order — reruns are bit-identical (ADVICE r3;
+        # the serial reference accumulates the same grid values)
+        dangling = float(
+            rated.filter(F.col("rate").isNull())
+            .agg(F.coalesce(
+                F.sum(F.round(F.col("rank"), 12).cast("decimal(38,12)")),
+                F.lit(0).cast("decimal(38,12)")))
+            .collect()[0][0])
         base = (1.0 - damping) / n + damping * dangling / n
         contrib = (es.join(rated.filter(F.col("rate").isNotNull())
                            .select(F.col("node").alias("src"), "rate"),
                            "src")
                    .groupBy("dst")
-                   .agg(F.sum(F.col("w") * F.col("rate")).alias("c"))
+                   .agg(F.sum(F.round(F.col("w") * F.col("rate"), 12)
+                              .cast("decimal(38,12)")).alias("c"))
                    .withColumnRenamed("dst", "node"))
         ranks = (nodes.join(contrib, "node", "left")
                  .select("node",
                          (F.lit(base) + F.lit(damping)
-                          * F.coalesce(F.col("c"), F.lit(0.0)))
+                          * F.coalesce(F.col("c").cast("double"),
+                                       F.lit(0.0)))
                          .alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks.select("node", F.round("rank", 12).alias("rank"))

@@ -1257,18 +1257,29 @@ TRACKING_PARAM_RE = (r"^(utm_[^=]*|fbclid|gclid|msclkid|dclid|mc_cid|"
 
 def canonical_url(url: Column | str) -> Column:
     """Canonical form of a URL for URL-grain dedup: lower-cased scheme
-    and host (www. stripped), default ports dropped, fragment dropped,
-    tracking query parameters removed and the REST SORTED (param order
-    is presentation, not identity), trailing slash trimmed from
-    non-root paths. NULL for unparseable URLs (``try_parse_url`` —
+    and host (www. stripped), the SCHEME-MATCHING default port dropped
+    (``http://h:80`` ≡ ``http://h``, ``https://h:443`` ≡ ``https://h``)
+    while any non-default port stays in the canonical form (two ports
+    of one host are two origins — different servers, different
+    content), fragment dropped, tracking query parameters removed and
+    the REST SORTED (param order is presentation, not identity),
+    trailing slash trimmed from non-root paths. The port comes from
+    AUTHORITY (HOST strips it, so a HOST-only parse cannot distinguish
+    ports at all). NULL for unparseable URLs (``try_parse_url`` —
     plain ``parse_url`` would abort a distributed read on one bad row
     under ANSI, the CLAUDE.md rule). Pure map-side expression."""
     c = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
     host = F.regexp_replace(
-        F.regexp_replace(F.lower(F.try_parse_url(c, F.lit("HOST"))),
-                         r"^www\.", ""),
-        r":(80|443)$", "")
+        F.lower(F.try_parse_url(c, F.lit("HOST"))), r"^www\.", "")
+    port = F.regexp_extract(
+        F.coalesce(F.try_parse_url(c, F.lit("AUTHORITY")), F.lit("")),
+        r":(\d+)$", 1)
+    default_port = (F.when(scheme == "http", F.lit("80"))
+                    .when(scheme == "https", F.lit("443"))
+                    .otherwise(F.lit("")))
+    ptail = F.when((port == "") | (port == default_port), F.lit("")
+                   ).otherwise(F.concat(F.lit(":"), port))
     path = F.regexp_replace(F.coalesce(F.try_parse_url(c, F.lit("PATH")),
                                        F.lit("")), r"/+$", "")
     query = F.try_parse_url(c, F.lit("QUERY"))
@@ -1279,7 +1290,8 @@ def canonical_url(url: Column | str) -> Column:
                    F.concat(F.lit("?"), F.array_join(kept, "&"))
                    ).otherwise(F.lit(""))
     return F.when(scheme.isNotNull() & host.isNotNull(),
-                  F.concat(scheme, F.lit("://"), host, path, qtail))
+                  F.concat(scheme, F.lit("://"), host, ptail, path,
+                           qtail))
 
 
 def url_dedup(df: DataFrame, url_col: str = "url",

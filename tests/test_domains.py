@@ -223,6 +223,9 @@ def test_canonical_url_and_url_dedup(spark):
         (5, "https://other.net/"),
         (6, "not a url at all"),
         (7, None),
+        (8, "http://example.com:8080/a/b"),    # NON-default port kept
+        (9, "https://example.com:8080/a/b"),   # 8080 not https-default
+        (10, "https://example.com:443/a/b"),   # https default stripped
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     canon = {r.doc_id: r.c
@@ -233,6 +236,12 @@ def test_canonical_url_and_url_dedup(spark):
     assert canon[4] == "https://example.com/a/b?id=3"
     assert canon[5] == "https://other.net"
     assert canon[7] is None
+    # ports: scheme-matching default dropped, any other port is part of
+    # the origin and must NOT merge with the port-less form (ADVICE r3)
+    assert canon[8] == "http://example.com:8080/a/b"
+    assert canon[9] == "https://example.com:8080/a/b"
+    assert canon[8] != canon[3] and canon[8] != canon[9]
+    assert canon[10] == "https://example.com/a/b"
 
     out = url_dedup(df).collect()
     by_url = {r.canonical_url: r for r in out if r.canonical_url is not None}
@@ -240,6 +249,7 @@ def test_canonical_url_and_url_dedup(spark):
     assert by_url["https://example.com/a/b?id=2"].n_copies == 2
     # every doc is represented exactly once across keepers+copies
     assert sum(r.n_copies for r in out) == len(rows)
+    assert by_url["http://example.com:8080/a/b"].n_copies == 1
     # unparseable/null URLs never merge
     nulls = [r for r in out if r.canonical_url is None]
     assert sorted(r.kept_id for r in nulls) == [6, 7] or \

@@ -71,3 +71,32 @@ def test_pagerank_weighted(spark):
           for r in pagerank(uni, weight_col="w", iters=8).collect()}
     u = _run(spark, [("a", "b"), ("b", "c"), ("c", "a")], iters=8)
     assert all(abs(w1[v] - u[v]) < 1e-12 for v in u)
+
+
+def test_pagerank_serial_rejects_mixed_arity():
+    """A list mixing (src,dst) and (src,dst,w) tuples is ambiguous —
+    an unweighted duplicate would reset an accumulated weight
+    (ADVICE r3). Uniform arity is required."""
+    import pytest
+
+    with pytest.raises(ValueError, match="mixed edge tuple arities"):
+        _pagerank_py([("a", "b", 2.0), ("a", "b")])
+
+
+def test_pagerank_partitioning_independent(spark):
+    """Decimal-summed contributions make the distributed result
+    bit-identical across partition layouts (ADVICE r3): the same graph
+    through 1 partition and 16 partitions produces EXACTLY equal
+    ranks, not merely within tolerance."""
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(60)] + \
+        [("hub", f"n{i}") for i in range(23)] + \
+        [(f"n{i}", "hub") for i in range(0, 23, 3)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = {r.node: r.rank
+          for r in pagerank(df.coalesce(1), iters=20).collect()}
+    r16 = {r.node: r.rank
+           for r in pagerank(df.repartition(16), iters=20).collect()}
+    assert r1 == r16
+    exp = _pagerank_py(edges, iters=20)
+    for v in exp:
+        assert abs(r1[v] - exp[v]) < 1e-9
