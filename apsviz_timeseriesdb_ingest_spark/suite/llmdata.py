@@ -701,6 +701,149 @@ def llm_similarity_topk(spark, sf_dir):
                             query_ids=_QUERY_IDS, top_k=3)
 
 
+#: 4 deterministic literal centroids for the trained-centroid assignment
+#: gate query — the same md5-derived generator feeds the Spark literals
+#: and the oracle SQL (no stored model, engine-reproducible)
+_KMEANS_CENTROIDS = hyperplane_coefficients(dim=64, planes=4)
+
+
+def _kmeans_assign_sql() -> str:
+    """Oracle for the literal-centroid argmin: per-centroid cosine (the
+    exact literals Spark inlines, NaN floored to -2.0 mirroring
+    ``nanvl``) + a lowest-index-wins CASE argmax — the same tie-break as
+    Spark's struct(sim, -cid) array_max."""
+    sims = []
+    for c in _KMEANS_CENTROIDS:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        s = f"list_cosine_similarity(e, {lit})"
+        sims.append(f"CASE WHEN isnan({s}) THEN -2.0 ELSE {s} END")
+    s_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(sims))
+    k = len(sims)
+    cases = " ".join(
+        "WHEN " + " AND ".join(f"s{i} >= s{j}" for j in range(i + 1, k))
+        + f" THEN {i}" for i in range(k - 1))
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        s AS (SELECT vec_id, {s_cols} FROM v)
+        SELECT vec_id, CAST(CASE {cases} ELSE {k - 1} END AS INT)
+            AS centroid_id
+        FROM s
+    """
+
+
+@query("llm_kmeans_assign", sql=_kmeans_assign_sql())
+def llm_kmeans_assign(spark, sf_dir):
+    """Trained-centroid k-means assignment (``llm/similarity.py``
+    ``kmeans_assign``): the k centroids are inlined as literals so the
+    assignment is a ZERO-EXCHANGE projection (vs ``ivf_assign``'s
+    broadcast join + shuffled argmin — gated via llm_ann_assign). This
+    is the cell-routing step of the IVF/SemDeDup/classifier family at
+    100 TB: pure map-side, pipelineable into the partitioned layout
+    write."""
+    from ..llm.similarity import kmeans_assign
+    return kmeans_assign(tables(spark, sf_dir, "embeddings"),
+                         _KMEANS_CENTROIDS)
+
+
+@query("llm_perplexity_ngram", sql=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    vocab AS (SELECT count(DISTINCT t) + 1 AS v
+              FROM (SELECT unnest(ts) AS t FROM tk)),
+    ng AS (SELECT doc_id, concat_ws(' ', ts[i], ts[i + 1]) AS context,
+                  ts[i + 2] AS token
+           FROM tk, unnest(range(1, greatest(len(ts) - 1, 1))) AS r(i)),
+    ng_counts AS (SELECT context, token, count(*)::BIGINT AS c
+                  FROM ng GROUP BY context, token),
+    cx_counts AS (SELECT context, sum(c)::BIGINT AS c FROM ng_counts
+                  GROUP BY context),
+    scored AS (SELECT g.doc_id,
+                      ln(coalesce(nc.c, 0) + 0.1)
+                      - ln(coalesce(cc.c, 0) + 0.1 * vocab.v) AS logp
+               FROM ng g
+               LEFT JOIN ng_counts nc
+                 ON g.context = nc.context AND g.token = nc.token
+               LEFT JOIN cx_counts cc ON g.context = cc.context
+               CROSS JOIN vocab),
+    agg AS (SELECT doc_id, count(logp)::BIGINT AS n_ngrams,
+                   avg(logp) AS avg_logp FROM scored GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+           round(a.avg_logp, 6) AS avg_logp,
+           round(exp(-a.avg_logp), 6) AS perplexity
+    FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""")
+def llm_perplexity_ngram(spark, sf_dir):
+    """Trigram-LM perplexity scoring (``llm/lm.py`` — the CCNet-style
+    corpus quality signal): train the add-k n-gram LM on the corpus (two
+    count aggregations, model never driver-held) and score every doc via
+    the two many-to-one LEFT joins. Docs shorter than n tokens report
+    n_ngrams=0 / NULL scores."""
+    from ..llm.lm import perplexity_ngram, train_ngram_lm
+    docs = tables(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs, n=3)
+    return (perplexity_ngram(docs, lm, add_k=0.1)
+            .select("doc_id", "n_ngrams",
+                    F.round("avg_logp", 6).alias("avg_logp"),
+                    F.round("perplexity", 6).alias("perplexity")))
+
+
+_PAGERANK_ITERS = 3
+
+
+def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+    """Oracle for the distributed PageRank: the identical update as
+    ``llm/graph.pagerank`` unrolled into a CTE chain — decimal(38,12)
+    sums over 12-dp-rounded contributions make both engines'
+    per-iteration aggregates order-independent and therefore
+    bit-comparable."""
+    parts = [f"""
+    WITH e AS (SELECT DISTINCT 'u' || user_id::VARCHAR AS src,
+                      event_type AS dst FROM events),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outdeg AS (SELECT src AS node, sum(1.0) AS oud FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+    d{k} AS (SELECT coalesce(sum(CAST(round(r.rank, 12)
+                 AS DECIMAL(38,12))), 0)::DOUBLE AS dang
+             FROM r{p} r LEFT JOIN outdeg o USING (node)
+             WHERE o.oud IS NULL),
+    b{k} AS (SELECT (1.0 - {damping!r}) / nn.n
+                    + {damping!r} * d{k}.dang / nn.n AS base
+             FROM nn, d{k}),
+    c{k} AS (SELECT e.dst AS node,
+             sum(CAST(round(1.0 * (r.rank / o.oud), 12)
+                 AS DECIMAL(38,12))) AS c
+             FROM e JOIN r{p} r ON e.src = r.node
+             JOIN outdeg o ON e.src = o.node GROUP BY e.dst),
+    r{k} AS (SELECT nodes.node,
+             b{k}.base + {damping!r} * coalesce(c{k}.c::DOUBLE, 0.0)
+                 AS rank
+             FROM nodes CROSS JOIN b{k}
+             LEFT JOIN c{k} ON nodes.node = c{k}.node)""")
+    parts.append(f"""
+    SELECT node, round(rank, 12) AS rank FROM r{iters}""")
+    return "".join(parts)
+
+
+@query("llm_pagerank", sql=_pagerank_sql(_PAGERANK_ITERS))
+def llm_pagerank(spark, sf_dir):
+    """Distributed PageRank (``llm/graph.py`` — the host-reputation
+    crawl-curation prior) over the bipartite user→event-type graph,
+    {_PAGERANK_ITERS} full iterations: per pass one edges⋈ranks join +
+    one decimal-summed dst aggregate + two driver scalars (dangling
+    mass, teleport). The oracle unrolls the identical update — green
+    hashes certify the iterative operator end-to-end, not one step."""
+    from ..llm.graph import pagerank
+    ev = tables(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.col("event_type").alias("dst"))
+    return pagerank(edges, iters=_PAGERANK_ITERS)
+
+
 _CENTROID_IDS = list(range(8))
 
 

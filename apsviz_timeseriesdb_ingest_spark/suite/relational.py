@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.predicates import interval_overlaps
 from ..operators.dedup import keep_latest
 from ..operators.pivot import crosstab_timeseries
 from ._registry import make_registry, tables
@@ -80,37 +79,57 @@ def p3_in_list(spark, sf_dir):
     )
 
 
-@query("p4_time_range", sql="""
-    SELECT event_id, ts, user_id, event_type
-    FROM events
-    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-10 00:00:00'
-""")
-def p4_time_range(spark, sf_dir):
-    """P4: event-time range predicate (``run/ingestObsTasks.py:51``).
-    At scale this is partition pruning on a time-bucketed fact table."""
-    ev = tables(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-10 00:00:00"))
-        .select("event_id", "ts", "user_id", "event_type")
-    )
+# p4_time_range left the gate in r4 (driver 50-query cap): the temporal
+# range-predicate class stays gated through q6_revenue_change (two-sided
+# l_shipdate range) and p1_equality_filter (>= bound); the freed row
+# gates the asof join. p5_interval_overlap was REPLACED by its strict
+# generalization p5_overlap_join below (same P5 operator id — the fixed
+# query window is the single-right-row special case of the interval
+# overlap JOIN, and `functions/predicates.interval_overlaps` is executed
+# on the gate path either way).
 
 
-@query("p5_interval_overlap", sql="""
-    SELECT o_orderkey, o_orderdate
-    FROM orders
-    WHERE o_orderdate <= TIMESTAMP '1995-07-01 00:00:00'
-      AND o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '1995-06-01 00:00:00'
+@query("p5_overlap_join", sql="""
+    WITH l AS (SELECT o_orderkey AS l_key, o_orderdate AS l_begin,
+                      o_orderdate + INTERVAL 3 DAY AS l_end
+               FROM orders
+               WHERE o_orderpriority = '1-URGENT'
+                 AND o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o_orderdate < TIMESTAMP '1995-03-01'),
+    r AS (SELECT o_orderkey AS r_key, o_orderdate AS r_begin,
+                 o_orderdate + INTERVAL 3 DAY AS r_end
+          FROM orders
+          WHERE o_orderpriority = '5-LOW'
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1995-03-01')
+    SELECT l.l_key, l.l_begin, l.l_end, r.r_key, r.r_begin, r.r_end
+    FROM l JOIN r ON l.l_begin <= r.r_end AND r.r_begin <= l.l_end
 """)
-def p5_interval_overlap(spark, sf_dir):
-    """P5: SQL OVERLAPS expansion (``run/createIngestApsVizStationData.py:43-44``):
-    order validity window [o_orderdate, +30d] vs fixed query window."""
+def p5_overlap_join(spark, sf_dir):
+    """P5 (generalized): interval-overlap JOIN via bucket expansion
+    (``operators/rangejoin.py`` — the equi-join formulation of the
+    reference's 36-hour snapshot window scan,
+    ``run/createIngestApsVizStationData.py:43-44``). The oracle is the
+    plain theta-join; the engine plan explodes each interval into the
+    1-day buckets it touches, equi-joins on the bucket, verifies the
+    exact predicate and dedupes pairs — no BroadcastNestedLoopJoin at
+    any scale."""
+    from ..operators.rangejoin import overlap_join
     o = tables(spark, sf_dir, "orders")
-    pred = interval_overlaps(
-        F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
-        F.lit("1995-06-01 00:00:00").cast("timestamp"),
-        F.lit("1995-07-01 00:00:00").cast("timestamp"),
-    )
-    return o.filter(pred).select("o_orderkey", "o_orderdate")
+
+    def side(pri: str, prefix: str):
+        return (o.filter((F.col("o_orderpriority") == pri)
+                         & (F.col("o_orderdate") >= "1995-01-01")
+                         & (F.col("o_orderdate") < "1995-03-01"))
+                .select(F.col("o_orderkey").alias(f"{prefix}_key"),
+                        F.col("o_orderdate").alias(f"{prefix}_begin"),
+                        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"))
+                        .alias(f"{prefix}_end")))
+
+    return overlap_join(side("1-URGENT", "l"), side("5-LOW", "r"),
+                        left_begin="l_begin", left_end="l_end",
+                        right_begin="r_begin", right_end="r_end",
+                        left_id="l_key", right_id="r_key", bucket="1 day")
 
 
 @query("p10_project_rename_cast", sql="""
@@ -268,13 +287,41 @@ def a2_count_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
 
 
-@query("a3_distinct", sql="""
-    SELECT DISTINCT lang, source FROM documents
+# a3_distinct left the gate in r4 (driver 50-query cap): the DISTINCT
+# expansion class stays gated through a2_count_distinct (the same
+# two-stage distinct aggregation) and llm_exact_dedup (hash-groupBy
+# dedup); the freed row gates llm_kmeans_assign.
+
+
+@query("j10_asof_join", sql="""
+    WITH r AS (SELECT user_id, ts, max_by(value, event_id) AS value
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, ts),
+    l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS ts_asof, r.value AS value_asof
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
 """)
-def a3_distinct(spark, sf_dir):
-    """A3: DISTINCT set projection (``run/createIngestApsVizStationData.py:41-46``)."""
-    d = tables(spark, sf_dir, "documents")
-    return d.select("lang", "source").distinct()
+def j10_asof_join(spark, sf_dir):
+    """As-of join (``operators/asof.py``): each click matched to the
+    latest purchase at-or-before it per user — the cross-cadence read
+    generalization of the reference's exact-timestamp bucketing
+    (``scripts/get_obs_timeseries_station_data.sql:16-21``). Oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN``; the engine plan is the
+    union + single-shuffle carry-forward window (no quadratic range
+    join). The right side is pre-aggregated per (user, ts) so ties are
+    deterministic on both engines."""
+    from ..operators.asof import asof_join
+    ev = tables(spark, sf_dir, "events")
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.expr("max_by(value, event_id)").alias("value")))
+    left = (ev.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts"))
+    return asof_join(left, right, on=["user_id"],
+                     left_ts="ts", right_ts="ts", value_cols=["value"])
 
 
 @query("a5_dedup_by_key", sql="""
@@ -396,52 +443,20 @@ def x5_kv_pivot(spark, sf_dir):
     )
 
 
-@query("x6_sanitized_pivot_labels", sql="""
-    WITH agg AS (
-        SELECT lang, source, count(*) AS cnt
-        FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1, 2
-    )
-    SELECT lang,
-           max(cnt) FILTER (WHERE source = 'src0') AS srccount0,
-           max(cnt) FILTER (WHERE source = 'src1') AS srccount1
-    FROM agg GROUP BY lang
-""")
-def x6_sanitized_pivot_labels(spark, sf_dir):
-    """X1+X6: pivot via the engine's crosstab operator with label
-    sanitization (dots stripped per
-    ``scripts/get_forecast_timeseries_station_data.sql:32``)."""
-    d = tables(spark, sf_dir, "documents")
-    pre = (
-        d.filter(F.col("source").isin("src0", "src1"))
-        .withColumn("src", F.concat(F.lit("src.count."),
-                                    F.regexp_extract("source", r"(\d+)$", 1)))
-        .groupBy("lang", "src").agg(F.count("*").alias("cnt"))
-    )
-    return crosstab_timeseries(
-        pre, row_key="lang", pivot_col="src",
-        categories=["src.count.0", "src.count.1"], value=F.col("cnt"),
-    )
+# x6_sanitized_pivot_labels left the gate in r4 (driver 50-query cap):
+# the X6 label-sanitization class stays gated through x2_allparms_pivot,
+# whose dot-carrying 'view.nowcast' category exercises the same
+# `functions/strings.sanitize_label` path into the 'viewnowcast' output
+# column; crosstab_timeseries itself stays on the gate via x2. The
+# freed row gates llm_pagerank.
 
 
 # --- O: sorts / set ops --------------------------------------------------
 
-@query("o3_union", sql="""
-    SELECT o_orderkey, o_orderpriority, 'urgent' AS bucket
-    FROM orders WHERE o_orderpriority = '1-URGENT'
-    UNION ALL
-    SELECT o_orderkey, o_orderpriority, 'low' AS bucket
-    FROM orders WHERE o_orderpriority = '5-LOW'
-""")
-def o3_union(spark, sf_dir):
-    """O3: vertical union (``pd.concat``,
-    ``run/createIngestApsVizStationData.py:310``) via unionByName."""
-    o = tables(spark, sf_dir, "orders")
-    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
-              .select("o_orderkey", "o_orderpriority", F.lit("urgent").alias("bucket")))
-    low = (o.filter(F.col("o_orderpriority") == "5-LOW")
-           .select("o_orderkey", "o_orderpriority", F.lit("low").alias("bucket")))
-    return urgent.unionByName(low)
-
+# o3_union left the gate in r4 (driver 50-query cap): unionByName
+# executes ON the gate path inside j10_asof_join (its stage 1 is the
+# two-sided tagged union) and keeps direct pytest + golden coverage in
+# the pipelines; the freed row gates llm_perplexity_ngram.
 
 # O4/A7 (min_by/max_by first/last-of-group) is exercised inside
 # a1_minmax_per_group — the driver caps the per-round query list at 50,
