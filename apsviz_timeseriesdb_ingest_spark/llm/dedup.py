@@ -327,14 +327,19 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame, *,
                          text_col: str = "text", id_col: str = "doc_id",
                          k: int = 3, num_hashes: int = 16, bands: int = 4,
                          threshold: float = 0.5, fast: bool = False,
-                         max_bucket_size: int | None = None) -> DataFrame:
+                         max_bucket_size: int | None = None,
+                         checkpoint_catalog=None,
+                         checkpoint_prefix: str = "xcorpus") -> DataFrame:
     """Flag corpus documents that NEAR-duplicate any document of a
     separate ``reference`` corpus — the fuzzy counterpart of
     :func:`llm.text.decontaminate` (which needs one exact shared
     shingle) and the frame-vs-frame form of the persisted-index
     increment probe (``llm.incremental.plan_increment``): dedup an eval
     set against the training set, or a new crawl against last month's,
-    without building an index first.
+    without building an index first. ``checkpoint_catalog`` makes the
+    materialized candidate frame a durable ``{checkpoint_prefix}_*``
+    Catalog table instead of executor-local localCheckpoint blocks
+    (``operators.itercheckpoint`` contract — survives executor loss).
 
     Returns ``(id, neardup_of_reference, best_jaccard)`` for EVERY
     corpus doc. Shape: MinHash band buckets on both sides → cross-side
@@ -366,8 +371,11 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame, *,
             .join(br.select("band", "bucket", F.col("doc").alias("rdoc")),
                   ["band", "bucket"])
             .select("cdoc", "rdoc").distinct())
+    from ..operators.itercheckpoint import LineageCutter
+
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    cand = cand.repartition(par).localCheckpoint(eager=True)
+    cand = LineageCutter(checkpoint_catalog, checkpoint_prefix)(
+        cand.repartition(par), "cand")
 
     def shingled(d: DataFrame, keep: DataFrame, out: str) -> DataFrame:
         return (d.join(keep, d[id_col] == keep[out], "left_semi")
@@ -498,18 +506,24 @@ def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
     )
 
 
-def _label_prop_components(edges: DataFrame, max_iters: int) -> DataFrame:
+def _label_prop_components(edges: DataFrame, max_iters: int,
+                           cut=None) -> DataFrame:
     """Min-label propagation CC: O(component diameter) rounds. ``edges``
-    is the symmetric (a, b) frame. Returns (node, label)."""
+    is the symmetric (a, b) frame. Returns (node, label). ``cut`` is the
+    per-round lineage cut (``operators.itercheckpoint.LineageCutter``;
+    defaults to localCheckpoint)."""
+    if cut is None:
+        from ..operators.itercheckpoint import LineageCutter
+        cut = LineageCutter()
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
     for _ in range(max_iters):
         neighbor = (edges.join(labels, edges.b == labels.node)
                     .select(edges.a.alias("node"), "label"))
-        new = (labels.unionByName(neighbor)
-               .groupBy("node").agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
+        new = cut(labels.unionByName(neighbor)
+                  .groupBy("node").agg(F.min("label").alias("label")),
+                  "labels")
         changed = (new.alias("n").join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
@@ -522,7 +536,8 @@ def _label_prop_components(edges: DataFrame, max_iters: int) -> DataFrame:
         "algorithm='star' (O(log n) rounds)")
 
 
-def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
+def _star_components(edges: DataFrame, max_iters: int,
+                     cut=None) -> DataFrame:
     """Alternating large-star/small-star CC (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC 2014 — public algorithm):
     O(log n) rounds on ANY graph shape, vs O(diameter) for label
@@ -532,13 +547,18 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
 
     ``edges`` is the deduped (a, b) frame with a != b (direction
     irrelevant). Returns (node, label) with label = component min; nodes
-    equal to their component min are included.
+    equal to their component min are included. ``cut`` is the per-round
+    lineage cut (``operators.itercheckpoint.LineageCutter``; defaults
+    to localCheckpoint).
     """
+    if cut is None:
+        from ..operators.itercheckpoint import LineageCutter
+        cut = LineageCutter()
     # Orient every edge child->parent-candidate; invariant maintained
     # below: b < a on every kept edge (parent smaller than child).
-    work = (edges.select(F.greatest("a", "b").alias("a"),
-                         F.least("a", "b").alias("b"))
-            .distinct().localCheckpoint(eager=True))
+    work = cut(edges.select(F.greatest("a", "b").alias("a"),
+                            F.least("a", "b").alias("b"))
+               .distinct(), "work")
     for _ in range(max_iters):
         # Large-star: connect every neighbor v > u to m(u) = min(N(u), u).
         sym = work.unionByName(work.select(F.col("b").alias("a"),
@@ -559,8 +579,8 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
                                            F.col("m")))
                  .filter(F.col("child") != F.col("m"))
                  .select(F.col("child").alias("a"), F.col("m").alias("b"))
-                 .distinct()
-                 .localCheckpoint(eager=True))
+                 .distinct())
+        small = cut(small, "work")
         converged = (small.exceptAll(work).limit(1).count() == 0
                      and small.count() == work.count())
         work = small
@@ -577,7 +597,10 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
 
 
 def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
-                     algorithm: str = "star") -> DataFrame:
+                     algorithm: str = "star",
+                     checkpoint_catalog=None,
+                     checkpoint_prefix: str = "neardup_cc",
+                     checkpoint_every: int = 1) -> DataFrame:
     """Connected components over near-duplicate pairs: (node, cluster_id)
     where cluster_id = the smallest doc id in the component.
 
@@ -589,25 +612,35 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
     components LSH buckets produce (typically 2-3 rounds).
 
     Both are broadcast-free equi-join + groupBy rounds — no driver-side
-    graph; lineage is cut per round (localCheckpoint) so plans stay
-    flat. This is an iterative algorithm, not an oracle-expressible
-    query (the driver records the weaker rows-only check via the pytest
-    suite instead).
+    graph; lineage is cut per round so plans stay flat. This is an
+    iterative algorithm, not an oracle-expressible query (the driver
+    records the weaker rows-only check via the pytest suite instead).
+
+    ``checkpoint_catalog`` routes the per-round cut through durable
+    ``{checkpoint_prefix}_*`` Catalog tables (every
+    ``checkpoint_every``-th round) instead of executor-local
+    localCheckpoint blocks — executor loss mid-run becomes a partition
+    re-read from shared storage, not a dead job
+    (``operators.itercheckpoint`` contract; results identical, tested).
 
     Input: a frame with ``doc_a``/``doc_b`` columns (any extra columns
     are ignored), e.g. the output of :func:`minhash_lsh_pairs`,
     :func:`simhash_neardup_pairs`, or embedding near-dup pairs.
     """
-    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-             .unionByName(pairs.select(F.col("doc_b").alias("a"),
-                                       F.col("doc_a").alias("b")))
-             .filter(F.col("a") != F.col("b"))
-             .distinct()
-             .localCheckpoint(eager=True))
+    from ..operators.itercheckpoint import LineageCutter
+
+    cut = LineageCutter(checkpoint_catalog, checkpoint_prefix,
+                        checkpoint_every)
+    edges = cut(pairs.select(F.col("doc_a").alias("a"),
+                             F.col("doc_b").alias("b"))
+                .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                          F.col("doc_a").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct(), "edges")
     if algorithm == "star":
-        labels = _star_components(edges, max_iters)
+        labels = _star_components(edges, max_iters, cut)
     elif algorithm == "label":
-        labels = _label_prop_components(edges, max_iters)
+        labels = _label_prop_components(edges, max_iters, cut)
     else:
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     return labels.select(F.col("node").alias("doc_id"),

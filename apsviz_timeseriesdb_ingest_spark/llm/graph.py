@@ -81,7 +81,10 @@ def _pagerank_py(edges: list[tuple], *, damping: float = 0.85,
 
 def pagerank(edges: DataFrame, *, src_col: str = "src",
              dst_col: str = "dst", weight_col: str | None = None,
-             damping: float = 0.85, iters: int = 20) -> DataFrame:
+             damping: float = 0.85, iters: int = 20,
+             checkpoint_catalog=None,
+             checkpoint_prefix: str = "pagerank",
+             checkpoint_every: int = 1) -> DataFrame:
     """PageRank over ``edges`` → ``(node, rank)`` (see module
     docstring). ``iters`` fixed passes (20 ≈ 1e-4 residual on web-like
     graphs); each pass is one join + one aggregate + one scalar
@@ -89,27 +92,39 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
     graph's natural edge weight is its LINK COUNT): rank flows
     proportional to weight over the source's weight total, and
     duplicate (src, dst) rows SUM their weights — unweighted mode
-    counts each distinct pair once."""
+    counts each distinct pair once.
+
+    ``checkpoint_catalog`` routes the per-iteration lineage cut through
+    durable ``{checkpoint_prefix}_*`` Catalog tables (every
+    ``checkpoint_every``-th round; ``operators.itercheckpoint``
+    contract) instead of executor-local ``localCheckpoint`` blocks — on
+    a real cluster an executor loss mid-run is then a partition re-read
+    from shared storage, not a dead job. Results are BIT-IDENTICAL
+    either way (the decimal-summed update is partitioning-independent,
+    tested). Tables are left in place; drop after consuming the result.
+    """
+    from ..operators.itercheckpoint import LineageCutter
+
+    cut = LineageCutter(checkpoint_catalog, checkpoint_prefix,
+                        checkpoint_every)
     if weight_col is None:
-        es = (edges.select(F.col(src_col).alias("src"),
-                           F.col(dst_col).alias("dst"))
-              .distinct().withColumn("w", F.lit(1.0))
-              .localCheckpoint(eager=True))
+        es = cut(edges.select(F.col(src_col).alias("src"),
+                              F.col(dst_col).alias("dst"))
+                 .distinct().withColumn("w", F.lit(1.0)), "edges")
     else:
-        es = (edges.select(F.col(src_col).alias("src"),
-                           F.col(dst_col).alias("dst"),
-                           F.col(weight_col).cast("double").alias("w"))
-              .groupBy("src", "dst").agg(F.sum("w").alias("w"))
-              .localCheckpoint(eager=True))
-    nodes = (es.select(F.col("src").alias("node"))
-             .unionByName(es.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+        es = cut(edges.select(F.col(src_col).alias("src"),
+                              F.col(dst_col).alias("dst"),
+                              F.col(weight_col).cast("double").alias("w"))
+                 .groupBy("src", "dst").agg(F.sum("w").alias("w")),
+                 "edges")
+    nodes = cut(es.select(F.col("src").alias("node"))
+                .unionByName(es.select(F.col("dst").alias("node")))
+                .distinct(), "nodes")
     n = nodes.count()
     if not n:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = (es.groupBy("src").agg(F.sum("w").alias("out"))
-              .withColumnRenamed("src", "node")
-              .localCheckpoint(eager=True))
+    outdeg = cut(es.groupBy("src").agg(F.sum("w").alias("out"))
+                 .withColumnRenamed("src", "node"), "outdeg")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         rated = (ranks.join(outdeg, "node", "left")
@@ -138,6 +153,6 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
                          (F.lit(base) + F.lit(damping)
                           * F.coalesce(F.col("c").cast("double"),
                                        F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
+                         .alias("rank")))
+        ranks = cut(ranks, "ranks")
     return ranks.select("node", F.round("rank", 12).alias("rank"))
