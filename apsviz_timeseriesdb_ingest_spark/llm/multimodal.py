@@ -2,26 +2,73 @@
 Arrow-batched feature extraction via ``mapInPandas``.
 
 The Spark-side plumbing is real and tested: binary column + metadata
-struct schema, partition-sized Arrow batches into pandas, explicit output
-schema. The actual media decode is a clearly-marked stub (image/audio
-libraries are not in this container): ``decode_stub`` derives
-deterministic pseudo-features (byte length, md5, fake dimensions) so the
-pipeline shape — including oracle verification — is exercised end-to-end.
-Swap ``_extract_features`` for PIL/librosa/ffmpeg in production; the
-DataFrame plumbing does not change.
+struct schema, partition-sized Arrow batches into pandas, explicit
+output schema. The decode itself is LAYERED (r3 verdict task 4):
+
+1. PIL, when importable (try-import at module load — absent from this
+   sandbox, exercised on deployments and by a skip-gated test): full
+   ``Image.open`` decode → real width/height/mode, ``decoder='pil'``.
+2. A pure-stdlib HEADER parse for PNG/GIF/JPEG payloads
+   (``_sniff_dimensions``): real dimensions+mode from the container
+   header with no image library at all, ``decoder='header-v1'`` — so
+   real image bytes produce real metadata even here.
+3. The deterministic stub for anything undecodable (byte length, md5,
+   fake dimensions, NULL mode) — keeps the oracle-verified pipeline
+   shape for opaque payloads.
+
+``sample_frames`` / ``resize_images`` follow the same pattern: PIL body
+when available, documented deterministic stub otherwise; the DataFrame
+plumbing never changes.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # deployment-optional image library (absent in this sandbox)
+    from PIL import Image as _PIL_Image
+except ImportError:  # pragma: no cover - exercised when PIL exists
+    _PIL_Image = None
+
 #: output schema of the feature extractor
 FEATURE_SCHEMA = ("doc_id long, n_bytes int, payload_md5 string, "
-                  "width int, height int, decoder string")
+                  "width int, height int, mode string, decoder string")
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> PIL mode name (PNG spec, public)
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def _sniff_dimensions(payload: bytes) -> tuple[int, int, str] | None:
+    """(width, height, mode) parsed from a PNG/GIF/JPEG container
+    header — pure stdlib, no decode of pixel data. Returns None for
+    anything unrecognized (malformed headers included: this runs inside
+    a distributed map, so it must never raise)."""
+    try:
+        if payload[:8] == _PNG_MAGIC and payload[12:16] == b"IHDR" \
+                and len(payload) >= 26:
+            w, h = struct.unpack(">II", payload[16:24])
+            return w, h, _PNG_MODES.get(payload[25], "?")
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return w, h, "P"
+        if payload[:2] == b"\xff\xd8":
+            i = 2  # walk JPEG segments to a start-of-frame marker
+            while i + 9 < len(payload) and payload[i] == 0xFF:
+                marker = payload[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                    h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                    return w, h, ("RGB" if payload[i + 9] == 3 else "L")
+                i += 2 + struct.unpack(">H", payload[i + 2:i + 4])[0]
+    except (struct.error, IndexError):  # truncated header
+        return None
+    return None
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -37,19 +84,31 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _extract_features(payload: bytes) -> dict:
-    """STUB decoder. Real deployments replace this body with an image/
-    audio decode (PIL.Image.open(BytesIO(payload)) etc.). Deterministic
-    fake: dimensions derived from the byte length."""
+    """Layered decoder (module docstring): PIL → header parse → stub.
+    The stub branch keeps the r1-r3 deterministic pseudo-features
+    (dimensions from the byte length, NULL mode) so opaque payloads
+    stay oracle-verifiable."""
     import hashlib
+    import io
 
+    payload = bytes(payload)
+    base = {"n_bytes": len(payload),
+            "payload_md5": hashlib.md5(payload).hexdigest()}
+    if _PIL_Image is not None:
+        try:
+            img = _PIL_Image.open(io.BytesIO(payload))
+            return {**base, "width": img.width, "height": img.height,
+                    "mode": img.mode, "decoder": "pil"}
+        except Exception:
+            pass  # not an image PIL knows: fall through
+    sniffed = _sniff_dimensions(payload)
+    if sniffed is not None:
+        w, h, mode = sniffed
+        return {**base, "width": w, "height": h, "mode": mode,
+                "decoder": "header-v1"}
     n = len(payload)
-    return {
-        "n_bytes": n,
-        "payload_md5": hashlib.md5(payload).hexdigest(),
-        "width": n % 640,
-        "height": (n * 7) % 480,
-        "decoder": "stub-v1",
-    }
+    return {**base, "width": n % 640, "height": (n * 7) % 480,
+            "mode": None, "decoder": "stub-v1"}
 
 
 def extract_media_features(df: DataFrame, id_col: str = "doc_id",
@@ -118,22 +177,35 @@ def resize_images(df: DataFrame, *, width: int, height: int,
     """Image resize plumbing: payload-in, payload-out transform at a
     fixed target size — the one-to-one ``mapInPandas`` shape.
 
-    STUB decode: output payload is the input truncated/padded to
-    width*height bytes (deterministic); production replaces the body
-    with PIL ``Image.resize``. Binary in AND out exercises Arrow's
-    binary columns in both directions."""
+    When PIL is importable and the payload decodes, the body is a REAL
+    ``Image.resize`` re-encoded as PNG (``decoder='pil'``); otherwise
+    the stub truncates/pads the payload to width*height bytes
+    (deterministic). Binary in AND out exercises Arrow's binary columns
+    in both directions."""
     target = width * height
+
+    def _resize_one(payload: bytes) -> tuple[bytes, str]:
+        if _PIL_Image is not None:
+            try:
+                import io
+
+                img = _PIL_Image.open(io.BytesIO(payload))
+                out = io.BytesIO()
+                img.resize((width, height)).save(out, format="PNG")
+                return out.getvalue(), "pil"
+            except Exception:
+                pass
+        return bytes(payload[:target]).ljust(target, b"\0"), "stub-v1"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p[:target]).ljust(target, b"\0")
-                        for p in pdf[payload_col]]
+            done = [_resize_one(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].values,
-                "payload": payloads,
+                "payload": [p for p, _ in done],
                 "width": width,
                 "height": height,
-                "decoder": "stub-v1",
+                "decoder": [d for _, d in done],
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -149,13 +149,16 @@ def llm_embedding_neardup(spark, sf_dir):
     SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
            octet_length(encode(text)) % 640 AS width,
            (octet_length(encode(text)) * 7) % 480 AS height,
+           CAST(NULL AS VARCHAR) AS mode,
            'stub-v1' AS decoder
     FROM documents
 """)
 def llm_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction through the real mapInPandas
-    plumbing (Arrow batches, explicit schema); decode itself is the
-    documented deterministic stub."""
+    plumbing (Arrow batches, explicit schema); the layered decoder
+    (PIL → header parse → stub) lands on the deterministic stub for
+    these text payloads, keeping the row oracle-verifiable — real image
+    bytes take the real branches (``test_multimodal_decode``)."""
     docs = with_binary_payload(tables(spark, sf_dir, "documents"))
     return extract_media_features(docs)
 

@@ -114,3 +114,69 @@ def test_column_expression_order_by_is_rejected(spark, tmp_path, monkeypatch):
             "gauge_data", _incoming(spark), keys=["source_id", "time"],
             order_by=[F.col("timemark").desc()], time_col="time",
             drop_before_write=())
+
+
+def _real_delta_available() -> bool:
+    """True only when genuine delta-spark is importable (not the fake
+    module these tests monkeypatch in)."""
+    try:
+        import delta.tables  # noqa: F401
+        import importlib.metadata
+        importlib.metadata.version("delta-spark")
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _real_delta_available(),
+                    reason="delta-spark not installed (offline sandbox; "
+                           "install attempt documented in NOTES_r4)")
+def test_real_delta_keep_latest_parity(tmp_path):
+    """Deployment-only branch (r3 verdict task 3): with genuine
+    delta-spark on the classpath, DeltaMerge.merge_keep_latest must
+    produce the same surviving rows as DynamicOverwriteMerge on the
+    overlap fixture (run/ingestObsTasks.py:45-56 semantics: newest
+    timemark wins per (source_id, time), last-loaded wins ties).
+    Builds its own Delta-enabled session — the shared fixture session
+    lacks the Delta SQL extensions."""
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    builder = (SparkSession.builder.master("local[4]")
+               .appName("delta-parity")
+               .config("spark.sql.extensions",
+                       "io.delta.sql.DeltaSparkSessionExtension")
+               .config("spark.sql.catalog.spark_catalog",
+                       "org.apache.spark.sql.delta.catalog.DeltaCatalog"))
+    dspark = configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        t1 = datetime(2024, 3, 1, 12, 0)
+        t2 = datetime(2024, 3, 1, 18, 0)
+        batch1 = dspark.createDataFrame(
+            [(1, t1, t1, t1, 1.0), (2, t1, t1, t1, 2.0)], SCHEMA)
+        batch2 = dspark.createDataFrame(
+            [(1, t1, t2, t2, 9.0),   # newer timemark: must replace
+             (3, t1, t1, t1, 3.0)],  # new key: must insert
+            SCHEMA)
+        results = {}
+        for name, strat in (("delta", DeltaMerge()),
+                            ("parquet", None)):
+            cat = Catalog(dspark, str(tmp_path / name),
+                          merge_strategy=strat)
+            for b in (batch1, batch2):
+                cat.merge_keep_latest(
+                    "gauge_data", b, keys=["source_id", "time"],
+                    order_by=["timemark", "__file_dt"], time_col="time",
+                    drop_before_write=["__file_dt"])
+            reader = (dspark.read.format("delta") if name == "delta"
+                      else dspark.read)
+            rows = reader.load(str(tmp_path / name / "gauge_data")) \
+                if name == "delta" else \
+                dspark.read.parquet(str(tmp_path / name / "gauge_data"))
+            results[name] = {(r.source_id, r.time, r.timemark,
+                              r.water_level) for r in rows.collect()}
+        assert results["delta"] == results["parquet"]
+        assert {(k[0], k[3]) for k in results["delta"]} == \
+            {(1, 9.0), (2, 2.0), (3, 3.0)}
+    finally:
+        dspark.stop()

@@ -48,7 +48,7 @@ def test_multimodal_metadata_struct(spark, sf_small):
     assert row.n_bytes == len(row.payload)
     feats = extract_media_features(docs)
     assert feats.columns == ["doc_id", "n_bytes", "payload_md5", "width",
-                             "height", "decoder"]
+                             "height", "mode", "decoder"]
     f = feats.first()
     assert f.width == f.n_bytes % 640
 
