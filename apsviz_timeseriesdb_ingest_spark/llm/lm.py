@@ -119,14 +119,39 @@ def train_ngram_lm(df: DataFrame, *, n: int = 3, text_col: str = "text",
             "vocab_size": vocab_size, "n": n}
 
 
-def perplexity_ngram(df: DataFrame, lm: dict[str, DataFrame | int], *,
-                     text_col: str = "text", id_col: str = "doc_id",
-                     add_k: float = 0.1) -> DataFrame:
-    """Per-document n-gram perplexity under a :func:`train_ngram_lm`
-    model — same output schema and smoothing semantics as
-    :func:`perplexity` (``n_bigrams`` generalizes to ``n_ngrams``):
-    ``logp = ln(c_ngram + k) - ln(c_context + k*V)`` with both LEFT
-    joins total via add-k; docs shorter than n tokens score NULL."""
+def _scored_events(df: DataFrame, lm: dict[str, DataFrame | int], *,
+                   text_col: str, id_col: str, add_k: float,
+                   hot_grams: int | None = None) -> DataFrame:
+    """Shared per-event scoring stage of :func:`perplexity_ngram` and
+    :func:`min_k_prob`: ``(doc, context, token, __logp)`` via the
+    doc-side n-gram expansion and the two many-to-one LEFT joins.
+
+    ``hot_grams`` is the Zipf-skew mitigation (r3 verdict task 5,
+    MEASURED): the probe side of both joins keys on n-gram text, and
+    web-corpus grams are Zipfian — "of the"-class keys concentrate a
+    double-digit share of all probe rows on single shuffle partitions.
+    AQE's skew-join splitting does NOT rescue this stage: the two
+    SortMergeJoins stack on the same ``context`` key, so the first
+    join's output IS the second's required hash partitioning and
+    ``OptimizeSkewedJoin`` must skip it (splitting would break the
+    downstream distribution requirement — verified empirically, see
+    ``test_lm.test_skew_soak_hot_grams``). With ``hot_grams=K``:
+
+    - the K highest-count n-gram rows and K highest-count context rows
+      (model-sized: K rows each) join BROADCAST, resolving every
+      hot-key probe row map-side with zero shuffle;
+    - resolved rows then ride the residual shuffle under a SCRAMBLED
+      join key (md5 of doc+token behind a NUL sentinel — uniform, so
+      the former hot partition spreads evenly; the scrambled key can
+      match nothing real, and even a pathological collision is unread
+      because ``coalesce`` prefers the broadcast-resolved count);
+    - unresolved rows join exactly as before.
+
+    Results are bit-identical with and without (tested); when the count
+    tables fit the broadcast threshold Spark broadcasts both joins
+    anyway and ``hot_grams`` is unnecessary — it exists for the
+    corpus-scale regime where the model outgrows broadcast and the
+    joins fall back to shuffles."""
     v = float(lm["vocab_size"])
     n = int(lm["n"])
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -140,12 +165,58 @@ def perplexity_ngram(df: DataFrame, lm: dict[str, DataFrame | int], *,
     ng = lm["ngrams"].select("context", "token",
                              F.col("count").alias("c_ng"))
     cx = lm["contexts"].select("context", F.col("count").alias("c_cx"))
+    if hot_grams:
+        hot_ng = (lm["ngrams"]
+                  .orderBy(F.desc("count"), "context", "token")
+                  .limit(hot_grams)
+                  .select("context", "token",
+                          F.col("count").alias("c_ng_hot")))
+        hot_cx = (lm["contexts"]
+                  .orderBy(F.desc("count"), "context")
+                  .limit(hot_grams)
+                  .select("context", F.col("count").alias("c_cx_hot")))
+        scramble = F.concat(
+            F.lit("\x00hot\x00"),
+            F.md5(F.concat_ws("|", F.col("doc").cast("string"),
+                              F.coalesce(F.col("token"), F.lit("")))))
+        scored = (
+            doc_ng
+            .join(F.broadcast(hot_ng), ["context", "token"], "left")
+            .join(F.broadcast(hot_cx), ["context"], "left")
+            .withColumn("__k_ng",
+                        F.when(F.col("c_ng_hot").isNull(),
+                               F.col("context")).otherwise(scramble))
+            .withColumn("__k_cx",
+                        F.when(F.col("c_cx_hot").isNull(),
+                               F.col("context")).otherwise(scramble))
+            .join(ng.withColumnRenamed("context", "__k_ng"),
+                  ["__k_ng", "token"], "left")
+            .join(cx.withColumnRenamed("context", "__k_cx"),
+                  ["__k_cx"], "left")
+            .withColumn("c_ng", F.coalesce("c_ng_hot", "c_ng"))
+            .withColumn("c_cx", F.coalesce("c_cx_hot", "c_cx")))
+    else:
+        scored = (doc_ng.join(ng, ["context", "token"], "left")
+                  .join(cx, ["context"], "left"))
     logp = (F.log(F.coalesce(F.col("c_ng"), F.lit(0)) + F.lit(add_k))
             - F.log(F.coalesce(F.col("c_cx"), F.lit(0)) + F.lit(add_k * v)))
-    scored = (doc_ng.join(ng, ["context", "token"], "left")
-              .join(cx, ["context"], "left")
-              .withColumn("__logp",
-                          F.when(F.col("context").isNotNull(), logp)))
+    return scored.withColumn(
+        "__logp", F.when(F.col("context").isNotNull(), logp))
+
+
+def perplexity_ngram(df: DataFrame, lm: dict[str, DataFrame | int], *,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     add_k: float = 0.1,
+                     hot_grams: int | None = None) -> DataFrame:
+    """Per-document n-gram perplexity under a :func:`train_ngram_lm`
+    model — same output schema and smoothing semantics as
+    :func:`perplexity` (``n_bigrams`` generalizes to ``n_ngrams``):
+    ``logp = ln(c_ngram + k) - ln(c_context + k*V)`` with both LEFT
+    joins total via add-k; docs shorter than n tokens score NULL.
+    ``hot_grams``: Zipf-skew mitigation for the scoring joins, results
+    identical — see :func:`_scored_events`."""
+    scored = _scored_events(df, lm, text_col=text_col, id_col=id_col,
+                            add_k=add_k, hot_grams=hot_grams)
     return (scored.groupBy("doc")
             .agg(F.count("__logp").alias("n_ngrams"),
                  F.avg("__logp").alias("avg_logp"))
@@ -197,7 +268,8 @@ def perplexity_buckets(df: DataFrame, lm: dict[str, DataFrame | int], *,
 
 def min_k_prob(df: DataFrame, lm: dict[str, DataFrame | int], *,
                k_frac: float = 0.2, text_col: str = "text",
-               id_col: str = "doc_id", add_k: float = 0.1) -> DataFrame:
+               id_col: str = "doc_id", add_k: float = 0.1,
+               hot_grams: int | None = None) -> DataFrame:
     """Min-K% probability score (Shi et al. 2023, "Detecting
     Pretraining Data from Large Language Models", public paper) under a
     :func:`train_ngram_lm` model: the mean log-prob of each document's
@@ -213,31 +285,15 @@ def min_k_prob(df: DataFrame, lm: dict[str, DataFrame | int], *,
 
     Returns ``(id, n_ngrams, n_bottom, min_k_avg_logp)``; docs shorter
     than n tokens score NULL. Same join shape as
-    :func:`perplexity_ngram` (two many-to-one LEFT joins, add-k total);
-    the bottom-k selection is a per-doc sorted array slice — state
-    bounded by one document's n-grams, never the corpus.
+    :func:`perplexity_ngram` (the shared :func:`_scored_events` stage —
+    two many-to-one LEFT joins, add-k total, same ``hot_grams``
+    skew option); the bottom-k selection is a per-doc sorted array
+    slice — state bounded by one document's n-grams, never the corpus.
     """
     if not 0 < k_frac <= 1:
         raise ValueError("k_frac must be in (0, 1]")
-    v = float(lm["vocab_size"])
-    n = int(lm["n"])
-    par = df.sparkSession.sparkContext.defaultParallelism
-    doc_ng = (df.repartition(par, id_col)
-              .select(F.col(id_col).alias("doc"),
-                      tokens(text_col).alias("__tk"))
-              .select("doc",
-                      F.explode_outer(_ngrams(F.col("__tk"), n)).alias("g"))
-              .select("doc", F.col("g.context").alias("context"),
-                      F.col("g.token").alias("token")))
-    ng = lm["ngrams"].select("context", "token",
-                             F.col("count").alias("c_ng"))
-    cx = lm["contexts"].select("context", F.col("count").alias("c_cx"))
-    logp = (F.log(F.coalesce(F.col("c_ng"), F.lit(0)) + F.lit(add_k))
-            - F.log(F.coalesce(F.col("c_cx"), F.lit(0)) + F.lit(add_k * v)))
-    scored = (doc_ng.join(ng, ["context", "token"], "left")
-              .join(cx, ["context"], "left")
-              .withColumn("__logp",
-                          F.when(F.col("context").isNotNull(), logp)))
+    scored = _scored_events(df, lm, text_col=text_col, id_col=id_col,
+                            add_k=add_k, hot_grams=hot_grams)
     arr = F.array_sort(F.collect_list("__logp"))  # ascending: worst first
     agg = scored.groupBy("doc").agg(arr.alias("__lp"))
     nb = F.when(F.size("__lp") > 0,
