@@ -78,19 +78,42 @@ def check_or_record_params(catalog: Catalog, spark, table: str,
                   params["fast"])], _META_SCHEMA), meta)
 
 
+def commits_table(table: str) -> str:
+    """Commit-ledger sidecar of a stream-owned index (one ``__batch``
+    row per fully-applied micro-batch — see
+    ``streaming.corpus_stream.apply_dedup_increment_txn``)."""
+    return f"{table}_commits"
+
+
 def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
                       table: str = "minhash_index", text_col: str = "text",
-                      id_col: str = "doc_id", **lsh_kw) -> int:
+                      id_col: str = "doc_id", stream_index: bool = False,
+                      **lsh_kw) -> int:
     """(Re)build the persistent index from a full corpus. Returns the
     number of indexed documents. The LSH geometry is pinned in the
-    ``{table}_meta`` sidecar (see :func:`check_or_record_params`)."""
+    ``{table}_meta`` sidecar (see :func:`check_or_record_params`).
+
+    ``stream_index=True`` writes the STREAM-OWNED layout instead of the
+    flat one: rows carry ``__batch = -1`` (the table is partitioned by
+    it) and the ``{table}_commits`` ledger records batch -1 as
+    committed — the layout ``run_incremental_dedup_stream`` requires so
+    its per-batch dynamic partition overwrites and commit ledger can
+    make index appends atomic-with-replay (the r3 partial-commit window
+    closure)."""
     buckets = minhash_band_buckets(docs, text_col=text_col, id_col=id_col,
                                    **lsh_kw)
-    catalog.overwrite(buckets, table)
+    spark = docs.sparkSession
+    if stream_index:
+        catalog.overwrite(buckets.withColumn("__batch", F.lit(-1).cast("long")),
+                          table, partition_by=["__batch"])
+        catalog.overwrite(spark.createDataFrame([(-1,)], "__batch long"),
+                          commits_table(table))
+    else:
+        catalog.overwrite(buckets, table)
     # overwrite (not check): a rebuild REDEFINES the geometry
     params = {**LSH_DEFAULTS, **lsh_kw}
     catalog.overwrite(
-        docs.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(params["k"], params["num_hashes"], params["bands"],
               params["fast"])], _META_SCHEMA), _meta_table(table))
     return catalog.read(table).select("doc").distinct().count()
@@ -99,6 +122,7 @@ def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
 def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
                    table: str = "minhash_index", text_col: str = "text",
                    id_col: str = "doc_id", max_bucket_size: int | None = None,
+                   committed_only: bool = False,
                    **lsh_kw) -> tuple[DataFrame, DataFrame]:
     """Resolve an increment WITHOUT mutating the index (the one-row
     ``{table}_meta`` params sidecar is recorded on first use and
@@ -114,6 +138,14 @@ def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
     frame is persisted and reused for the corpus probe, the in-batch
     pair join, and the index rows); the corpus is touched only via the
     (band, bucket) equi-join against the index table.
+
+    ``committed_only=True`` (the stream-owned layout): probe only index
+    rows whose ``__batch`` appears in the ``{table}_commits`` ledger —
+    rows from a crashed, uncommitted index write are invisible, so a
+    replay recomputes the SAME accepted set instead of rejecting docs
+    against their own partial rows (the r3 partial-commit recall-loss
+    mode). Requires the index to carry ``__batch``
+    (``build_dedup_index(stream_index=True)`` or stream-created).
     """
     spark = new_docs.sparkSession
     check_or_record_params(catalog, spark, table, lsh_kw)
@@ -121,6 +153,19 @@ def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
                                    id_col=id_col, **lsh_kw).persist()
     stored = (catalog.read(table) if catalog.exists(table)
               else spark.createDataFrame([], INDEX_SCHEMA))
+    if committed_only:
+        if catalog.exists(table) and "__batch" not in stored.columns:
+            raise ValueError(
+                f"index '{table}' has no __batch column — rebuild it with "
+                "build_dedup_index(stream_index=True) before probing with "
+                "committed_only (a flat index cannot distinguish committed "
+                "from partial rows)")
+        if "__batch" in stored.columns:
+            committed = (catalog.read(commits_table(table))
+                         if catalog.exists(commits_table(table))
+                         else spark.createDataFrame([], "__batch long"))
+            stored = stored.join(F.broadcast(committed), "__batch",
+                                 "left_semi")
     vs_corpus = (buckets.join(stored, ["band", "bucket"], "left_semi")
                  .select("doc").distinct())
     fresh_buckets = buckets.join(vs_corpus, "doc", "left_anti")

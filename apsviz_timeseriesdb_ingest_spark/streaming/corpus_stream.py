@@ -174,48 +174,23 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
     doesn't apply: the stream holds zero dedup state and the index grows
     with the corpus, not with time.
 
-    Replay safety (foreachBatch is at-least-once): writes are ordered
-    corpus-first, and the corpus append is made idempotent by an
-    anti-join against the already-stored ids. Crash windows:
-
-    - after corpus append, before index append → replay recomputes the
-      same accepted set (index unchanged), the anti-join drops the rows
-      already stored, the index append completes: converged.
-    - after index append (batch fully applied) → replay finds every doc
-      in the index, accepts nothing, appends nothing: converged.
-    - MID index append (a crash inside the parquet job commit that
-      leaves a PARTIAL set of bucket rows for the batch): replay sees
-      the accepted docs collide with their own partial rows, rejects
-      them, and the missing bands are never indexed — those docs keep
-      reduced recall as dedup anchors permanently. Parquet job commits
-      make this window one rename, but it is not zero; a transactional
-      table format (Delta/Iceberg) closes it by making the index append
-      atomic, which is the deployment answer.
-
-    This is the plain-parquet single-writer story (same seam as
-    ``Catalog.merge_keep_latest``); a transactional table format would
-    collapse the two appends into one commit and close the
-    partial-index window above.
+    Replay safety (foreachBatch is at-least-once; ``batch_id`` is the
+    epoch id and is STABLE across replays): each batch is applied by
+    :func:`apply_dedup_increment_txn` under the commit-ledger protocol,
+    which closes the r2/r3 partial-index-append recall-loss window —
+    index rows are invisible to probes until the batch's ledger row
+    lands, and a replay's dynamic partition overwrite replaces any
+    partial rows instead of colliding with them. See that function's
+    docstring for the full crash matrix. The stream owns the index
+    layout (``__batch``-partitioned); a pre-built index must be created
+    with ``build_dedup_index(stream_index=True)``.
 
     Returns the StreamingQuery (caller drives it).
     """
-    from ..llm.incremental import plan_increment
-
-    def _apply(batch_df, _batch_id):
-        if batch_df.isEmpty():
-            return
-        accepted, accepted_buckets = plan_increment(
-            catalog, batch_df, table=index_table, id_col=id_col, **lsh_kw)
-        if catalog.exists(corpus_table):
-            stored_ids = catalog.read(corpus_table).select(id_col)
-            # materialize BEFORE the append: the anti-join lazily reads
-            # the same parquet path the append writes to (safe today only
-            # because append adds files; any materializing merge strategy
-            # would read its own write)
-            accepted = accepted.join(stored_ids, id_col, "left_anti"
-                                     ).localCheckpoint(eager=True)
-        catalog.append(accepted, corpus_table)
-        catalog.append(accepted_buckets, index_table)
+    def _apply(batch_df, batch_id):
+        apply_dedup_increment_txn(
+            catalog, batch_df, batch_id, corpus_table=corpus_table,
+            index_table=index_table, id_col=id_col, **lsh_kw)
 
     docs = spark.readStream.schema(schema).parquet(input_dir)
     return (docs.writeStream
@@ -223,6 +198,71 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
+                              corpus_table: str = "stream_corpus",
+                              index_table: str = "minhash_index",
+                              id_col: str = "doc_id", **lsh_kw) -> None:
+    """Apply one dedup-ingest micro-batch under the COMMIT-LEDGER
+    protocol — the plain-parquet closure of the partial-index-append
+    window (r3 verdict task 8; a transactional table format achieves
+    the same with one atomic commit, this does it with the ledger
+    pattern the harvest ingest already uses):
+
+    1. ``batch_id`` already in the ``{index}_commits`` ledger → the
+       batch is fully applied; return (replay no-op).
+    2. Probe the index with ``committed_only=True``: rows from any
+       crashed, uncommitted index write are INVISIBLE, so the accepted
+       set recomputes identically on replay instead of colliding with
+       its own partial rows (the old recall-loss mode).
+    3. Append accepted docs to the corpus (anti-join against stored ids
+       makes it idempotent; materialized before the append so the plan
+       never reads the path it is writing).
+    4. Write the accepted index rows as partition ``__batch=batch_id``
+       via DYNAMIC partition overwrite — a replay REPLACES a crashed
+       attempt's partial partition rather than appending next to it.
+    5. Append ``batch_id`` to the commit ledger — the commit point;
+       only now do this batch's index rows participate in probes.
+
+    Crash matrix: before (4) → nothing visible, replay recomputes;
+    mid-(4) → partial partition invisible to probes, replaced by the
+    replay's overwrite; between (4) and (5) → same (uncommitted), the
+    replay re-overwrites identically and commits; after (5) → step (1)
+    returns. Every path converges to the fully-indexed state: ZERO
+    recall loss (crash-replay pytest ``test_incremental_dedup``).
+
+    Single-writer contract, like every plain-parquet mutation here:
+    one stream drives one index. The commit check is not a lock.
+    """
+    from pyspark.sql import functions as F
+
+    from ..llm.incremental import commits_table, plan_increment
+
+    if batch_df.isEmpty():
+        return
+    commits = commits_table(index_table)
+    if catalog.exists(commits):
+        done = (catalog.read(commits)
+                .filter(F.col("__batch") == int(batch_id)).take(1))
+        if done:
+            return
+    accepted, accepted_buckets = plan_increment(
+        catalog, batch_df, table=index_table, id_col=id_col,
+        committed_only=True, **lsh_kw)
+    if catalog.exists(corpus_table):
+        stored_ids = catalog.read(corpus_table).select(id_col)
+        accepted = accepted.join(stored_ids, id_col, "left_anti"
+                                 ).localCheckpoint(eager=True)
+    if not accepted.isEmpty():  # empty append would poison a fresh table
+        catalog.append(accepted, corpus_table)
+    stamped = accepted_buckets.withColumn(
+        "__batch", F.lit(int(batch_id)).cast("long"))
+    if not stamped.isEmpty():
+        catalog.overwrite(stamped, index_table, partition_by=["__batch"])
+    catalog.append(
+        batch_df.sparkSession.createDataFrame([(int(batch_id),)],
+                                              "__batch long"), commits)
 
 
 def run_incremental_embedding_stream(

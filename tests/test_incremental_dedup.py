@@ -103,3 +103,109 @@ def test_bucket_frame_matches_pairs_contract(spark):
         minhash_band_buckets(df, **LSH)).collect()}
     direct = {tuple(r) for r in minhash_lsh_pairs(df, **LSH).collect()}
     assert via_buckets == direct
+
+
+class _CrashingCatalog:
+    """Delegates to a real Catalog but injects one fault: either a
+    PARTIAL index-partition write (half the bucket rows land, then the
+    'process dies') or a crash after the index write but before the
+    commit-ledger append."""
+
+    def __init__(self, real, *, mode):
+        self._real = real
+        self._mode = mode  # "partial_index" | "before_commit"
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def overwrite(self, df, table, *, partition_by=()):
+        if self._mode == "partial_index" and "__batch" in df.columns \
+                and not table.endswith("_commits"):
+            half = df.filter(F.col("band") < 2)
+            self._real.overwrite(half, table, partition_by=partition_by)
+            raise RuntimeError("simulated crash mid index write")
+        return self._real.overwrite(df, table, partition_by=partition_by)
+
+    def append(self, df, table, *, partition_by=()):
+        if self._mode == "before_commit" and table.endswith("_commits"):
+            raise RuntimeError("simulated crash before ledger commit")
+        return self._real.append(df, table, partition_by=partition_by)
+
+
+@pytest.mark.parametrize("mode", ["partial_index", "before_commit"])
+def test_txn_crash_replay_zero_recall_loss(spark, catalog, mode):
+    """r3 verdict task 8: the commit-ledger protocol closes the
+    partial-index-append window. Crash mid index write (partial bucket
+    rows) or between index write and ledger commit; the replay with the
+    same batch_id recovers to the FULLY indexed state — every accepted
+    doc carries all `bands` index rows, a later near-dup is still
+    rejected (zero recall loss), and a second replay is a no-op."""
+    from apsviz_timeseriesdb_ingest_spark.llm.incremental import (
+        commits_table,
+    )
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn,
+    )
+
+    base = _docs(spark, BASE)
+    assert build_dedup_index(catalog, base, stream_index=True, **LSH) == 3
+
+    batch1 = _docs(spark, INCREMENT)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_dedup_increment_txn(_CrashingCatalog(catalog, mode=mode),
+                                  batch1, 7, **LSH)
+    # not committed: the crashed attempt's rows are invisible to probes
+    commits = catalog.read(commits_table("minhash_index"))
+    assert commits.filter(F.col("__batch") == 7).count() == 0
+    if mode == "partial_index":
+        partial = (catalog.read("minhash_index")
+                   .filter(F.col("__batch") == 7))
+        assert 0 < partial.count() < 3 * LSH["bands"]  # genuinely partial
+
+    # restart: same batch id, healthy catalog
+    apply_dedup_increment_txn(catalog, batch1, 7, **LSH)
+
+    idx = catalog.read("minhash_index")
+    accepted_b1 = (idx.filter(F.col("__batch") == 7)
+                   .select("doc").distinct())
+    accepted_ids = {r.doc for r in accepted_b1.collect()}
+    assert accepted_ids == {12, 14}  # 11 dups base, 13 dups 12
+    # ZERO recall loss: every accepted doc has ALL its band rows
+    per_doc = (idx.filter(F.col("__batch") == 7)
+               .groupBy("doc").count().collect())
+    assert {r["count"] for r in per_doc} == {LSH["bands"]}
+    assert commits_table("minhash_index") and \
+        catalog.read(commits_table("minhash_index"))\
+        .filter(F.col("__batch") == 7).count() == 1
+    # corpus exactly-once
+    corpus = catalog.read("stream_corpus")
+    assert {r.doc_id for r in corpus.collect()} == {12, 14}
+
+    # a later near-dup of a batch-7 doc is rejected (the behavior the
+    # old window lost)
+    batch2 = _docs(spark, [
+        (21, "colorless green ideas sleep furiously every single night")])
+    apply_dedup_increment_txn(catalog, batch2, 8, **LSH)
+    assert catalog.read("stream_corpus").filter(
+        F.col("doc_id") == 21).count() == 0
+
+    # replaying the fully-applied batch is a no-op
+    n_idx = catalog.read("minhash_index").count()
+    apply_dedup_increment_txn(catalog, batch1, 7, **LSH)
+    assert catalog.read("minhash_index").count() == n_idx
+    assert catalog.read(commits_table("minhash_index"))\
+        .filter(F.col("__batch") == 7).count() == 1
+
+
+def test_txn_rejects_flat_legacy_index(spark, catalog):
+    """A flat (non-__batch) index cannot distinguish committed from
+    partial rows — the committed_only probe refuses it loudly instead
+    of silently reopening the window."""
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn,
+    )
+
+    build_dedup_index(catalog, _docs(spark, BASE), **LSH)  # flat layout
+    with pytest.raises(ValueError, match="stream_index=True"):
+        apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 1,
+                                  **LSH)
