@@ -84,7 +84,8 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
              damping: float = 0.85, iters: int = 20,
              checkpoint_catalog=None,
              checkpoint_prefix: str = "pagerank",
-             checkpoint_every: int = 1) -> DataFrame:
+             checkpoint_every: int = 1,
+             resume: bool = False) -> DataFrame:
     """PageRank over ``edges`` → ``(node, rank)`` (see module
     docstring). ``iters`` fixed passes (20 ≈ 1e-4 residual on web-like
     graphs); each pass is one join + one aggregate + one scalar
@@ -102,11 +103,47 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
     from shared storage, not a dead job. Results are BIT-IDENTICAL
     either way (the decimal-summed update is partitioning-independent,
     tested). Tables are left in place; drop after consuming the result.
+
+    ``resume=True`` (requires ``checkpoint_catalog``) makes a DRIVER
+    loss recoverable too: each durable ranks write also records a
+    ``{checkpoint_prefix}_progress`` row (completed iteration + slot
+    table), and a resumed call reloads edges/nodes/outdeg/ranks from
+    the tables and continues from the recorded iteration — losing at
+    most ``checkpoint_every - 1`` rounds of work. The resumed result is
+    bit-identical to an uninterrupted run (decimal-summed updates;
+    tested). The caller owns passing the SAME edges/damping — the
+    tables cannot validate that.
     """
     from ..operators.itercheckpoint import LineageCutter
 
     cut = LineageCutter(checkpoint_catalog, checkpoint_prefix,
                         checkpoint_every)
+    progress_table = f"{checkpoint_prefix}_progress"
+    if resume:
+        if checkpoint_catalog is None:
+            raise ValueError("resume=True requires checkpoint_catalog")
+        if checkpoint_catalog.exists(progress_table):
+            prog = checkpoint_catalog.read(progress_table).collect()[0]
+            done, ranks_tbl = int(prog["iter"]), prog["table"]
+            es = checkpoint_catalog.read(f"{checkpoint_prefix}_edges_0")
+            nodes = checkpoint_catalog.read(f"{checkpoint_prefix}_nodes_0")
+            outdeg = checkpoint_catalog.read(
+                f"{checkpoint_prefix}_outdeg_0")
+            ranks = checkpoint_catalog.read(ranks_tbl)
+            n = nodes.count()
+            cut.seed("edges", 1)
+            cut.seed("nodes", 1)
+            cut.seed("outdeg", 1)
+            cut.seed("ranks", done)
+            for i in range(done, iters):
+                ranks = _pagerank_pass(es, nodes, outdeg, ranks, n,
+                                       damping, cut)
+                if cut.last_written is not None:
+                    checkpoint_catalog.overwrite(
+                        es.sparkSession.createDataFrame(
+                            [(i + 1, cut.last_written)],
+                            "iter int, table string"), progress_table)
+            return ranks.select("node", F.round("rank", 12).alias("rank"))
     if weight_col is None:
         es = cut(edges.select(F.col(src_col).alias("src"),
                               F.col(dst_col).alias("dst"))
@@ -126,33 +163,44 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
     outdeg = cut(es.groupBy("src").agg(F.sum("w").alias("out"))
                  .withColumnRenamed("src", "node"), "outdeg")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
-        rated = (ranks.join(outdeg, "node", "left")
-                 .select("node", "rank",
-                         (F.col("rank") / F.col("out")).alias("rate")))
-        # Decimal sums over 12-dp-rounded contributions: decimal
-        # addition is associative, so the aggregate is independent of
-        # partition count/order — reruns are bit-identical (ADVICE r3;
-        # the serial reference accumulates the same grid values)
-        dangling = float(
-            rated.filter(F.col("rate").isNull())
-            .agg(F.coalesce(
-                F.sum(F.round(F.col("rank"), 12).cast("decimal(38,12)")),
-                F.lit(0).cast("decimal(38,12)")))
-            .collect()[0][0])
-        base = (1.0 - damping) / n + damping * dangling / n
-        contrib = (es.join(rated.filter(F.col("rate").isNotNull())
-                           .select(F.col("node").alias("src"), "rate"),
-                           "src")
-                   .groupBy("dst")
-                   .agg(F.sum(F.round(F.col("w") * F.col("rate"), 12)
-                              .cast("decimal(38,12)")).alias("c"))
-                   .withColumnRenamed("dst", "node"))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .select("node",
-                         (F.lit(base) + F.lit(damping)
-                          * F.coalesce(F.col("c").cast("double"),
-                                       F.lit(0.0)))
-                         .alias("rank")))
-        ranks = cut(ranks, "ranks")
+    for i in range(iters):
+        ranks = _pagerank_pass(es, nodes, outdeg, ranks, n, damping, cut)
+        if checkpoint_catalog is not None and cut.last_written is not None:
+            checkpoint_catalog.overwrite(
+                es.sparkSession.createDataFrame(
+                    [(i + 1, cut.last_written)], "iter int, table string"),
+                progress_table)
     return ranks.select("node", F.round("rank", 12).alias("rank"))
+
+
+def _pagerank_pass(es: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+                   ranks: DataFrame, n: int, damping: float,
+                   cut) -> DataFrame:
+    """One PageRank iteration (shared by the fresh and resumed loops).
+    Decimal sums over 12-dp-rounded contributions: decimal addition is
+    associative, so the aggregate is independent of partition
+    count/order — reruns are bit-identical (ADVICE r3; the serial
+    reference accumulates the same grid values)."""
+    rated = (ranks.join(outdeg, "node", "left")
+             .select("node", "rank",
+                     (F.col("rank") / F.col("out")).alias("rate")))
+    dangling = float(
+        rated.filter(F.col("rate").isNull())
+        .agg(F.coalesce(
+            F.sum(F.round(F.col("rank"), 12).cast("decimal(38,12)")),
+            F.lit(0).cast("decimal(38,12)")))
+        .collect()[0][0])
+    base = (1.0 - damping) / n + damping * dangling / n
+    contrib = (es.join(rated.filter(F.col("rate").isNotNull())
+                       .select(F.col("node").alias("src"), "rate"),
+                       "src")
+               .groupBy("dst")
+               .agg(F.sum(F.round(F.col("w") * F.col("rate"), 12)
+                          .cast("decimal(38,12)")).alias("c"))
+               .withColumnRenamed("dst", "node"))
+    out = (nodes.join(contrib, "node", "left")
+           .select("node",
+                   (F.lit(base) + F.lit(damping)
+                    * F.coalesce(F.col("c").cast("double"), F.lit(0.0)))
+                   .alias("rank")))
+    return cut(out, "ranks")

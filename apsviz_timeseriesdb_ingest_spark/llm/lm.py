@@ -230,7 +230,8 @@ def perplexity_buckets(df: DataFrame, lm: dict[str, DataFrame | int], *,
                        labels: tuple[str, ...] = ("head", "middle", "tail"),
                        text_col: str = "text", id_col: str = "doc_id",
                        add_k: float = 0.1,
-                       approximate: bool = False) -> DataFrame:
+                       approximate: bool = False,
+                       hot_grams: int | None = None) -> DataFrame:
     """CCNet's head/middle/tail partitioning (Wenzek et al. 2019,
     public): score every doc's perplexity under the reference LM, cut
     the corpus at the given perplexity QUANTILES, and label each doc's
@@ -250,7 +251,9 @@ def perplexity_buckets(df: DataFrame, lm: dict[str, DataFrame | int], *,
     if len(labels) != len(cuts) + 1:
         raise ValueError("need len(cuts) + 1 labels")
     scorer = perplexity_ngram if "ngrams" in lm else perplexity
-    scored = scorer(df, lm, text_col=text_col, id_col=id_col, add_k=add_k)
+    kw = {"hot_grams": hot_grams} if "ngrams" in lm else {}
+    scored = scorer(df, lm, text_col=text_col, id_col=id_col, add_k=add_k,
+                    **kw)
     fn = "approx_percentile" if approximate else "percentile"
     arr = ", ".join(repr(float(c)) for c in cuts)
     row = (scored.filter(F.col("perplexity").isNotNull())

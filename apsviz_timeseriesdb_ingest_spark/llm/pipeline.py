@@ -300,12 +300,18 @@ def prepare_training_corpus(
 
     if perplexity_lm is not None:
         from .lm import perplexity as lm_perplexity
+        from .lm import perplexity_ngram as lm_perplexity_ngram
 
         if max_perplexity is None:
             raise ValueError("perplexity_lm requires max_perplexity")
+        # model kind picked off the dict keys, like perplexity_buckets —
+        # a train_ngram_lm model works here too (its hot_grams skew
+        # option is the scorer's own default-off knob)
+        scorer = (lm_perplexity_ngram if "ngrams" in perplexity_lm
+                  else lm_perplexity)
         pscores = _persist(
-            lm_perplexity(clean.select(id_col, "text"), perplexity_lm,
-                          text_col="text", id_col=id_col)
+            scorer(clean.select(id_col, "text"), perplexity_lm,
+                   text_col="text", id_col=id_col)
             .select(id_col, "perplexity"),
             "perplexity")
         # NULL perplexity = no bigram evidence; kept (tag-don't-filter:

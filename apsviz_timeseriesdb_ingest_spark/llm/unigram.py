@@ -336,7 +336,9 @@ def train_unigram(df: DataFrame, *, vocab_size: int = 512,
                   text_col: str = "text", id_col: str = "doc_id",
                   sample_fraction: float | None = None,
                   max_words: int | None = None,
-                  seed: str = "unigram-v1") -> UnigramModel:
+                  seed: str = "unigram-v1",
+                  checkpoint_catalog=None,
+                  checkpoint_prefix: str = "unigram") -> UnigramModel:
     """Train a unigram-LM tokenizer distributed (see module docstring).
 
     ``sample_fraction``/``max_words`` bound the training word table the
@@ -358,7 +360,13 @@ def train_unigram(df: DataFrame, *, vocab_size: int = 512,
     if max_words is not None:
         words = (words.orderBy(F.desc("count"), F.asc("word"))
                  .limit(max_words))
-    words = words.localCheckpoint(eager=True)
+    from ..operators.itercheckpoint import LineageCutter
+
+    # every EM pass re-reads this table; with a catalog the cut is a
+    # durable table instead of executor-local blocks (itercheckpoint
+    # contract — the executor-loss story for long trainings)
+    words = LineageCutter(checkpoint_catalog, checkpoint_prefix)(
+        words, "words")
     if not words.take(1):
         return UnigramModel(pieces=(), log_probs=())
 

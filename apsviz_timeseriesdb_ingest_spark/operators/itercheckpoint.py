@@ -52,15 +52,28 @@ class LineageCutter:
         self.prefix = prefix
         self.every = every
         self._counts: dict[str, int] = {}
+        #: table name written by the most recent call (None when that
+        #: call localCheckpointed instead) — resume wrappers use this
+        #: to record which slot holds the latest durable state
+        self.last_written: str | None = None
+
+    def seed(self, name: str, count: int) -> None:
+        """Pre-set a state's cut count (resume support): after reloading
+        state persisted at cut ``count``, seeding keeps the slot
+        alternation exactly where a fresh run would be."""
+        self._counts[name] = count
 
     def __call__(self, df: DataFrame, name: str = "state") -> DataFrame:
         if self.catalog is None:
+            self.last_written = None
             return df.localCheckpoint(eager=True)
         i = self._counts.get(name, 0)
         self._counts[name] = i + 1
         if i % self.every:
+            self.last_written = None
             return df.localCheckpoint(eager=True)
         slot = (i // self.every) % 2
         table = f"{self.prefix}_{name}_{slot}"
         self.catalog.overwrite(df, table)
+        self.last_written = table
         return self.catalog.read(table)

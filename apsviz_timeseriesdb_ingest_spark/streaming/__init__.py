@@ -1,5 +1,6 @@
 from .stream_ingest import StreamingObsIngest  # noqa: F401
 from .corpus_stream import (  # noqa: F401
+    apply_dedup_increment_txn,
     benchmark_shingles,
     contamination_flag,
     run_corpus_stream,

@@ -103,3 +103,100 @@ def test_cross_corpus_neardup_catalog_checkpoint_identical(spark, tmp_path):
                corpus, ref, checkpoint_catalog=cat).collect()}
     assert got == base
     assert cat.exists("xcorpus_cand_0")
+
+
+def test_bpe_unigram_catalog_checkpoint_identical(spark, tmp_path):
+    """The tokenizer trainings (the other long-iteration operators the
+    r3 verdict flagged) produce identical models through the durable
+    table path."""
+    from apsviz_timeseriesdb_ingest_spark.llm.bpe import (
+        bpe_encode_docs,
+        train_bpe,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.unigram import train_unigram
+
+    docs = spark.createDataFrame(
+        [(i, "the bright lighthouse lights the nightly coastline "
+             "while weather stations watch the rising water")
+         for i in range(6)] +
+        [(10, "shuffle partitions shuffle again nightly"),
+         (11, "coastline weather rising rising rising water")],
+        "doc_id long, text string")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    base = train_bpe(docs, num_merges=12, batch=4)
+    via = train_bpe(docs, num_merges=12, batch=4, checkpoint_catalog=cat,
+                    checkpoint_every=2)
+    assert base.merges == via.merges
+    assert cat.exists("bpe_words_0")
+    enc_a = {r.doc_id: r.bpe_tokens
+             for r in bpe_encode_docs(docs, base, engine="sql").collect()}
+    enc_b = {r.doc_id: r.bpe_tokens
+             for r in bpe_encode_docs(docs, base, engine="sql",
+                                      checkpoint_catalog=cat).collect()}
+    assert enc_a == enc_b
+
+    u_base = train_unigram(docs, vocab_size=48, seed_size=96, em_iters=1)
+    u_via = train_unigram(docs, vocab_size=48, seed_size=96, em_iters=1,
+                          checkpoint_catalog=cat)
+    assert u_base.pieces == u_via.pieces
+    assert u_base.log_probs == u_via.log_probs
+    assert cat.exists("unigram_words_0")
+
+
+def test_pagerank_resume_from_progress_table(spark, tmp_path):
+    """Driver-loss recovery: a run killed after iteration k resumes
+    from the {prefix}_progress row + slot tables and finishes
+    bit-identical to an uninterrupted run."""
+    from apsviz_timeseriesdb_ingest_spark.llm.graph import pagerank
+
+    edges = _edges(spark)
+    full = {r.node: r.rank for r in pagerank(edges, iters=9).collect()}
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    # "crashed" run: completed only 4 of 9 iterations before dying
+    pagerank(edges, iters=4, checkpoint_catalog=cat).collect()
+    prog = cat.read("pagerank_progress").collect()[0]
+    assert prog["iter"] == 4 and prog["table"].startswith("pagerank_ranks_")
+
+    resumed = {r.node: r.rank
+               for r in pagerank(edges, iters=9, checkpoint_catalog=cat,
+                                 resume=True).collect()}
+    assert resumed == full
+    assert cat.read("pagerank_progress").collect()[0]["iter"] == 9
+
+    # resume with nothing left to do returns the stored state unchanged
+    again = {r.node: r.rank
+             for r in pagerank(edges, iters=9, checkpoint_catalog=cat,
+                               resume=True).collect()}
+    assert again == full
+
+    # resume without a progress table just runs fresh
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    fresh = {r.node: r.rank
+             for r in pagerank(edges, iters=9, checkpoint_catalog=cat2,
+                               resume=True).collect()}
+    assert fresh == full
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires checkpoint_catalog"):
+        pagerank(edges, iters=2, resume=True)
+
+
+def test_pagerank_resume_respects_every_k(spark, tmp_path):
+    """With checkpoint_every=3, progress tracks only durable writes;
+    resuming replays the missing rounds and still matches exactly."""
+    from apsviz_timeseriesdb_ingest_spark.llm.graph import pagerank
+
+    edges = _edges(spark)
+    full = {r.node: r.rank for r in pagerank(edges, iters=8).collect()}
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    pagerank(edges, iters=5, checkpoint_catalog=cat,
+             checkpoint_every=3).collect()
+    # durable writes happened at iterations 1 and 4 only
+    assert cat.read("pagerank_progress").collect()[0]["iter"] == 4
+    resumed = {r.node: r.rank
+               for r in pagerank(edges, iters=8, checkpoint_catalog=cat,
+                                 checkpoint_every=3,
+                                 resume=True).collect()}
+    assert resumed == full

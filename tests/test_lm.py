@@ -367,3 +367,41 @@ def test_skew_soak_hot_grams(spark):
     finally:
         for k, val in saved.items():
             spark.conf.set(k, val)
+
+
+def test_buckets_and_pipeline_accept_ngram_model(spark):
+    """perplexity_buckets passes hot_grams through to the n-gram scorer
+    (identical buckets), and prepare_training_corpus dispatches on the
+    model kind like perplexity_buckets does — a train_ngram_lm model
+    drives the pipeline's perplexity stage directly."""
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        perplexity_buckets,
+        train_ngram_lm,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.pipeline import (
+        prepare_training_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the storm surge gauge reports rising water at the coast "
+             "station while the model forecast tracks the tide")
+         for i in range(8)] +
+        [(20, "zz qq xx vv completely out of distribution junk pile"),
+         (21, "the model forecast tracks the tide at the station")],
+        "doc_id long, text string")
+    lm = train_ngram_lm(docs.filter(F.col("doc_id") < 8), n=2)
+
+    base = {r.doc_id: r.ppl_bucket
+            for r in perplexity_buckets(docs, lm).collect()}
+    hot = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(docs, lm, hot_grams=10).collect()}
+    assert base == hot
+    assert base[20] == "tail"  # OOV junk is the worst scorer
+
+    corpus, audit = prepare_training_corpus(
+        docs, None, min_tokens=5, perplexity_lm=lm,
+        max_perplexity=1e9, languages=("en",))
+    got = {r.doc_id: r for r in audit.collect()}
+    # the ngram model scored every heuristic survivor
+    assert got[21].perplexity is not None
+    assert got[20].perplexity is not None
