@@ -177,20 +177,30 @@ def _pagerank_pass(es: DataFrame, nodes: DataFrame, outdeg: DataFrame,
                    ranks: DataFrame, n: int, damping: float,
                    cut) -> DataFrame:
     """One PageRank iteration (shared by the fresh and resumed loops).
+
     Decimal sums over 12-dp-rounded contributions: decimal addition is
     associative, so the aggregate is independent of partition
     count/order — reruns are bit-identical (ADVICE r3; the serial
-    reference accumulates the same grid values)."""
+    reference accumulates the same grid values).
+
+    The dangling-mass/teleport base rides as a BROADCAST one-row frame
+    (a scalar subquery), not a driver collect: each iteration is one
+    Spark job with ZERO driver round-trips — on a cluster the removed
+    per-iteration driver barrier is the latency floor of the loop. The
+    arithmetic is the identical left-to-right double expression the
+    collected-scalar form evaluated (same IEEE ops, same grid values —
+    parity tests and the driver-gate oracle pin it)."""
     rated = (ranks.join(outdeg, "node", "left")
              .select("node", "rank",
                      (F.col("rank") / F.col("out")).alias("rate")))
-    dangling = float(
+    base_frame = (
         rated.filter(F.col("rate").isNull())
         .agg(F.coalesce(
             F.sum(F.round(F.col("rank"), 12).cast("decimal(38,12)")),
-            F.lit(0).cast("decimal(38,12)")))
-        .collect()[0][0])
-    base = (1.0 - damping) / n + damping * dangling / n
+            F.lit(0).cast("decimal(38,12)")).cast("double").alias("dang"))
+        .select((F.lit((1.0 - damping) / n)
+                 + F.lit(damping) * F.col("dang") / F.lit(float(n)))
+                .alias("base")))
     contrib = (es.join(rated.filter(F.col("rate").isNotNull())
                        .select(F.col("node").alias("src"), "rate"),
                        "src")
@@ -199,8 +209,9 @@ def _pagerank_pass(es: DataFrame, nodes: DataFrame, outdeg: DataFrame,
                           .cast("decimal(38,12)")).alias("c"))
                .withColumnRenamed("dst", "node"))
     out = (nodes.join(contrib, "node", "left")
+           .crossJoin(F.broadcast(base_frame))
            .select("node",
-                   (F.lit(base) + F.lit(damping)
+                   (F.col("base") + F.lit(damping)
                     * F.coalesce(F.col("c").cast("double"), F.lit(0.0)))
                    .alias("rank")))
     return cut(out, "ranks")
