@@ -138,6 +138,7 @@ from .unigram import (  # noqa: F401
     unigram_word_pieces,
 )
 from .retrieval import (  # noqa: F401
+    append_bm25_increment_txn,
     bm25_topk,
     bm25_topk_from_index,
     build_bm25_index,

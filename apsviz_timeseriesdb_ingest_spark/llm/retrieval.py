@@ -198,7 +198,7 @@ def _term_bucket() -> F.Column:
 
 def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
                      text_col: str = "text", id_col: str = "doc_id",
-                     append: bool = False) -> None:
+                     append: bool = False, txn: bool = False) -> None:
     """Persist the BM25 corpus statistics so queries never re-tokenize
     the corpus — the build-once/probe-many seam, same pattern as the
     MinHash dedup index and the partitioned ANN layout.
@@ -216,8 +216,40 @@ def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
 
     Replaying a batch double-counts it — gate appends behind a ledger
     anti-join (``operators/ledger``) exactly as the ingest pipelines
-    do; the dedup-index stream shows the shape.
+    do, or use :func:`append_bm25_increment_txn`, which carries its own
+    commit ledger AND closes the multi-table partial-append window
+    (this legacy path commits tf/df/stats as THREE separate writes — a
+    crash between them leaves the tables mutually inconsistent until
+    the batch is replayed). ``txn=True`` writes the txn-ready layout
+    (rows carry ``__batch = -1``, the ``{table}_commits`` ledger seeds
+    batch -1) so increments can use the crash-safe path — the
+    ``build_dedup_index(stream_index=True)`` twin.
     """
+    spark = docs.sparkSession
+    tf, dfreq, stats = _bm25_counts(docs, text_col, id_col)
+    if txn:
+        if append:
+            raise ValueError("txn=True rebuilds the layout; use "
+                             "append_bm25_increment_txn for increments")
+        bid = F.lit(-1).cast("long")
+        catalog.overwrite(tf.withColumn("__batch", bid), f"{table}_tf",
+                          partition_by=["__batch", "term_bucket"])
+        catalog.overwrite(dfreq.withColumn("__batch", bid), f"{table}_df",
+                          partition_by=["__batch", "term_bucket"])
+        catalog.overwrite(stats.withColumn("__batch", bid),
+                          f"{table}_stats", partition_by=["__batch"])
+        catalog.overwrite(spark.createDataFrame([(-1,)], "__batch long"),
+                          f"{table}_commits")
+        return
+    write = catalog.append if append else catalog.overwrite
+    write(tf, f"{table}_tf", partition_by=["term_bucket"])
+    write(dfreq, f"{table}_df", partition_by=["term_bucket"])
+    write(stats, f"{table}_stats")
+
+
+def _bm25_counts(docs: DataFrame, text_col: str, id_col: str):
+    """The index's three count frames (shared by the legacy and txn
+    write paths)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = (docs.repartition(par, id_col)
             .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))
@@ -229,10 +261,50 @@ def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
              .withColumn("term_bucket", _term_bucket()))
     stats = base.agg(F.count("*").alias("n_docs"),
                      F.coalesce(F.sum("dl"), F.lit(0)).alias("total_tokens"))
-    write = catalog.append if append else catalog.overwrite
-    write(tf, f"{table}_tf", partition_by=["term_bucket"])
-    write(dfreq, f"{table}_df", partition_by=["term_bucket"])
-    write(stats, f"{table}_stats")
+    return tf, dfreq, stats
+
+
+def append_bm25_increment_txn(catalog, docs: DataFrame, batch_id: int, *,
+                              table: str = "bm25", text_col: str = "text",
+                              id_col: str = "doc_id") -> None:
+    """Append one corpus increment to a ``txn=True`` BM25 index under
+    the COMMIT-LEDGER protocol (the
+    ``streaming.corpus_stream.apply_dedup_increment_txn`` pattern,
+    applied to the lexical index):
+
+    1. ``batch_id`` already in ``{table}_commits`` → fully applied,
+       return (replay no-op).
+    2. Write the increment's tf/df/stats rows as ``__batch=batch_id``
+       partitions via DYNAMIC partition overwrite — a replay REPLACES a
+       crashed attempt's partial partitions across all three tables.
+    3. Append ``batch_id`` to the ledger — the commit point. Probes
+       (:func:`bm25_topk_from_index`) read committed batches only, so
+       a crash ANYWHERE before (3) leaves the index observably
+       unchanged: no torn tf-without-df state, no double counts.
+
+    Single-writer contract, like every plain-parquet mutation here.
+    """
+    spark = docs.sparkSession
+    commits = f"{table}_commits"
+    if catalog.exists(commits):
+        if catalog.read(commits).filter(
+                F.col("__batch") == int(batch_id)).take(1):
+            return
+    if catalog.exists(f"{table}_tf") and             "__batch" not in catalog.read(f"{table}_tf").columns:
+        raise ValueError(
+            f"BM25 index '{table}' has the legacy flat layout — rebuild "
+            "with build_bm25_index(txn=True) before transactional appends")
+    if not docs.isEmpty():
+        tf, dfreq, stats = _bm25_counts(docs, text_col, id_col)
+        bid = F.lit(int(batch_id)).cast("long")
+        catalog.overwrite(tf.withColumn("__batch", bid), f"{table}_tf",
+                          partition_by=["__batch", "term_bucket"])
+        catalog.overwrite(dfreq.withColumn("__batch", bid), f"{table}_df",
+                          partition_by=["__batch", "term_bucket"])
+        catalog.overwrite(stats.withColumn("__batch", bid),
+                          f"{table}_stats", partition_by=["__batch"])
+    catalog.append(spark.createDataFrame([(int(batch_id),)],
+                                         "__batch long"), commits)
 
 
 def bm25_topk_from_index(catalog, queries: DataFrame, *,
@@ -255,7 +327,18 @@ def bm25_topk_from_index(catalog, queries: DataFrame, *,
     qterms = qterms.localCheckpoint(eager=True)  # tiny; scanned thrice
     buckets = sorted({r[0] for r in
                       qterms.select(_term_bucket()).distinct().collect()})
-    stats = (catalog.read(f"{table}_stats")
+
+    # txn layout: read COMMITTED batches only, so a crashed partial
+    # append (append_bm25_increment_txn) is invisible to probes
+    committed = (catalog.read(f"{table}_commits")
+                 if catalog.exists(f"{table}_commits") else None)
+
+    def _committed(df_):
+        if committed is not None and "__batch" in df_.columns:
+            return df_.join(F.broadcast(committed), "__batch", "left_semi")
+        return df_
+
+    stats = (_committed(catalog.read(f"{table}_stats"))
              .agg(F.sum("n_docs").alias("n"),
                   F.sum("total_tokens").alias("t")).collect()[0])
     n_docs = stats["n"] or 0
@@ -265,9 +348,9 @@ def bm25_topk_from_index(catalog, queries: DataFrame, *,
         return (queries.sparkSession.createDataFrame(
             [], f"{query_id_col} {qt}, {id_col} {dt}, bm25 double, rnk int"))
     avgdl = stats["t"] / n_docs
-    tf = (catalog.read(f"{table}_tf")
+    tf = (_committed(catalog.read(f"{table}_tf"))
           .filter(F.col("term_bucket").isin(buckets)))
-    dfreq = (catalog.read(f"{table}_df")
+    dfreq = (_committed(catalog.read(f"{table}_df"))
              .filter(F.col("term_bucket").isin(buckets))
              .groupBy("term").agg(F.sum("df").alias("df")))
     return _rank_bm25(tf, dfreq, qterms, n_docs=n_docs, avgdl=avgdl,

@@ -216,6 +216,31 @@ class Catalog:
         df = df.localCheckpoint(eager=True)
         df.write.mode("overwrite").parquet(self.path(table))
 
+    def drop(self, table: str) -> None:
+        """Remove a table directory (idempotent — missing tables are a
+        no-op). The cleanup verb for transient state: iteration
+        checkpoint tables (``operators/itercheckpoint`` leaves
+        ``{prefix}_{name}_{slot}`` slots in place by contract),
+        ``corpus_prep_*`` pipeline intermediates, and retired index
+        generations. Plain-parquet single-writer semantics: never drop
+        a table a live frame still reads."""
+        import shutil
+
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+    def drop_prefix(self, prefix: str) -> list[str]:
+        """Drop every table whose name starts with ``prefix`` (e.g. an
+        iteration-checkpoint family or a pipeline's ``corpus_prep_``
+        set). Returns the dropped table names."""
+        if not os.path.isdir(self.warehouse):
+            return []
+        victims = sorted(t for t in os.listdir(self.warehouse)
+                         if t.startswith(prefix)
+                         and os.path.isdir(os.path.join(self.warehouse, t)))
+        for t in victims:
+            self.drop(t)
+        return victims
+
     def compact(self, table: str, *, partitions: int | None = None) -> None:
         """Rewrite a table to heal the small-file problem incremental
         merges accumulate (many micro-batches → many tiny parquet files).

@@ -87,3 +87,21 @@ def test_delta_merge_order_col_extraction(spark):
         if name in surviving:
             names.append(name)
     assert names == ["timemark"]
+
+
+def test_catalog_drop_and_drop_prefix(spark, tmp_path):
+    """The cleanup verb for transient state: drop removes one table
+    (idempotently), drop_prefix clears a checkpoint family and reports
+    what it removed."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    for t in ("pr_ranks_0", "pr_ranks_1", "pr_progress", "keepme"):
+        cat.overwrite(spark.range(3), t)
+    cat.drop("pr_ranks_0")
+    assert not cat.exists("pr_ranks_0") and cat.exists("pr_ranks_1")
+    cat.drop("pr_ranks_0")  # idempotent
+    dropped = cat.drop_prefix("pr_")
+    assert dropped == ["pr_progress", "pr_ranks_1"]
+    assert cat.exists("keepme")
+    assert cat.drop_prefix("nothing_") == []

@@ -347,3 +347,83 @@ def test_bm25_index_ledger_gated_append_idempotent(spark, tmp_path):
                      bm25_topk_from_index(catalog, queries).collect()))
     exp = sorted(map(tuple, bm25_topk(docs, queries).collect()))
     assert got == exp and got
+
+
+def test_bm25_txn_append_crash_replay(spark, sf_small, tmp_path):
+    """Commit-ledger protocol on the lexical index (r4): a crash after
+    the tf write but before df/stats leaves the index OBSERVABLY
+    unchanged (probes read committed batches only — no torn
+    tf-without-df state), the replay replaces the partial partitions
+    and commits, and the recovered index probes bit-identical to a
+    one-shot full build. Replay of a committed batch is a no-op; a
+    legacy flat index is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        append_bm25_increment_txn,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    docs = load_table(spark, sf_small, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    queries = spark.createDataFrame(
+        [(0, " ".join(docs.orderBy("doc_id").limit(1)
+                      .collect()[0].text.lower().split()[:6]))],
+        "query_id long, text string")
+
+    catalog = Catalog(spark, str(tmp_path / "txn"))
+    build_bm25_index(catalog, first, txn=True)
+    before = sorted(map(tuple,
+                        bm25_topk_from_index(catalog, queries).collect()))
+
+    class _CrashAfterTf:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def overwrite(self, df, table, *, partition_by=()):
+            self._real.overwrite(df, table, partition_by=partition_by)
+            if table.endswith("_tf"):
+                raise RuntimeError("simulated crash after tf write")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_bm25_increment_txn(_CrashAfterTf(catalog), second, 5)
+    # torn state is invisible: probe sees exactly the committed index
+    mid = sorted(map(tuple,
+                     bm25_topk_from_index(catalog, queries).collect()))
+    assert mid == before
+    # uncommitted tf rows ARE on disk (the crash was real) ...
+    assert catalog.read("bm25_tf").filter(F.col("__batch") == 5).count() > 0
+    # ... but the ledger lacks the batch
+    assert catalog.read("bm25_commits").filter(
+        F.col("__batch") == 5).count() == 0
+
+    # replay: replaces the partial partitions, commits, and the index
+    # now equals a one-shot full build bit-for-bit
+    append_bm25_increment_txn(catalog, second, 5)
+    full = Catalog(spark, str(tmp_path / "full"))
+    build_bm25_index(full, docs)
+    got = sorted(map(tuple,
+                     bm25_topk_from_index(catalog, queries).collect()))
+    exp = sorted(map(tuple, bm25_topk_from_index(full, queries).collect()))
+    assert got == exp and got
+
+    # committed replay is a no-op (no duplicate counts)
+    append_bm25_increment_txn(catalog, second, 5)
+    assert sorted(map(tuple, bm25_topk_from_index(catalog, queries)
+                      .collect())) == exp
+    assert catalog.read("bm25_commits").filter(
+        F.col("__batch") == 5).count() == 1
+
+    legacy = Catalog(spark, str(tmp_path / "legacy"))
+    build_bm25_index(legacy, first)
+    with pytest.raises(ValueError, match="txn=True"):
+        append_bm25_increment_txn(legacy, second, 1)
+    with pytest.raises(ValueError, match="append_bm25_increment_txn"):
+        build_bm25_index(legacy, second, append=True, txn=True)
