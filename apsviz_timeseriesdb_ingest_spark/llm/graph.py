@@ -125,6 +125,12 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
         if checkpoint_catalog.exists(progress_table):
             prog = checkpoint_catalog.read(progress_table).collect()[0]
             done, ranks_tbl = int(prog["iter"]), prog["table"]
+            if done > iters:
+                raise ValueError(
+                    f"resume: stored progress is at iteration {done} but "
+                    f"iters={iters} — the persisted state is further along "
+                    "than the request; raise iters or drop the "
+                    f"'{progress_table}' tables for a fresh run")
             es = checkpoint_catalog.read(f"{checkpoint_prefix}_edges_0")
             nodes = checkpoint_catalog.read(f"{checkpoint_prefix}_nodes_0")
             outdeg = checkpoint_catalog.read(

@@ -194,6 +194,14 @@ def dedup_increment(catalog: Catalog, new_docs: DataFrame, *,
     """Dedup an increment against the stored index and extend the index
     with the accepted docs. Returns the ACCEPTED subset of ``new_docs``
     (all columns, lineage cut — safe to evaluate after the index grows).
+
+    Single-shot convenience: the index append here is ONE plain parquet
+    append, so a caller that replays a crashed batch against a PARTIAL
+    append inherits the recall-loss mode the streaming path closed —
+    for replayed/batch-id'd ingestion use
+    ``streaming.corpus_stream.apply_dedup_increment_txn`` (it is not
+    streaming-specific: it takes (batch_df, batch_id) and carries the
+    commit-ledger protocol + crash matrix).
     """
     accepted, accepted_buckets = plan_increment(
         catalog, new_docs, table=table, text_col=text_col, id_col=id_col,

@@ -329,6 +329,14 @@ def perplexity(df: DataFrame, lm: dict[str, DataFrame | int], *,
     Unseen bigrams and unseen context words use the same formula with
     count 0 via the LEFT joins — exactly the add-k backoff — so a
     held-out document never errors, it just scores high.
+
+    Zipf-skew note: these joins stack on the ``w1`` key like the n-gram
+    scorer's (see :func:`_scored_events` — AQE cannot split them).
+    Skew-sensitive deployments should train ``train_ngram_lm(n=2)`` and
+    score via :func:`perplexity_ngram` with ``hot_grams=`` — the same
+    signal with the mitigation (the only semantic difference: context
+    counts are derived from the bigram table instead of counted as
+    unigrams, so tokens that never precede anything don't contribute).
     """
     v = float(lm["vocab_size"])
     par = df.sparkSession.sparkContext.defaultParallelism

@@ -835,7 +835,7 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
 def llm_pagerank(spark, sf_dir):
     """Distributed PageRank (``llm/graph.py`` — the host-reputation
     crawl-curation prior) over the bipartite user→event-type graph,
-    {_PAGERANK_ITERS} full iterations: per pass one edges⋈ranks join +
+    three full iterations: per pass one edges⋈ranks join +
     one decimal-summed dst aggregate + two driver scalars (dangling
     mass, teleport). The oracle unrolls the identical update — green
     hashes certify the iterative operator end-to-end, not one step."""

@@ -200,3 +200,13 @@ def test_pagerank_resume_respects_every_k(spark, tmp_path):
                                  checkpoint_every=3,
                                  resume=True).collect()}
     assert resumed == full
+
+
+def test_pagerank_resume_rejects_shorter_iters(spark, tmp_path):
+    from apsviz_timeseriesdb_ingest_spark.llm.graph import pagerank
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    edges = _edges(spark)
+    pagerank(edges, iters=5, checkpoint_catalog=cat).collect()
+    with pytest.raises(ValueError, match="further along"):
+        pagerank(edges, iters=3, checkpoint_catalog=cat, resume=True)
