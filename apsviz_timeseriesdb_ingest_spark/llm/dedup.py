@@ -40,17 +40,24 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     empty training docs as contaminated in ``decontaminate``. The DuckDB
     oracle twin (``suite/llmdata.SQL_SHINGLES``) applies the same filter.
 
-    ``element_at`` + ``concat_ws`` rather than ``array_join(slice(...))``:
-    no per-shingle subarray allocation — ~10% faster on the expansion
-    with byte-identical output (A/B-verified; out-of-range element_at
-    returns NULL, which concat_ws skips, matching slice's truncation).
+    ``try_element_at`` + ``concat_ws`` rather than
+    ``array_join(slice(...))``: no per-shingle subarray allocation —
+    ~10% faster on the expansion with byte-identical output
+    (A/B-verified; out-of-range ``try_element_at`` returns NULL, which
+    concat_ws skips, matching slice's truncation). It MUST be the
+    ``try_`` form: under Spark 4 ANSI mode plain ``element_at`` THROWS
+    on the out-of-bounds index every document with fewer than k tokens
+    produces, killing the whole distributed job on one short doc
+    (latent until r4's WET-ingest composition test — same ANSI family
+    as try_to_timestamp/try_cast, see CLAUDE.md).
     """
     return F.array_distinct(
         F.filter(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+                    " ", *[F.try_element_at(toks, i + j + 1)
+                           for j in range(k)]),
             ),
             lambda s: s != "",
         )

@@ -45,7 +45,10 @@ def positioned_shingles(df: DataFrame, *, text_col: str = "text",
     shingle_at = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+            " ", *[F.try_element_at(toks, i + j + 1) for j in range(k)]))
+    # try_element_at, not element_at: ANSI throws on the out-of-bounds
+    # index every sub-k-token doc produces (truncated final shingle ==
+    # the oracle's slice semantics; the shingles_from_tokens fix, r4)
     return (
         df.repartition(par, id_col)
         .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))

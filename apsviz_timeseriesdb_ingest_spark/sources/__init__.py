@@ -6,3 +6,4 @@ from .catalog import (  # noqa: F401
 )
 from .harvest_csv import read_harvest_csv, read_station_csv  # noqa: F401
 from .jsonl import read_documents_jsonl, write_jsonl_sharded  # noqa: F401
+from .warc import read_wet, wet_quarantine_counts  # noqa: F401

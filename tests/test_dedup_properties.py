@@ -321,3 +321,43 @@ def test_cross_corpus_neardup_matches_exact_truth_on_testdata(spark, sf_small):
            cross_corpus_neardup(even, odd, threshold=0.5).collect()
            if r.neardup_of_reference}
     assert got == want
+
+
+def test_shingles_survive_sub_k_token_docs(spark):
+    """Docs with fewer than k tokens must not abort the job (Spark 4
+    ANSI element_at throws on the out-of-bounds index they produce —
+    the r4 WET-composition test caught this latent in every
+    shingle-based operator). Semantics: the truncated final shingle,
+    exactly the oracle's slice behavior; zero-token docs emit nothing."""
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        shingles_from_tokens,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.spans import duplicate_spans
+    from apsviz_timeseriesdb_ingest_spark.llm.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""),
+         (4, "three tokens here"), (5, "two words")],
+        "doc_id long, text string")
+    sh = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", shingles_from_tokens(
+            F.split(F.lower("text"), r"\s+"), 3).alias("sh")).collect()}
+    assert sh[1] == ["one"]
+    assert sh[2] == ["two words"]
+    assert sh[3] == []
+    assert sh[4] == ["three tokens here"]
+
+    # every shingle consumer completes on the short-doc corpus
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(2, 5)}
+    jac = ngram_jaccard_pairs(docs, threshold=0.5)
+    assert {(r.doc_a, r.doc_b) for r in jac.collect()} == {(2, 5)}
+    duplicate_spans(docs, k=3).collect()
+    flags = {r.doc_id: r.contaminated for r in decontaminate(
+        docs.filter(F.col("doc_id") != 5),
+        docs.filter(F.col("doc_id") == 5)).collect()}
+    assert flags[2] is True and flags[4] is False
