@@ -580,7 +580,12 @@ def _with_global_positions(df: DataFrame, id_col: str, seed: str,
                         .cast("int")))
     aggs = [F.count("*").alias("cnt")]
     if weight is not None:
-        base = base.withColumn("__wt", weight)
+        # NULL weights count as 0 (a NULL-text doc occupies no budget):
+        # an all-NULL bucket otherwise sums to NULL and breaks the
+        # driver-side offset accumulation (hostile-corpus sweep, r4);
+        # same semantics as a window SUM skipping NULLs, so the
+        # llm_pack_documents oracle is unaffected
+        base = base.withColumn("__wt", F.coalesce(weight, F.lit(0)))
         aggs.append(F.sum("__wt").alias("wt"))
     stats = sorted((r["__bkt"], r) for r in base.groupBy("__bkt").agg(*aggs).collect())
     pos_off: dict[int, int] = {0: 0}

@@ -1,0 +1,171 @@
+"""Hostile-corpus sweep: every per-document operator must COMPLETE
+(no ANSI aborts — the r4 shingle lesson) and account for every input
+row on a corpus of NULLs, empties, whitespace, control characters,
+unicode, and megatoken lines. Semantic assertions are minimal by
+design; the gate here is 'one bad document must never kill a
+distributed job'."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+HOSTILE = [
+    (1, None),                                  # NULL text
+    (2, ""),                                    # empty
+    (3, "   \t  \n  "),                         # whitespace only
+    (4, "one"),                                 # single token
+    (5, "two words"),                           # sub-shingle
+    (6, "café naïve \U0001f600 中文 tokens"),  # unicode
+    (7, "a" * 5000),                            # one megatoken
+    (8, "line one\n\nline two\n\nline one"),    # paragraphs
+    (9, "nul\x00byte and bell\x07 chars"),      # control chars
+    (10, "the quick brown fox jumps over the lazy dog"),  # normal
+]
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    return spark.createDataFrame(HOSTILE, "doc_id long, text string") \
+        .localCheckpoint(eager=True)
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_text_signal_operators_total(spark, hostile):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        c4_line_filter,
+        chunk_documents,
+        clean_text,
+        compression_ratio,
+        document_fingerprint,
+        gopher_quality_stats,
+        language_id,
+        pack_documents,
+        remove_repeated_lines,
+        repetition_stats,
+        scrub_pii,
+        text_stats,
+    )
+
+    all_ids = set(range(1, 11))
+    for op in (text_stats, scrub_pii, repetition_stats, language_id,
+               document_fingerprint, gopher_quality_stats,
+               remove_repeated_lines, c4_line_filter, clean_text,
+               compression_ratio):
+        out = op(hostile)
+        assert _ids(out) == all_ids, op.__name__
+    # chunking drops nothing it shouldn't: every doc with >= 1 token
+    # appears; NULL/empty/whitespace docs simply yield no chunks
+    chunked = chunk_documents(hostile, max_tokens=4, overlap=1)
+    assert _ids(chunked) == {4, 5, 6, 7, 8, 9, 10}
+    # packing accounts for every row including NULL text
+    packed = pack_documents(hostile)
+    assert _ids(packed) == all_ids
+
+
+def test_dedup_operators_total(spark, hostile):
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import (
+        exact_dedup,
+        minhash_band_buckets,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_neardup_pairs,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.spans import (
+        dedup_paragraphs,
+        duplicate_spans,
+        split_sentences,
+    )
+
+    assert sum(r.n_copies for r in exact_dedup(
+        hostile.filter(F.col("text").isNotNull())).collect()) == 9
+    simhash(hostile).collect()
+    simhash_neardup_pairs(hostile, bits=60, max_hamming=4).collect()
+    minhash_band_buckets(hostile, k=3, num_hashes=8, bands=4).collect()
+    ngram_jaccard_pairs(hostile, threshold=0.5).collect()
+    duplicate_spans(hostile, k=3).collect()
+    assert _ids(dedup_paragraphs(hostile)) == set(range(1, 11))
+    split_sentences(hostile).collect()
+
+
+def test_lm_and_embedding_operators_total(spark, hostile):
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        min_k_prob,
+        perplexity,
+        perplexity_ngram,
+        train_bigram_lm,
+        train_ngram_lm,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        brute_force_topk,
+        hash_embedding,
+    )
+
+    lm2 = train_bigram_lm(hostile)
+    assert _ids(perplexity(hostile, lm2)) == set(range(1, 11))
+    lm3 = train_ngram_lm(hostile, n=3)
+    assert _ids(perplexity_ngram(hostile, lm3)) == set(range(1, 11))
+    assert _ids(perplexity_ngram(hostile, lm3, hot_grams=5)) == \
+        set(range(1, 11))
+    assert _ids(min_k_prob(hostile, lm3)) == set(range(1, 11))
+    emb = hash_embedding(hostile, dim=16)
+    assert _ids(emb) == set(range(1, 11))
+    brute_force_topk(emb.withColumnRenamed("doc_id", "vec_id"),
+                     query_ids=[10], top_k=3,
+                     vec_col="embedding").collect()
+
+
+def test_url_operators_total(spark):
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        canonical_url,
+        domain_stats,
+        url_dedup,
+        url_host,
+    )
+
+    urls = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "::::"), (4, "http://"),
+         (5, "ftp://weird.host:21/x"), (6, "https://ok.example/a?b=1"),
+         (7, "http://host:99999/port-out-of-range"),
+         (8, "https://example.com/" + "p" * 3000)],
+        "doc_id long, url string")
+    urls.select(url_host("url"), canonical_url("url")).collect()
+    assert sum(r.n_copies for r in url_dedup(urls).collect()) == 8
+    domain_stats(urls).collect()
+
+
+def test_tokenizers_total(spark, hostile):
+    from apsviz_timeseriesdb_ingest_spark.llm.bpe import (
+        bpe_encode_docs,
+        train_bpe,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.unigram import (
+        train_unigram,
+        unigram_encode_docs,
+    )
+
+    model = train_bpe(hostile, num_merges=6, min_count=1)
+    for engine in ("sql", "pandas"):
+        enc = bpe_encode_docs(hostile, model, engine=engine)
+        assert _ids(enc) == set(range(1, 11)), engine
+    uni = train_unigram(hostile, vocab_size=40, seed_size=80, em_iters=1)
+    assert _ids(unigram_encode_docs(hostile, uni)) == set(range(1, 11))
+
+
+def test_pipeline_total_on_hostile_corpus(spark, hostile):
+    """The full prep pipeline runs end to end and the audit accounts
+    for EVERY hostile row."""
+    from apsviz_timeseriesdb_ingest_spark.llm.pipeline import (
+        prepare_training_corpus,
+    )
+
+    corpus, audit = prepare_training_corpus(
+        hostile, hostile.filter(F.col("doc_id") == 10),
+        min_tokens=2, languages=("en",),
+        profiles={"en": ("the", "over", "words")})
+    assert _ids(audit) == set(range(1, 11))
+    assert corpus.count() + audit.filter(
+        F.col("drop_reason").isNotNull()).count() == 10
