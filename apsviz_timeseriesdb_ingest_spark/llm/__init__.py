@@ -153,3 +153,8 @@ from .classifier import (  # noqa: F401
     standardize_stats,
     train_logreg,
 )
+from .sketches import (  # noqa: F401
+    corpus_sketch,
+    merge_corpus_sketches,
+    sketch_estimates,
+)
