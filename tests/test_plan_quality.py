@@ -164,3 +164,59 @@ def test_chunk_documents_single_expansion(spark, sf_small):
     assert "Join" not in plan and "Aggregate" not in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_asof_join_single_window_no_range_join(spark, sf_small):
+    # union + carry-forward window: ONE hash partitioning on the key,
+    # no quadratic range join anywhere in the plan
+    plan = _plan(QUERIES["j10_asof_join"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # it is not a join at all
+    assert plan.count("Window") >= 1
+    assert "Union" in plan
+
+
+def test_overlap_join_bucketed_equi_join(spark, sf_small):
+    # bucket expansion makes the interval overlap an EQUI-join: the
+    # exact predicate is a residual filter, never a nested-loop join
+    plan = _plan(QUERIES["p5_overlap_join"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the interval -> bucket explode
+
+
+def test_kmeans_assign_zero_exchange(spark, sf_small):
+    # literal-centroid argmin is a pure projection over the scan
+    plan = _plan(QUERIES["llm_kmeans_assign"](spark, sf_small))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pagerank_pass_broadcast_base_no_driver_collect(spark):
+    # one iteration = one job: the dangling/teleport base joins as a
+    # BROADCAST one-row frame, and the only shuffles are the
+    # edges-ranks join + the dst aggregate
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.graph import _pagerank_pass
+    from apsviz_timeseriesdb_ingest_spark.operators.itercheckpoint import (
+        LineageCutter,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 7}") for i in range(12)],
+        "src string, dst string")
+    es = edges.distinct().withColumn("w", F.lit(1.0))
+    nodes = (es.select(F.col("src").alias("node"))
+             .unionByName(es.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = (es.groupBy("src").agg(F.sum("w").alias("out"))
+              .withColumnRenamed("src", "node"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / 7))
+    out = _pagerank_pass(es, nodes, outdeg, ranks, 7, 0.85,
+                         lambda df, name=None: df)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or \
+        "BroadcastHashJoin" in plan  # the one-row base broadcasts
+    assert "CartesianProduct" not in plan
