@@ -33,6 +33,7 @@ from .text import (  # noqa: F401
     language_mix,
     length_buckets,
     mixture_keep_expr,
+    normalize_unicode,
     pack_documents,
     quality_score,
     remove_repeated_lines,

@@ -128,6 +128,7 @@ def prepare_training_corpus(
     c4_min_words: int = 3,
     blocked_terms: tuple[str, ...] | None = None,
     min_overlap_frac: float | None = None,
+    unicode_form: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -211,6 +212,15 @@ def prepare_training_corpus(
     audit trail and can be dropped by the caller afterwards.
     """
     from pyspark import StorageLevel
+
+    if unicode_form is not None:
+        # canonicalize BEFORE anything reads the text: every dedup
+        # grain hashes content, and composed-vs-decomposed sequences
+        # must collide (see text.normalize_unicode)
+        from .text import normalize_unicode
+
+        docs = normalize_unicode(docs, form=unicode_form,
+                                 text_col=text_col)
 
     def _persist(df: DataFrame, name: str) -> DataFrame:
         if catalog is not None:

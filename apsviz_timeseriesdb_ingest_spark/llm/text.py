@@ -1222,6 +1222,47 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
             .select(id_col, text_col).mapInPandas(run, schema))
 
 
+def normalize_unicode(df: DataFrame, *, form: str = "NFKC",
+                      text_col: str = "text") -> DataFrame:
+    """Unicode-normalize the text column in place (all other columns
+    ride through) — the canonicalization step that belongs BEFORE any
+    content hashing: composed vs decomposed sequences ("café" as
+    ``e+\\u0301`` vs ``\\u00e9``), full-width forms, and compatibility
+    characters are byte-different but visually identical, so without
+    this every dedup grain (exact md5, shingles, paragraphs, URL text)
+    treats them as distinct documents. NFKC is the corpus-pipeline
+    default (canonical + compatibility folding); NFC preserves
+    compatibility distinctions.
+
+    Implementation note: Spark has NO native unicode normalizer, so
+    this is an Arrow-batched ``mapInPandas`` over stdlib
+    ``unicodedata`` — the same documented Python-boundary exception
+    class as :func:`compression_ratio` and the multimodal decode
+    (never a row-at-a-time UDF). NULL text stays NULL. Cost: one
+    vectorized pass; apply once at ingest, before signals and dedup
+    (``prepare_training_corpus(unicode_form=...)`` does exactly that).
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    schema = df.schema
+    cols = list(df.columns)
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[text_col] = [
+                unicodedata.normalize(form, t) if isinstance(t, str)
+                else t
+                for t in pdf[text_col]]
+            yield pdf[cols]
+
+    return df.mapInPandas(run, schema)
+
+
 def corpus_manifest(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """One-row corpus manifest: doc/char/token totals, distinct-id

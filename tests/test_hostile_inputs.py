@@ -169,3 +169,47 @@ def test_pipeline_total_on_hostile_corpus(spark, hostile):
     assert _ids(audit) == set(range(1, 11))
     assert corpus.count() + audit.filter(
         F.col("drop_reason").isNotNull()).count() == 10
+
+
+def test_normalize_unicode_collapses_equivalent_forms(spark):
+    """NFC vs NFD 'café' are byte-different but visually identical:
+    after normalization every dedup grain treats them as one document;
+    without it exact_dedup keeps both (the gap this operator closes).
+    NULL text and non-text columns ride through untouched."""
+    import unicodedata
+
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import exact_dedup
+    from apsviz_timeseriesdb_ingest_spark.llm.pipeline import (
+        prepare_training_corpus,
+    )
+    from apsviz_timeseriesdb_ingest_spark.llm.text import normalize_unicode
+
+    nfc = unicodedata.normalize("NFC", "café au lait")
+    nfd = unicodedata.normalize("NFD", "café au lait")
+    assert nfc != nfd
+    docs = spark.createDataFrame(
+        [(1, nfc, "a"), (2, nfd, "b"), (3, None, "c"),
+         (4, "ｆｕｌｌｗｉｄｔｈ ｆｏｒｍｓ", "d")],
+        "doc_id long, text string, source string")
+
+    raw_groups = exact_dedup(docs.filter("text is not null")).count()
+    norm = normalize_unicode(docs, form="NFKC")
+    assert {r.source for r in norm.collect()} == {"a", "b", "c", "d"}
+    got = {r.doc_id: r.text for r in norm.collect()}
+    assert got[1] == got[2]           # forms collapsed
+    assert got[3] is None             # NULL rides through
+    assert got[4] == "fullwidth forms"  # NFKC compatibility folding
+    assert exact_dedup(norm.filter("text is not null")).count() \
+        == raw_groups - 1
+
+    # pipeline wiring: the forms collapse into one exact-dup group
+    corpus, audit = prepare_training_corpus(
+        docs.filter("text is not null"), None, min_tokens=1,
+        languages=("en",), profiles={"en": ("au", "forms")},
+        unicode_form="NFKC")
+    reasons = {r.doc_id: r.drop_reason for r in audit.collect()}
+    assert reasons[2] == "exact_dup"  # NFD copy lost to the NFC doc
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown normalization"):
+        normalize_unicode(docs, form="NFX")
