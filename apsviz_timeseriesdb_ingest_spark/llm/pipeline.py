@@ -189,6 +189,11 @@ def prepare_training_corpus(
     downstream. ``blocked_terms`` adds the C4 bad-words gate as a
     ``blocked_terms`` drop reason over the cleaned text's tokens.
 
+    ``unicode_form`` (e.g. ``"NFKC"``) canonicalizes the text FIRST —
+    before any signal or content hash — so composed/decomposed/
+    full-width variants collide in every dedup grain
+    (:func:`text.normalize_unicode`).
+
     ``min_overlap_frac`` switches the decontamination stage to the
     fractional-overlap rule (see :func:`text.decontaminate`) — the
     tolerant setting for benchmark lists that share phrasing with
