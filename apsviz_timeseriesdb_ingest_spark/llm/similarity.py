@@ -107,7 +107,14 @@ def _dot_expanded_sql(a_sql: str, b_sql: str, dim: int) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine with the zero-norm convention: a zero vector has no
+    direction, similarity 0 — and under Spark 4 ANSI mode the naive
+    dot/(na*nb) THROWS DIVIDE_BY_ZERO on one zero vector, killing the
+    whole job (the brute_force_topk r3 lesson, applied to every
+    division site in this module in r4)."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na != 0) & (nb != 0),
+                  _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(vectors: DataFrame, *, id_col: str = "vec_id",
@@ -189,7 +196,9 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("vec"))
     v = v.withColumn("nrm", _norm(F.col("vec")))
-    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    sim = F.when((F.col("a.nrm") != 0) & (F.col("b.nrm") != 0),
+                 _dot(F.col("a.vec"), F.col("b.vec"))
+                 / (F.col("a.nrm") * F.col("b.nrm"))).otherwise(F.lit(0.0))
     if not planes:
         return (
             v.alias("a").join(v.alias("b"), F.col("a.id") < F.col("b.id"))
@@ -238,8 +247,10 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
         .join(v.select(F.col("id").alias("doc_b"), F.col("vec").alias("bvec"),
                        F.col("nrm").alias("bnrm")), "doc_b")
         .withColumn("sim", F.round(
-            _dot_expanded_sql("avec", "bvec", dim)
-            / (F.col("anrm") * F.col("bnrm")), 6))
+            F.when((F.col("anrm") != 0) & (F.col("bnrm") != 0),
+                   _dot_expanded_sql("avec", "bvec", dim)
+                   / (F.col("anrm") * F.col("bnrm")))
+            .otherwise(F.lit(0.0)), 6))
         .filter(F.col("sim") >= threshold)
         .select(F.col("doc_a").alias("vec_id_a"),
                 F.col("doc_b").alias("vec_id_b"), "sim")
@@ -303,8 +314,11 @@ def ivf_assign(vectors: DataFrame, *, id_col: str = "vec_id",
                      F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm")))
     scored = (
         v.join(F.broadcast(cents), how="cross")
-        .withColumn("sim", _dot(F.col("vec"), F.col("cvec"))
-                    / (F.col("nrm") * F.col("cnrm")))
+        .withColumn("sim",
+                    F.when((F.col("nrm") != 0) & (F.col("cnrm") != 0),
+                           _dot(F.col("vec"), F.col("cvec"))
+                           / (F.col("nrm") * F.col("cnrm")))
+                    .otherwise(F.lit(-2.0)))
     )
     best = F.max_by(
         F.col("centroid_id"), F.struct(F.col("sim"), -F.col("centroid_id")))
@@ -332,8 +346,11 @@ def ann_assign(vectors: DataFrame, *, id_col: str = "vec_id",
                      F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm")))
     scored = (
         v.join(F.broadcast(cents), how="cross")
-        .withColumn("sim", _dot(F.col("vec"), F.col("cvec"))
-                    / (F.col("nrm") * F.col("cnrm")))
+        .withColumn("sim",
+                    F.when((F.col("nrm") != 0) & (F.col("cnrm") != 0),
+                           _dot(F.col("vec"), F.col("cvec"))
+                           / (F.col("nrm") * F.col("cnrm")))
+                    .otherwise(F.lit(-2.0)))
     )
     best = F.max_by(
         F.col("centroid_id"), F.struct(F.col("sim"), -F.col("centroid_id")))
@@ -474,7 +491,8 @@ def _centroid_argmin_expr(centroids: list[list[float]], vec: Column,
     for i, c in enumerate(centroids):
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         lit = F.array(*[F.lit(float(x)) for x in c])
-        sim = _dot(vec, lit) / (nrm * F.lit(cn))
+        sim = F.when(nrm != 0, _dot(vec, lit) / (nrm * F.lit(cn))) \
+            .otherwise(F.lit(-2.0))  # zero-norm: ANSI-safe, floors low
         entries.append(F.struct(F.nanvl(sim, F.lit(-2.0)).alias("sim"),
                                 F.lit(-i).alias("negid")))
     return (-F.array_max(F.array(*entries))["negid"]).cast("int")
@@ -494,7 +512,8 @@ def probe_cells_expr(centroids: list[list[float]], vec: Column,
     for i, c in enumerate(centroids):
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         lit = F.array(*[F.lit(float(x)) for x in c])
-        sim = _dot(vec, lit) / (nrm * F.lit(cn))
+        sim = F.when(nrm != 0, _dot(vec, lit) / (nrm * F.lit(cn))) \
+            .otherwise(F.lit(-2.0))  # zero-norm: ANSI-safe, floors low
         entries.append(F.struct(F.nanvl(sim, F.lit(-2.0)).alias("sim"),
                                 F.lit(-i).alias("negid")))
     top = F.slice(F.sort_array(F.array(*entries), asc=False), 1, nprobe)
@@ -558,8 +577,9 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
             sizes.filter(F.col("n") <= max_cell_size).select("cell")), "cell")
     else:
         v_pairs = v
-    sim = (_dot_expanded_sql("a.vec", "b.vec", dim)
-           / (F.col("a.nrm") * F.col("b.nrm")))
+    sim = F.when((F.col("a.nrm") != 0) & (F.col("b.nrm") != 0),
+                 _dot_expanded_sql("a.vec", "b.vec", dim)
+                 / (F.col("a.nrm") * F.col("b.nrm"))).otherwise(F.lit(0.0))
     pairs = (
         v_pairs.alias("a")
         .join(v_pairs.alias("b"),
@@ -693,8 +713,11 @@ def ivf_probe(corpus: DataFrame, queries: list[tuple[int, list[float]]],
             .withColumn("nnrm", _norm(F.col("nvec"))))
     scored = (cand.join(F.broadcast(qcells), cell_col)
               .filter(F.col("nid") != F.col("query_id"))
-              .withColumn("sim", _dot(F.col("qvec"), F.col("nvec"))
-                          / (F.col("qnrm") * F.col("nnrm"))))
+              .withColumn("sim",
+                          F.when((F.col("qnrm") != 0) & (F.col("nnrm") != 0),
+                                 _dot(F.col("qvec"), F.col("nvec"))
+                                 / (F.col("qnrm") * F.col("nnrm")))
+                          .otherwise(F.lit(0.0))))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -241,20 +241,58 @@ class Catalog:
             self.drop(t)
         return victims
 
+    def partition_columns(self, table: str) -> list[str]:
+        """The table's on-disk partition columns, detected from the
+        Hive-style ``col=value`` directory chain (outermost first).
+        Empty for flat tables."""
+        out: list[str] = []
+        p = self.path(table)
+        while True:
+            try:
+                sub = sorted(e for e in os.listdir(p)
+                             if "=" in e and
+                             os.path.isdir(os.path.join(p, e)))
+            except FileNotFoundError:
+                return []
+            if not sub:
+                return out
+            col = sub[0].split("=", 1)[0]
+            if not col or col in out:
+                return out
+            out.append(col)
+            p = os.path.join(p, sub[0])
+
     def compact(self, table: str, *, partitions: int | None = None) -> None:
         """Rewrite a table to heal the small-file problem incremental
         merges accumulate (many micro-batches → many tiny parquet files).
-        Partitioned tables re-cluster on the partition column so each
-        partition dir collapses to ~one file."""
+
+        The on-disk partition layout is DETECTED and PRESERVED — not
+        just ``time_bucket``: the ``__batch``/``term_bucket`` layouts
+        the commit-ledger indexes rely on must survive compaction, or
+        the next transactional append would mix a partitioned write
+        into a flattened table (r4). A static full overwrite replaces
+        every partition in one job; partitioned tables re-cluster on
+        their partition columns so each partition dir collapses to ~one
+        file."""
         df = self.read(table)
-        cols = df.columns
+        part_cols = self.partition_columns(table)
         n = partitions or self.spark.sparkContext.defaultParallelism
         df = df.localCheckpoint(eager=True)
-        if TIME_BUCKET in cols:
-            (df.repartition(n, TIME_BUCKET).write.mode("overwrite")
-             .partitionBy(TIME_BUCKET).parquet(self.path(table)))
-        else:
-            df.coalesce(max(1, n // 8)).write.mode("overwrite").parquet(self.path(table))
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        # static: the whole table is being rewritten, including
+        # partitions a dynamic overwrite would leave half-compacted
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                            "static")
+        try:
+            if part_cols:
+                (df.repartition(n, *part_cols).write.mode("overwrite")
+                 .partitionBy(*part_cols).parquet(self.path(table)))
+            else:
+                (df.coalesce(max(1, n // 8)).write.mode("overwrite")
+                 .parquet(self.path(table)))
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
 
     def save_bucketed(self, df: DataFrame, table: str, *, bucket_by: Sequence[str],
                       num_buckets: int = 32, sort_by: Sequence[str] = ()) -> None:

@@ -213,3 +213,51 @@ def test_normalize_unicode_collapses_equivalent_forms(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown normalization"):
         normalize_unicode(docs, form="NFX")
+
+
+def test_embedding_operators_on_hostile_vectors(spark):
+    """Zero vectors, NULL embeddings, and duplicate vectors through the
+    ANN/similarity stack: completion + accounting, no ANSI aborts, no
+    NaN poisoning of rankings."""
+    import math
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        brute_force_topk,
+        embedding_neardup_pairs,
+        hyperplane_coefficients,
+        ivf_assign,
+        kmeans_assign,
+    )
+
+    dim = 8
+    rows = [
+        (1, [0.0] * dim),                        # zero vector
+        (2, None),                               # NULL embedding
+        (3, [1.0] + [0.0] * (dim - 1)),
+        (4, [1.0] + [0.0] * (dim - 1)),          # exact duplicate of 3
+        (5, [0.5] * dim),
+        (6, [-0.5] * dim),
+        (7, [float(i) for i in range(dim)]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ok = vecs.filter("embedding is not null")
+
+    top = brute_force_topk(ok, query_ids=[3, 1], top_k=2)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in top.collect()}
+    assert got[(3, 1)] == 4              # the duplicate wins at cosine 1
+    assert len([k for k in got if k[0] == 1]) == 2  # zero vec still ranks
+
+    cents = kmeans_assign(ok, hyperplane_coefficients(dim=dim, planes=3))
+    assert {r.vec_id for r in cents.collect()} == {1, 3, 4, 5, 6, 7}
+    assert cents.filter("centroid_id is null").count() == 0
+
+    iv = ivf_assign(ok, centroid_ids=[3, 5])
+    assert {r.vec_id for r in iv.collect()} == {1, 3, 4, 5, 6, 7}
+
+    pairs = embedding_neardup_pairs(ok, threshold=0.9, dim=dim,
+                                    planes=3, bands=2)
+    found = {(r.vec_id_a, r.vec_id_b) for r in pairs.collect()}
+    assert (3, 4) in found
+    for a, b, s in ((r.vec_id_a, r.vec_id_b, r.sim)
+                    for r in pairs.collect()):
+        assert s is None or not math.isnan(s)

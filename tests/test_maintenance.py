@@ -105,3 +105,50 @@ def test_catalog_drop_and_drop_prefix(spark, tmp_path):
     assert dropped == ["pr_progress", "pr_ranks_1"]
     assert cat.exists("keepme")
     assert cat.drop_prefix("nothing_") == []
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compacting a __batch/term_bucket-partitioned index must keep the
+    Hive layout (r4: a flattened table would break the next
+    transactional partitioned append) and the data; flat tables still
+    compact to few files."""
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        append_bm25_increment_txn,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(i, f"shared tokens plus unique{i} filler words here")
+         for i in range(30)], "doc_id long, text string")
+    build_bm25_index(cat, docs.filter(F.col("doc_id") < 15), txn=True)
+    append_bm25_increment_txn(
+        cat, docs.filter(F.col("doc_id") >= 15), 1)
+    assert cat.partition_columns("bm25_tf") == ["__batch", "term_bucket"]
+    queries = spark.createDataFrame([(0, "shared tokens filler")],
+                                    "query_id long, text string")
+    before = sorted(map(tuple,
+                        bm25_topk_from_index(cat, queries).collect()))
+
+    cat.compact("bm25_tf")
+    # layout and rows survive
+    assert cat.partition_columns("bm25_tf") == ["__batch", "term_bucket"]
+    after = sorted(map(tuple,
+                       bm25_topk_from_index(cat, queries).collect()))
+    assert after == before and after
+    # and the txn append still works on the compacted table
+    append_bm25_increment_txn(
+        cat, spark.createDataFrame(
+            [(100, "shared tokens brand new doc")],
+            "doc_id long, text string"), 2)
+    assert cat.read("bm25_tf").filter(F.col("__batch") == 2).count() > 0
+
+    # flat table path unchanged
+    cat.overwrite(spark.range(100).repartition(16), "flat")
+    cat.compact("flat", partitions=8)
+    assert cat.partition_columns("flat") == []
+    assert cat.read("flat").count() == 100
