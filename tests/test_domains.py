@@ -333,3 +333,52 @@ def test_blocked_terms_and_c4_line_filter(spark):
     assert "Trailing words without punctuation ending here" \
         in loose.filtered_text
     assert "short line" not in loose.filtered_text
+
+
+def test_canonical_url_properties(spark):
+    """Property sweep for the r4 port-handling fix: idempotence
+    (canonicalizing a canonical form is a fixpoint), tracking-param
+    removal with order-insensitivity, and the port rules over the
+    scheme x port grid."""
+    from itertools import product
+
+    from apsviz_timeseriesdb_ingest_spark.llm.text import canonical_url
+    from pyspark.sql import functions as F
+
+    urls = []
+    for scheme, port in product(("http", "https"),
+                                ("", ":80", ":443", ":8080")):
+        urls.append(f"{scheme}://Host.Example{port}/Path/?b=2&utm_x=1&a=1")
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "doc_id long, url string")
+    canon = {r.url: r.c for r in df.select(
+        "url", canonical_url("url").alias("c")).collect()}
+
+    # scheme-matching default dropped; mismatched/default-free kept
+    assert canon["http://Host.Example:80/Path/?b=2&utm_x=1&a=1"] == \
+        canon["http://Host.Example/Path/?b=2&utm_x=1&a=1"]
+    assert canon["https://Host.Example:443/Path/?b=2&utm_x=1&a=1"] == \
+        canon["https://Host.Example/Path/?b=2&utm_x=1&a=1"]
+    assert ":8080" in canon["http://Host.Example:8080/Path/?b=2&utm_x=1&a=1"]
+    assert ":443" in canon["http://Host.Example:443/Path/?b=2&utm_x=1&a=1"]
+    assert ":80" in canon["https://Host.Example:80/Path/?b=2&utm_x=1&a=1"]
+    # params sorted, tracking stripped, host lowercased
+    for c in canon.values():
+        assert c.endswith("/Path?a=1&b=2")
+        assert "host.example" in c and "utm" not in c
+
+    # idempotence: canonical forms are fixpoints
+    cdf = spark.createDataFrame([(i, c) for i, c in
+                                 enumerate(set(canon.values()))],
+                                "doc_id long, url string")
+    again = {r.url: r.c for r in cdf.select(
+        "url", canonical_url("url").alias("c")).collect()}
+    assert all(k == v for k, v in again.items())
+
+    # param-order insensitivity
+    pair = spark.createDataFrame(
+        [(1, "https://x.example/p?z=1&a=2"),
+         (2, "https://x.example/p?a=2&z=1")], "doc_id long, url string")
+    got = [r.c for r in pair.select(canonical_url("url").alias("c"))
+           .collect()]
+    assert got[0] == got[1]
