@@ -16,7 +16,10 @@ from apsviz_timeseriesdb_ingest_spark.session import get_spark
 
 SHOW = ["p1_equality_filter", "q1_pricing_summary", "q5_local_supplier_volume",
         "j7_keep_latest_dedup", "x1_event_pivot", "llm_minhash_lsh_pairs",
-        "a8_salted_agg"]
+        "a8_salted_agg",
+        # r4 gate-rotation flagships
+        "j10_asof_join", "p5_overlap_join", "llm_kmeans_assign",
+        "llm_perplexity_ngram"]
 
 
 def main() -> None:
