@@ -288,9 +288,17 @@ def run_incremental_embedding_stream(
 
     Replay safety is SIMPLER than the MinHash stream: there is one
     table, and an accepted vector replayed later matches ITSELF in the
-    corpus at cosine 1.0 >= threshold and is rejected — per-vector
-    idempotent through any crash window, including partial appends
-    (present vectors are rejected, absent ones re-accepted).
+    corpus — at cosine 1.0 >= threshold for nonzero vectors, and via
+    the explicit same-id check for zero-norm vectors (whose guarded
+    cosine is 0) — so every replay is rejected: per-vector idempotent
+    through any crash window, including partial appends (present
+    vectors are rejected, absent ones re-accepted).
+
+    Hostile inputs: NULL embeddings are dropped at the batch gate (a
+    vector-less row can't be compared or stored in a cell) and
+    all-zero vectors take the guarded path — cosine 0 against
+    everything, deterministic smallest-centroid cell from the argmin
+    floor — instead of ANSI DIVIDE_BY_ZERO killing the stream.
 
     ``centroids`` come from :func:`llm.similarity.train_kmeans` (train
     once on a sample, reuse across batches — retraining would reshuffle
@@ -303,6 +311,7 @@ def run_incremental_embedding_stream(
     vec_dim = dim or len(centroids[0])
 
     def _apply(batch_df, _batch_id):
+        batch_df = batch_df.filter(F.col(vec_col).isNotNull())
         if batch_df.isEmpty():
             return
         v = (batch_df
@@ -329,10 +338,18 @@ def run_incremental_embedding_stream(
             stored = stored.withColumn("__snrm", _norm(F.col("__svec")))
             probed = v.select(id_col, "__vec", "__nrm",
                               F.explode("__probes").alias("__scell"))
+            # Zero-norm guard (repo ANSI convention: cosine 0) — one
+            # zero vector in a batch OR the stored corpus would otherwise
+            # throw DIVIDE_BY_ZERO under Spark 4 ANSI and kill the stream.
+            # The same-id check keeps replay idempotent for zero-norm
+            # vectors, whose guarded self-cosine is 0, not 1.
+            cos = F.when(
+                (F.col("__nrm") != 0) & (F.col("__snrm") != 0),
+                _dot(F.col("__vec"), F.col("__svec"))
+                / (F.col("__nrm") * F.col("__snrm"))).otherwise(F.lit(0.0))
             dup_ids = (probed.join(stored, "__scell")
-                       .filter(_dot(F.col("__vec"), F.col("__svec"))
-                               / (F.col("__nrm") * F.col("__snrm"))
-                               >= threshold)
+                       .filter((cos >= threshold)
+                               | (F.col(id_col) == F.col("__sid")))
                        .select(id_col).distinct())
             fresh = v.join(dup_ids, id_col, "left_anti")
         pairs = embedding_neardup_pairs(

@@ -261,3 +261,87 @@ def test_embedding_operators_on_hostile_vectors(spark):
     for a, b, s in ((r.vec_id_a, r.vec_id_b, r.sim)
                     for r in pairs.collect()):
         assert s is None or not math.isnan(s)
+
+
+def test_hostile_minhash_stream_survives(spark, tmp_path):
+    """The incremental MinHash dedup STREAM on the hostile corpus: the
+    r4 sweep covered the batch operators; the stream wraps the same
+    plan in foreachBatch where one ANSI abort kills the query. Gate:
+    every batch completes — including an EMPTY batch — and every doc is
+    accounted (no shingles -> nothing to collide with -> accepted)."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_dedup_stream)
+
+    src = str(tmp_path / "in")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    sch = "doc_id long, text string"
+    spark.createDataFrame(HOSTILE, sch).write.mode("append").parquet(src)
+    q = run_incremental_dedup_stream(
+        spark, src, catalog, checkpoint_dir=str(tmp_path / "ck"),
+        k=2, num_hashes=8, bands=4)
+    assert q.awaitTermination(120)
+    assert _ids(catalog.read("stream_corpus")) == set(range(1, 11))
+
+    # empty micro-batch: a 0-row file must be a clean no-op
+    spark.createDataFrame([], sch).write.mode("append").parquet(src)
+    q2 = run_incremental_dedup_stream(
+        spark, src, catalog, checkpoint_dir=str(tmp_path / "ck"),
+        k=2, num_hashes=8, bands=4)
+    assert q2.awaitTermination(120)
+    assert catalog.read("stream_corpus").count() == 10
+
+
+def test_hostile_embedding_stream_survives(spark, tmp_path):
+    """The incremental embedding dedup STREAM on hostile vectors: a
+    zero-norm vector in the BATCH and in the STORED corpus both take
+    the guarded cosine (the r4 sweep's ninth, missed division site —
+    VERDICT r4 finding #1); NULL embeddings are gated out; an empty
+    batch no-ops; a fresh-checkpoint replay stays a corpus no-op even
+    for the zero vector (same-id rejection, since its guarded
+    self-cosine is 0 rather than 1)."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_embedding_stream)
+
+    dim = 4
+    centroids = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+    src = str(tmp_path / "in")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    sch = "vec_id long, embedding array<float>"
+
+    def _run(ck):
+        q = run_incremental_embedding_stream(
+            spark, src, catalog, centroids, checkpoint_dir=str(tmp_path / ck),
+            threshold=0.9, nprobe=2, dim=dim)
+        assert q.awaitTermination(120)
+
+    # batch 1 seeds the corpus WITH a zero vector + a NULL embedding
+    spark.createDataFrame(
+        [(1, [0.0] * dim), (2, None), (3, [1.0, 0.0, 0.0, 0.0])],
+        sch).write.mode("append").parquet(src)
+    _run("ck")
+    got = {r.vec_id for r in catalog.read("ann_corpus").collect()}
+    assert got == {1, 3}  # NULL gated; zero vector accepted (cosine 0)
+
+    # batch 2 probes the stored zero vector (stored-side __snrm == 0)
+    # and brings its own zero vector (batch-side __nrm == 0)
+    spark.createDataFrame(
+        [(4, [0.0] * dim), (5, [0.99, 0.01, 0.0, 0.0]), (6, None)],
+        sch).write.mode("append").parquet(src)
+    _run("ck")
+    got = {r.vec_id for r in catalog.read("ann_corpus").collect()}
+    # 5 ~= 3 rejected via corpus probe; 4 is a SECOND zero vector — its
+    # cosine to stored zero-vec 1 is guarded to 0, so it is accepted
+    assert got == {1, 3, 4}
+
+    # empty micro-batch: clean no-op
+    spark.createDataFrame([], sch).write.mode("append").parquet(src)
+    _run("ck")
+    assert catalog.read("ann_corpus").count() == 3
+
+    # fresh-checkpoint replay of ALL input: zero vectors rejected by
+    # same-id match, nonzero by cosine 1 self-match — corpus unchanged
+    _run("ck2")
+    rows = catalog.read("ann_corpus").collect()
+    assert {r.vec_id for r in rows} == {1, 3, 4} and len(rows) == 3
