@@ -103,6 +103,15 @@ def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
     buckets = minhash_band_buckets(docs, text_col=text_col, id_col=id_col,
                                    **lsh_kw)
     spark = docs.sparkSession
+    # A rebuild must fully REPLACE the index. The stream layout's
+    # overwrite is partitioned and the session default is DYNAMIC
+    # partition overwrite, which only replaces partitions present in
+    # the new frame — rebuilding over an existing stream index would
+    # leave stale __batch partitions (and their phantom rows) on disk
+    # (ADVICE r4). Dropping also retires a stale commit ledger when
+    # rebuilding FLAT over a previous stream-owned generation.
+    catalog.drop(table)
+    catalog.drop(commits_table(table))
     if stream_index:
         catalog.overwrite(buckets.withColumn("__batch", F.lit(-1).cast("long")),
                           table, partition_by=["__batch"])

@@ -24,7 +24,6 @@ plumbing never changes.
 from __future__ import annotations
 
 import struct
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,11 +59,24 @@ def _sniff_dimensions(payload: bytes) -> tuple[int, int, str] | None:
             return w, h, "P"
         if payload[:2] == b"\xff\xd8":
             i = 2  # walk JPEG segments to a start-of-frame marker
-            while i + 9 < len(payload) and payload[i] == 0xFF:
+            while i + 1 < len(payload) and payload[i] == 0xFF:
+                # 0xFF fill/padding bytes may precede any marker
+                while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
                 marker = payload[i + 1]
-                if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                # every SOF variant carries dimensions: 0xC0-0xCF minus
+                # DHT (0xC4), JPG (0xC8), DAC (0xCC)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                             0xCC):
+                    if i + 9 >= len(payload):
+                        return None
                     h, w = struct.unpack(">HH", payload[i + 5:i + 9])
                     return w, h, ("RGB" if payload[i + 9] == 3 else "L")
+                if marker == 0xD9:  # EOI with no frame seen
+                    return None
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    i += 2  # TEM/RSTn are length-less standalone markers
+                    continue
                 i += 2 + struct.unpack(">H", payload[i + 2:i + 4])[0]
     except (struct.error, IndexError):  # truncated header
         return None

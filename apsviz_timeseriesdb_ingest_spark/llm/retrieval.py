@@ -227,6 +227,15 @@ def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
     """
     spark = docs.sparkSession
     tf, dfreq, stats = _bm25_counts(docs, text_col, id_col)
+    if not append:
+        # A rebuild must fully REPLACE the index, but these overwrites
+        # are partitioned and the session default is DYNAMIC partition
+        # overwrite, which only replaces partitions present in the new
+        # frame — rebuilding over an existing index would leave stale
+        # __batch / term_bucket partitions on disk and phantom rows in
+        # probes (ADVICE r4). Drop the whole generation first.
+        for t in ("_tf", "_df", "_stats", "_commits"):
+            catalog.drop(f"{table}{t}")
     if txn:
         if append:
             raise ValueError("txn=True rebuilds the layout; use "
@@ -290,7 +299,8 @@ def append_bm25_increment_txn(catalog, docs: DataFrame, batch_id: int, *,
         if catalog.read(commits).filter(
                 F.col("__batch") == int(batch_id)).take(1):
             return
-    if catalog.exists(f"{table}_tf") and             "__batch" not in catalog.read(f"{table}_tf").columns:
+    if (catalog.exists(f"{table}_tf")
+            and "__batch" not in catalog.read(f"{table}_tf").columns):
         raise ValueError(
             f"BM25 index '{table}' has the legacy flat layout — rebuild "
             "with build_bm25_index(txn=True) before transactional appends")

@@ -16,24 +16,32 @@ Contract (``LineageCutter``):
   plain ``localCheckpoint`` — fastest, non-durable.
 - ``catalog=`` a :class:`~..sources.catalog.Catalog`: every
   ``every``-th cut per state name writes ``{prefix}_{name}_{slot}``
-  and returns a read of it; the rounds in between still localCheckpoint
-  (they are recomputable FROM the last durable table, so only the
-  durable cadence bounds lost work). ``slot`` alternates 0/1 so a new
-  write never overwrites the table the CURRENT frame still reads —
-  which requires the caller to reference at most the most recent cut
-  frame per name (true of every loop in this repo: each round derives
-  only from the previous round's state).
+  and returns a read of it; the rounds in between still localCheckpoint.
+  With ``every > 1`` those in-between rounds remain EXECUTOR-LOSS-FATAL
+  (their lineage roots on executor-local blocks, which Spark cannot
+  transparently recompute once the executor is gone) — what the durable
+  cadence buys is that the job is re-RUNNABLE from the last durable
+  slot (e.g. via ``pagerank(resume=True)``), losing at most ``every``
+  rounds of work, not the whole run. Only ``every == 1`` makes every
+  round's root durable so an executor loss costs a partition re-read
+  with no restart. ``slot`` alternates 0/1 so a new write never
+  overwrites the table the CURRENT frame still reads — which requires
+  the caller to reference at most the most recent cut frame per name
+  (true of every loop in this repo: each round derives only from the
+  previous round's state).
 - Checkpoint tables are left in place after the run (the
   ``prepare_training_corpus(catalog=)`` audit-trail convention); the
   final returned frame reads from the last slot, so drop the tables
   only after consuming the result.
 
-Failure-recovery contract: with a catalog, an executor loss at any
-point is recoverable by Spark's normal lineage recomputation (the root
-is durable storage). A driver loss still requires re-running the
-operator; re-running costs at most ``every`` rounds past the last
-written slot IF the caller restarts from the persisted state — the
-tables are named deterministically precisely so a resume wrapper can.
+Failure-recovery contract: with a catalog and ``every == 1``, an
+executor loss at any point is recoverable by Spark's normal lineage
+recomputation (every round's root is durable storage). With
+``every > 1``, an executor loss during a non-durable round — like a
+driver loss at any cadence — requires re-RUNNING the operator from the
+last written slot, costing at most ``every`` rounds of repeated work
+IF the caller restarts from the persisted state; the tables are named
+deterministically precisely so a resume wrapper can.
 """
 
 from __future__ import annotations

@@ -13,8 +13,14 @@ record blob:
   dropped). Bodies are text CONVERSIONS (that's what WET is), so the
   marker cannot appear inside a record body unless the original page
   embedded a verbatim WARC file — the documented corner of this
-  splitting strategy (a torn record parses as unparseable and lands in
-  the quarantine count, never crashes the read).
+  splitting strategy. A record torn by an embedded marker splits in
+  two, and BOTH halves are caught, never crash the read, and never
+  ship wrong text: the trailing fragment has no valid header and
+  lands in the quarantine count as ``_torn``; the leading fragment
+  keeps its valid header but a TRUNCATED body, which the
+  Content-Length check detects (re-encoded body bytes != declared
+  length) — dropped from :func:`read_wet`, counted as ``_truncated``
+  (ADVICE r4).
 - header block = everything before the first blank line
   (``\\r\\n\\r\\n``); fields via RE2-safe ``regexp_extract`` with
   case-insensitive names; the body is the remainder with record
@@ -52,6 +58,20 @@ def _header_field(header: F.Column, name: str) -> F.Column:
         F.lit(""))
 
 
+def _length_mismatch(header: F.Column, body: F.Column) -> F.Column:
+    """True when the re-encoded body's byte count differs from the
+    declared Content-Length — the signature of a record torn by an
+    embedded ``WARC/1.0`` marker, whose LEADING fragment keeps a valid
+    header over silently truncated text (module docstring). WET is
+    UTF-8, so decode→re-encode round-trips and the compare is exact
+    for well-formed records (the body trim strips exactly the record
+    terminator). Records without a parseable Content-Length pass
+    (``try_cast``: one bad header must not abort the read)."""
+    declared = _header_field(header, "Content-Length").try_cast("long")
+    return (declared.isNotNull()
+            & (F.octet_length(F.encode(body, "UTF-8")) != declared))
+
+
 def read_wet(spark: SparkSession, path: str, *,
              min_text_chars: int = 1) -> DataFrame:
     """Read WET files into ``(record_id, url, warc_date, n_chars,
@@ -87,8 +107,11 @@ def read_wet(spark: SparkSession, path: str, *,
         F.try_to_timestamp(
             _header_field(header, "WARC-Date"),
             F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("warc_date"),
-        body.alias("text"))
+        body.alias("text"),
+        _length_mismatch(header, body).alias("__truncated"))
         .filter(F.col("warc_type") == "conversion")
+        .filter(~F.col("__truncated"))
+        .drop("__truncated")
         .drop("warc_type")
         .withColumn("n_chars", F.length("text"))
         .filter(F.col("n_chars") >= min_text_chars)
@@ -98,15 +121,22 @@ def read_wet(spark: SparkSession, path: str, *,
 
 def wet_quarantine_counts(spark: SparkSession, path: str) -> DataFrame:
     """Read-health sidecar: records per WARC-Type plus the torn-record
-    count (no blank-line header/body split or missing type) — the
-    never-silently-drop accounting the JSONL source's quarantine frame
-    provides, at WET grain. One extra scan; run on samples or alongside
-    ingest."""
+    count (``_torn``: no blank-line header/body split or missing type)
+    and the truncated-record count (``_truncated``: valid header whose
+    body bytes disagree with Content-Length — the leading fragment of
+    a marker-torn record) — the never-silently-drop accounting the
+    JSONL source's quarantine frame provides, at WET grain. One extra
+    scan; run on samples or alongside ingest."""
     rec = (spark.read.option("lineSep", WARC_MARKER).text(path)
            .filter(F.col("value") != ""))
     header = F.substring_index(F.col("value"), _HEADER_SPLIT, 1)
-    typ = F.when(~F.col("value").contains(_HEADER_SPLIT), F.lit("_torn")) \
-        .otherwise(F.coalesce(_header_field(header, "WARC-Type"),
-                              F.lit("_torn")))
+    body = F.regexp_replace(
+        F.expr(f"substring(value, length(substring_index(value, "
+               f"'{_HEADER_SPLIT}', 1)) + {len(_HEADER_SPLIT) + 1})"),
+        r"\r\n\r\n$", "")
+    typ = (F.when(~F.col("value").contains(_HEADER_SPLIT), F.lit("_torn"))
+           .when(_length_mismatch(header, body), F.lit("_truncated"))
+           .otherwise(F.coalesce(_header_field(header, "WARC-Type"),
+                                 F.lit("_torn"))))
     return (rec.select(typ.alias("warc_type"))
             .groupBy("warc_type").agg(F.count("*").alias("n_records")))

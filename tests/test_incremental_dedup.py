@@ -209,3 +209,52 @@ def test_txn_rejects_flat_legacy_index(spark, catalog):
     with pytest.raises(ValueError, match="stream_index=True"):
         apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 1,
                                   **LSH)
+
+
+def test_stream_index_rebuild_replaces_stale_batches(spark, catalog):
+    """Rebuilding a stream-owned index over an existing one must fully
+    REPLACE it: the partitioned overwrite runs under the session-wide
+    dynamic partitionOverwriteMode, which only replaces partitions
+    present in the new frame — without the pre-drop, a committed
+    __batch=7 partition from the old generation survives the rebuild as
+    phantom index rows that reject fresh docs (ADVICE r4, medium)."""
+    import os
+
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn)
+
+    build_dedup_index(catalog, _docs(spark, BASE), stream_index=True, **LSH)
+    apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 7, **LSH)
+    assert sorted(os.listdir(catalog.path("minhash_index")))[:2] == \
+        ["__batch=-1", "__batch=7"]
+
+    # rebuild over the live index from a SMALLER corpus
+    assert build_dedup_index(catalog, _docs(spark, BASE[:2]),
+                             stream_index=True, **LSH) == 2
+    # the old generation is gone: no stale __batch=7 dir, ledger reset
+    batches = [d for d in os.listdir(catalog.path("minhash_index"))
+               if d.startswith("__batch=")]
+    assert batches == ["__batch=-1"]
+    assert [r["__batch"] for r in
+            catalog.read("minhash_index_commits").collect()] == [-1]
+    assert (catalog.read("minhash_index").select("doc")
+            .distinct().count() == 2)
+
+    # docs absent from the rebuilt corpus are fresh again — the phantom
+    # __batch=7 rows would have rejected 12 and 14 here; 11 is still
+    # rejected legitimately (near-copy of base doc 1, in the rebuild)
+    apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 8, **LSH)
+    got = sorted(r.doc_id for r in
+                 catalog.read("stream_corpus").collect())
+    assert got == [12, 14]
+
+
+def test_flat_rebuild_retires_stale_commit_ledger(spark, catalog):
+    """Rebuilding FLAT over a previous stream-owned generation drops the
+    now-meaningless commit ledger (probing flat with committed_only
+    raises by contract; a stale ledger was disk junk)."""
+    build_dedup_index(catalog, _docs(spark, BASE), stream_index=True, **LSH)
+    assert catalog.exists("minhash_index_commits")
+    build_dedup_index(catalog, _docs(spark, BASE), **LSH)
+    assert not catalog.exists("minhash_index_commits")
+    assert "__batch" not in catalog.read("minhash_index").columns

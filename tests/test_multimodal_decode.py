@@ -54,6 +54,31 @@ def test_sniff_dimensions_pure():
     assert _sniff_dimensions(_png(8, 5)[:20]) is None
 
 
+def test_sniff_jpeg_marker_variants():
+    """The segment walk handles real-world JPEG marker streams (ADVICE
+    r4): 0xFF fill bytes before a marker, length-less standalone
+    markers (TEM, RSTn), every SOF variant that carries dimensions
+    (e.g. SOF9 arithmetic, SOF7 lossless), and gives up cleanly at EOI
+    or on DHT-only streams instead of misreading them as frames."""
+    def seg(marker, body=b""):
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
+
+    sof_body = struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x11\x00"
+    # fill bytes + TEM + RST2 + an APP0 segment before SOF9
+    jpg = (b"\xff\xd8" + b"\xff" * 3 + b"\x01" + b"\xff\xd2"
+           + seg(0xE0, b"JFIF\x00") + seg(0xC9, sof_body))
+    assert _sniff_dimensions(jpg) == (640, 480, "RGB")
+    # SOF7 (lossless), single component -> mode L
+    sof_gray = struct.pack(">BHHB", 8, 12, 34, 1) + b"\x01\x11\x00"
+    assert _sniff_dimensions(
+        b"\xff\xd8" + seg(0xC7, sof_gray)) == (34, 12, "L")
+    # DHT (0xC4) is NOT a frame; EOI terminates the walk -> None
+    assert _sniff_dimensions(
+        b"\xff\xd8" + seg(0xC4, b"\x00" * 4) + b"\xff\xd9") is None
+    # truncated mid-SOF must not raise
+    assert _sniff_dimensions(jpg[:len(jpg) - 6]) is None
+
+
 def test_extract_features_mixed_branches(spark):
     png, gif = _png(8, 5), _gif(33, 12)
     txt = b"just some opaque bytes"

@@ -427,3 +427,60 @@ def test_bm25_txn_append_crash_replay(spark, sf_small, tmp_path):
         append_bm25_increment_txn(legacy, second, 1)
     with pytest.raises(ValueError, match="append_bm25_increment_txn"):
         build_bm25_index(legacy, second, append=True, txn=True)
+
+
+def test_bm25_rebuild_replaces_stale_partitions(spark, sf_small, tmp_path):
+    """Rebuilding a BM25 index over an existing generation must fully
+    REPLACE it: the partitioned overwrites run under dynamic
+    partitionOverwriteMode, so without the pre-drop a committed
+    __batch=5 partition (txn layout) or term_buckets absent from the
+    smaller rebuild corpus (legacy layout) survive as phantom rows
+    that double-count into scores (ADVICE r4, medium)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        append_bm25_increment_txn,
+        bm25_topk,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    docs = load_table(spark, sf_small, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    queries = spark.createDataFrame(
+        [(0, " ".join(docs.orderBy("doc_id").limit(1)
+                      .collect()[0].text.lower().split()[:6]))],
+        "query_id long, text string")
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    build_bm25_index(catalog, first, txn=True)
+    append_bm25_increment_txn(catalog, second, 5)
+
+    # rebuild txn over the live two-batch index from the SMALLER corpus
+    build_bm25_index(catalog, first, txn=True)
+    for t in ("bm25_tf", "bm25_df", "bm25_stats"):
+        batches = {d for d in os.listdir(catalog.path(t))
+                   if d.startswith("__batch=")}
+        assert batches == {"__batch=-1"}, t
+    assert [r["__batch"] for r in
+            catalog.read("bm25_commits").collect()] == [-1]
+    # probe scores match the direct path over ONLY the rebuilt corpus
+    # (phantom rows would shift N, avgdl, df and every score)
+    got = sorted(map(tuple,
+                     bm25_topk_from_index(catalog, queries).collect()))
+    want = sorted(map(tuple, bm25_topk(first, queries).collect()))
+    assert got == want
+
+    # legacy flat rebuild over the txn generation: __batch layout and
+    # stale ledger retired, scores again match the direct path
+    build_bm25_index(catalog, second)
+    assert not catalog.exists("bm25_commits")
+    assert "__batch" not in catalog.read("bm25_tf").columns
+    got = sorted(map(tuple,
+                     bm25_topk_from_index(catalog, queries).collect()))
+    want = sorted(map(tuple, bm25_topk(second, queries).collect()))
+    assert got == want

@@ -18,33 +18,41 @@ from apsviz_timeseriesdb_ingest_spark.sources.warc import (
 
 def _wet_bytes() -> bytes:
     def record(headers: dict, body: str) -> str:
+        headers = {**headers,
+                   "Content-Length": str(len(body.encode("utf-8")))}
         head = "".join(f"{k}: {v}\r\n" for k, v in headers.items())
         return f"WARC/1.0\r\n{head}\r\n{body}\r\n\r\n"
 
     info = record(
-        {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:info>",
-         "Content-Length": "4"}, "robots: obey")
+        {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:info>"},
+        "robots: obey")
     page1 = record(
         {"WARC-Type": "conversion",
          "WARC-Target-URI": "https://example.com/a",
          "WARC-Date": "2024-03-01T12:30:00Z",
-         "WARC-Record-ID": "<urn:uuid:r1>",
-         "Content-Length": "26"},
+         "WARC-Record-ID": "<urn:uuid:r1>"},
         "Hello crawl world.\nSecond line of page one.")
     empty = record(
         {"WARC-Type": "conversion",
          "WARC-Target-URI": "https://example.com/empty",
          "WARC-Date": "2024-03-01T12:31:00Z",
-         "WARC-Record-ID": "<urn:uuid:r2>",
-         "Content-Length": "0"}, "")
+         "WARC-Record-ID": "<urn:uuid:r2>"}, "")
     bad_date = record(
         {"WARC-Type": "conversion",
          "WARC-Target-URI": "https://example.com/b",
          "WARC-Date": "not-a-date",
-         "WARC-Record-ID": "<urn:uuid:r3>",
-         "Content-Length": "9"}, "Short doc")
+         "WARC-Record-ID": "<urn:uuid:r3>"}, "Short doc")
+    # a page that embedded a verbatim WARC marker: the lineSep split
+    # tears it — leading fragment keeps a valid header over TRUNCATED
+    # text (Content-Length disagrees), trailing fragment is headerless
+    embedded = record(
+        {"WARC-Type": "conversion",
+         "WARC-Target-URI": "https://example.com/embedded",
+         "WARC-Date": "2024-03-01T12:32:00Z",
+         "WARC-Record-ID": "<urn:uuid:r4>"},
+        "page quoting a warc file WARC/1.0\r\ntail after the marker")
     torn = "WARC/1.0\r\nWARC-Type: conversion\r\nno blank line here"
-    return (info + page1 + empty + bad_date + torn).encode()
+    return (info + page1 + empty + bad_date + embedded + torn).encode()
 
 
 def _write(tmp_path, gz: bool) -> str:
@@ -81,7 +89,11 @@ def test_read_wet_min_chars_and_quarantine(spark, tmp_path):
     assert read_wet(spark, path, min_text_chars=10).count() == 1
     q = {r.warc_type: r.n_records
          for r in wet_quarantine_counts(spark, path).collect()}
-    assert q == {"warcinfo": 1, "conversion": 3, "_torn": 1}
+    # _torn = the headerless trailing fragment of the embedded-marker
+    # record + the original torn record; _truncated = that record's
+    # leading fragment (valid header, body bytes != Content-Length)
+    assert q == {"warcinfo": 1, "conversion": 3, "_torn": 2,
+                 "_truncated": 1}
 
 
 def test_read_wet_composes_into_pipeline(spark, tmp_path):
