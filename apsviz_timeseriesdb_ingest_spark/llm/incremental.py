@@ -103,29 +103,35 @@ def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
     buckets = minhash_band_buckets(docs, text_col=text_col, id_col=id_col,
                                    **lsh_kw)
     spark = docs.sparkSession
-    # A rebuild must fully REPLACE the index. The stream layout's
-    # overwrite is partitioned and the session default is DYNAMIC
-    # partition overwrite, which only replaces partitions present in
-    # the new frame — rebuilding over an existing stream index would
-    # leave stale __batch partitions (and their phantom rows) on disk
-    # (ADVICE r4). Dropping also retires a stale commit ledger when
-    # rebuilding FLAT over a previous stream-owned generation.
-    catalog.drop(table)
-    catalog.drop(commits_table(table))
-    if stream_index:
-        catalog.overwrite(buckets.withColumn("__batch", F.lit(-1).cast("long")),
-                          table, partition_by=["__batch"])
-        catalog.overwrite(spark.createDataFrame([(-1,)], "__batch long"),
-                          commits_table(table))
-    else:
-        catalog.overwrite(buckets, table)
-    # overwrite (not check): a rebuild REDEFINES the geometry
-    params = {**LSH_DEFAULTS, **lsh_kw}
-    catalog.overwrite(
-        spark.createDataFrame(
-            [(params["k"], params["num_hashes"], params["bands"],
-              params["fast"])], _META_SCHEMA), _meta_table(table))
-    return catalog.read(table).select("doc").distinct().count()
+    # A rebuild must fully REPLACE the index (a partitioned overwrite
+    # under the session's DYNAMIC mode would leave stale __batch
+    # partitions and phantom rows — ADVICE r4), but dropping the old
+    # generation BEFORE the rebuild job runs left a window where any
+    # rebuild failure destroyed the index entirely (ADVICE r5). Staged
+    # rebuild closes both: the new generation lands in __staging names
+    # and the old one survives, readable, until the post-job directory
+    # swap. A FLAT rebuild stages no commits ledger, so publish retires
+    # a previous stream-owned generation's ledger. Meta publishes LAST:
+    # a crash mid-swap leaves a params-check failure, not a silent
+    # wrong-geometry probe.
+    with catalog.staged_rebuild(table, commits_table(table),
+                                _meta_table(table)) as stage:
+        if stream_index:
+            catalog.overwrite(
+                buckets.withColumn("__batch", F.lit(-1).cast("long")),
+                stage(table), partition_by=["__batch"])
+            catalog.overwrite(spark.createDataFrame([(-1,)], "__batch long"),
+                              stage(commits_table(table)))
+        else:
+            catalog.overwrite(buckets, stage(table))
+        # overwrite (not check): a rebuild REDEFINES the geometry
+        params = {**LSH_DEFAULTS, **lsh_kw}
+        catalog.overwrite(
+            spark.createDataFrame(
+                [(params["k"], params["num_hashes"], params["bands"],
+                  params["fast"])], _META_SCHEMA), stage(_meta_table(table)))
+        n = catalog.read(stage(table)).select("doc").distinct().count()
+    return n
 
 
 def plan_increment(catalog: Catalog, new_docs: DataFrame, *,

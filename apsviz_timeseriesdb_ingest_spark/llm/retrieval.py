@@ -227,33 +227,43 @@ def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
     """
     spark = docs.sparkSession
     tf, dfreq, stats = _bm25_counts(docs, text_col, id_col)
-    if not append:
-        # A rebuild must fully REPLACE the index, but these overwrites
-        # are partitioned and the session default is DYNAMIC partition
-        # overwrite, which only replaces partitions present in the new
-        # frame — rebuilding over an existing index would leave stale
-        # __batch / term_bucket partitions on disk and phantom rows in
-        # probes (ADVICE r4). Drop the whole generation first.
-        for t in ("_tf", "_df", "_stats", "_commits"):
-            catalog.drop(f"{table}{t}")
-    if txn:
-        if append:
-            raise ValueError("txn=True rebuilds the layout; use "
-                             "append_bm25_increment_txn for increments")
-        bid = F.lit(-1).cast("long")
-        catalog.overwrite(tf.withColumn("__batch", bid), f"{table}_tf",
-                          partition_by=["__batch", "term_bucket"])
-        catalog.overwrite(dfreq.withColumn("__batch", bid), f"{table}_df",
-                          partition_by=["__batch", "term_bucket"])
-        catalog.overwrite(stats.withColumn("__batch", bid),
-                          f"{table}_stats", partition_by=["__batch"])
-        catalog.overwrite(spark.createDataFrame([(-1,)], "__batch long"),
-                          f"{table}_commits")
+    if txn and append:
+        raise ValueError("txn=True rebuilds the layout; use "
+                         "append_bm25_increment_txn for increments")
+    if append:
+        catalog.append(tf, f"{table}_tf", partition_by=["term_bucket"])
+        catalog.append(dfreq, f"{table}_df", partition_by=["term_bucket"])
+        catalog.append(stats, f"{table}_stats")
         return
-    write = catalog.append if append else catalog.overwrite
-    write(tf, f"{table}_tf", partition_by=["term_bucket"])
-    write(dfreq, f"{table}_df", partition_by=["term_bucket"])
-    write(stats, f"{table}_stats")
+    # A rebuild must fully REPLACE the index: a partitioned overwrite
+    # under the session's DYNAMIC mode would leave stale __batch /
+    # term_bucket partitions and phantom rows in probes (ADVICE r4) —
+    # but dropping the generation BEFORE the rebuild job left a window
+    # where any failure destroyed the index entirely (ADVICE r5). The
+    # staged rebuild writes the new generation to __staging names and
+    # swaps after the job succeeds; a flat rebuild stages no commits
+    # ledger, so publish retires a previous txn generation's ledger.
+    names = [f"{table}{t}" for t in ("_tf", "_df", "_stats", "_commits")]
+    with catalog.staged_rebuild(*names) as stage:
+        if txn:
+            bid = F.lit(-1).cast("long")
+            catalog.overwrite(tf.withColumn("__batch", bid),
+                              stage(f"{table}_tf"),
+                              partition_by=["__batch", "term_bucket"])
+            catalog.overwrite(dfreq.withColumn("__batch", bid),
+                              stage(f"{table}_df"),
+                              partition_by=["__batch", "term_bucket"])
+            catalog.overwrite(stats.withColumn("__batch", bid),
+                              stage(f"{table}_stats"),
+                              partition_by=["__batch"])
+            catalog.overwrite(spark.createDataFrame([(-1,)], "__batch long"),
+                              stage(f"{table}_commits"))
+        else:
+            catalog.overwrite(tf, stage(f"{table}_tf"),
+                              partition_by=["term_bucket"])
+            catalog.overwrite(dfreq, stage(f"{table}_df"),
+                              partition_by=["term_bucket"])
+            catalog.overwrite(stats, stage(f"{table}_stats"))
 
 
 def _bm25_counts(docs: DataFrame, text_col: str, id_col: str):

@@ -262,6 +262,28 @@ class Catalog:
             out.append(col)
             p = os.path.join(p, sub[0])
 
+    def staged_rebuild(self, *tables: str) -> "StagedRebuild":
+        """Crash-safe whole-generation rebuild for a FAMILY of tables
+        (an index plus its sidecars) on plain parquet::
+
+            with catalog.staged_rebuild("idx", "idx_meta") as stage:
+                catalog.overwrite(frame, stage("idx"), partition_by=[...])
+                catalog.overwrite(meta, stage("idx_meta"))
+            # publish happened here — or nothing happened at all
+
+        The new generation is written to ``{table}__staging`` names; on
+        clean exit each declared table is atomically-ish replaced by its
+        staged content (drop + directory rename — milliseconds, no job
+        execution). A failure ANYWHERE during the (expensive) rebuild
+        job leaves the OLD generation fully readable and drops the
+        staging dirs — closing the destroy-then-write window where a
+        failed rebuild left NO index at all (ADVICE r5). A declared
+        table with no staged content is dropped at publish (how a flat
+        rebuild retires a previous stream generation's commit ledger).
+        Leftover staging dirs from a crashed build are cleared on entry.
+        Single-writer, like every plain-parquet mutation here."""
+        return StagedRebuild(self, tables)
+
     def compact(self, table: str, *, partitions: int | None = None) -> None:
         """Rewrite a table to heal the small-file problem incremental
         merges accumulate (many micro-batches → many tiny parquet files).
@@ -313,3 +335,47 @@ class Catalog:
     def read_table(self, table: str) -> DataFrame:
         """Read a session-catalog (possibly bucketed) table by name."""
         return self.spark.table(table)
+
+
+_STAGING_SUFFIX = "__staging"
+
+
+class StagedRebuild:
+    """Context manager behind :meth:`Catalog.staged_rebuild` — see its
+    docstring for the contract. The publish order is the declaration
+    order, so callers can put the table probes consult for validity
+    LAST (e.g. the params/meta sidecar) and a crash mid-publish is
+    detected rather than silently mixed-generation."""
+
+    def __init__(self, catalog: Catalog, tables: Sequence[str]):
+        if not tables:
+            raise ValueError("staged_rebuild needs at least one table")
+        self.catalog = catalog
+        self.tables = list(tables)
+
+    def __call__(self, table: str) -> str:
+        """Staging name for a declared table (the only names a rebuild
+        body may write — writing the final name directly would reopen
+        the destroy-then-write window this exists to close)."""
+        if table not in self.tables:
+            raise ValueError(
+                f"table '{table}' was not declared to staged_rebuild"
+                f" ({self.tables})")
+        return table + _STAGING_SUFFIX
+
+    def __enter__(self) -> "StagedRebuild":
+        for t in self.tables:
+            self.catalog.drop(t + _STAGING_SUFFIX)
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            # failed rebuild: old generation untouched, staging retired
+            for t in self.tables:
+                self.catalog.drop(t + _STAGING_SUFFIX)
+            return
+        for t in self.tables:
+            staged = self.catalog.path(t + _STAGING_SUFFIX)
+            self.catalog.drop(t)
+            if os.path.isdir(staged):
+                os.rename(staged, self.catalog.path(t))

@@ -249,6 +249,58 @@ def test_stream_index_rebuild_replaces_stale_batches(spark, catalog):
     assert got == [12, 14]
 
 
+def test_failed_rebuild_keeps_old_generation(spark, catalog, monkeypatch):
+    """A rebuild that fails mid-job must leave the OLD index generation
+    fully readable and probe-able (ADVICE r5: the previous drop-then-
+    write order left NO index, no meta, and no commit ledger on any
+    rebuild failure). The staged rebuild writes __staging names and
+    swaps only after the job succeeds."""
+    import os
+
+    build_dedup_index(catalog, _docs(spark, BASE), **LSH)
+    before = sorted(r.doc for r in catalog.read("minhash_index")
+                    .select("doc").distinct().collect())
+
+    real_overwrite = Catalog.overwrite
+    calls = {"n": 0}
+
+    def failing_overwrite(self, df, table, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected rebuild failure")
+        return real_overwrite(self, df, table, **kw)
+
+    monkeypatch.setattr(Catalog, "overwrite", failing_overwrite)
+    with pytest.raises(RuntimeError, match="injected"):
+        build_dedup_index(catalog, _docs(spark, BASE + INCREMENT), **LSH)
+    monkeypatch.undo()
+
+    # old generation intact: same docs, same meta, probes still work
+    after = sorted(r.doc for r in catalog.read("minhash_index")
+                   .select("doc").distinct().collect())
+    assert after == before
+    assert catalog.exists("minhash_index_meta")
+    assert dedup_increment(
+        catalog, _docs(spark, INCREMENT), **LSH).count() == 2
+    # no staging junk left behind
+    assert not any(t.endswith("__staging")
+                   for t in os.listdir(catalog.warehouse))
+
+
+def test_staged_rebuild_contract(spark, catalog):
+    """StagedRebuild rejects undeclared table names and clears leftover
+    staging dirs from a crashed previous build on entry."""
+    stale = spark.createDataFrame([(1,)], "x long")
+    catalog.overwrite(stale, "idx__staging")
+    with catalog.staged_rebuild("idx") as stage:
+        assert stage("idx") == "idx__staging"
+        # entry cleared the crashed build's leftover staging dir
+        assert not catalog.exists("idx__staging")
+    with pytest.raises(ValueError, match="not declared"):
+        with catalog.staged_rebuild("idx") as stage:
+            stage("other")
+
+
 def test_flat_rebuild_retires_stale_commit_ledger(spark, catalog):
     """Rebuilding FLAT over a previous stream-owned generation drops the
     now-meaningless commit ledger (probing flat with committed_only

@@ -484,3 +484,51 @@ def test_bm25_rebuild_replaces_stale_partitions(spark, sf_small, tmp_path):
                      bm25_topk_from_index(catalog, queries).collect()))
     want = sorted(map(tuple, bm25_topk(second, queries).collect()))
     assert got == want
+
+
+def test_bm25_failed_rebuild_keeps_old_generation(spark, sf_small,
+                                                  tmp_path, monkeypatch):
+    """A BM25 rebuild that fails mid-job must leave the OLD index
+    generation readable and probe-able (ADVICE r5: drop-then-write left
+    no index at all on any rebuild failure)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    docs = load_table(spark, sf_small, "documents")
+    queries = spark.createDataFrame(
+        [(0, " ".join(docs.orderBy("doc_id").limit(1)
+                      .collect()[0].text.lower().split()[:6]))],
+        "query_id long, text string")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    build_bm25_index(catalog, docs, txn=True)
+    before = sorted(map(tuple,
+                        bm25_topk_from_index(catalog, queries).collect()))
+
+    real_overwrite = Catalog.overwrite
+    calls = {"n": 0}
+
+    def failing_overwrite(self, df, table, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail after the first staged table lands
+            raise RuntimeError("injected rebuild failure")
+        return real_overwrite(self, df, table, **kw)
+
+    monkeypatch.setattr(Catalog, "overwrite", failing_overwrite)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected"):
+        build_bm25_index(catalog,
+                         docs.filter(F.col("doc_id") % 2 == 0), txn=True)
+    monkeypatch.undo()
+
+    after = sorted(map(tuple,
+                       bm25_topk_from_index(catalog, queries).collect()))
+    assert after == before
+    assert not any(t.endswith("__staging")
+                   for t in os.listdir(catalog.warehouse))
