@@ -23,3 +23,20 @@ def all_oracles():
     out.update(relational.ORACLES)
     out.update(llmdata.ORACLES)
     return out
+
+
+def displaced_queries():
+    """Queries rotated OUT of the 50-row driver gate (registered with
+    ``gate=False``) — still implemented, still oracle-checked in pytest
+    (``tests/test_displaced_oracles.py``)."""
+    out = {}
+    out.update(relational.query.displaced_queries)
+    out.update(llmdata.query.displaced_queries)
+    return out
+
+
+def displaced_oracles():
+    out = {}
+    out.update(relational.query.displaced_oracles)
+    out.update(llmdata.query.displaced_oracles)
+    return out

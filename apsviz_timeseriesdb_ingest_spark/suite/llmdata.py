@@ -879,3 +879,318 @@ def llm_ann_assign(spark, sf_dir):
                       centroid_ids=_CENTROID_IDS)
 
 
+
+
+# --- r6 gate rotation: retrieval fusion, membership scoring, drift, ------
+# --- semantic dedup, cross-corpus dedup, WET parsing ----------------------
+
+@query("llm_rrf_fuse", sql="""
+    WITH ra AS (SELECT lang AS q, doc_id AS doc,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id) AS rnk
+                FROM documents QUALIFY rnk <= 10),
+    rb AS (SELECT lang AS q, doc_id AS doc,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(text), doc_id) AS rnk
+           FROM documents QUALIFY rnk <= 10),
+    u AS (SELECT q, doc, CAST(1.0 / (60 + rnk) AS DECIMAL(38,18)) AS s
+          FROM ra
+          UNION ALL
+          SELECT q, doc, CAST(1.0 / (60 + rnk) AS DECIMAL(38,18)) AS s
+          FROM rb),
+    f AS (SELECT q, doc, round(CAST(sum(s) AS DOUBLE), 9) AS rrf,
+                 count(*)::BIGINT AS n_systems
+          FROM u GROUP BY q, doc)
+    SELECT q AS query_id, doc AS doc_id, rrf, n_systems,
+           row_number() OVER (PARTITION BY q
+                              ORDER BY rrf DESC, doc) AS rnk
+    FROM f QUALIFY rnk <= 5
+""")
+def llm_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion (``llm/retrieval.py rrf_fuse`` — the
+    hybrid-retrieval combiner for lexical + dense rankings) over two
+    deterministic per-language rankings of the documents table (length
+    rank and md5-order rank — incomparable scores, comparable ranks,
+    exactly the situation RRF exists for). DECIMAL(38,18) contribution
+    sums make the fused score order-independent across engines."""
+    from pyspark.sql import Window
+
+    from ..llm.retrieval import rrf_fuse
+    docs = tables(spark, sf_dir, "documents")
+    wa = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    wb = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    ra = (docs.select(F.col("lang").alias("query_id"), "doc_id",
+                      F.row_number().over(wa).alias("rnk"))
+          .filter(F.col("rnk") <= 10))
+    rb = (docs.select(F.col("lang").alias("query_id"), "doc_id",
+                      F.row_number().over(wb).alias("rnk"))
+          .filter(F.col("rnk") <= 10))
+    return rrf_fuse([ra, rb], k=60, top_k=5)
+
+
+@query("llm_min_k_prob", sql=f"""
+    WITH tk AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    vocab AS (SELECT count(DISTINCT t) + 1 AS v
+              FROM (SELECT unnest(ts) AS t FROM tk)),
+    ng AS (SELECT doc_id, concat_ws(' ', ts[i], ts[i + 1]) AS context,
+                  ts[i + 2] AS token
+           FROM tk, unnest(range(1, greatest(len(ts) - 1, 1))) AS r(i)),
+    ng_counts AS (SELECT context, token, count(*)::BIGINT AS c
+                  FROM ng GROUP BY context, token),
+    cx_counts AS (SELECT context, sum(c)::BIGINT AS c FROM ng_counts
+                  GROUP BY context),
+    scored AS (SELECT g.doc_id,
+                      ln(coalesce(nc.c, 0) + 0.1)
+                      - ln(coalesce(cc.c, 0) + 0.1 * vocab.v) AS logp
+               FROM ng g
+               LEFT JOIN ng_counts nc
+                 ON g.context = nc.context AND g.token = nc.token
+               LEFT JOIN cx_counts cc ON g.context = cc.context
+               CROSS JOIN vocab),
+    agg AS (SELECT doc_id, list_sort(list(logp)) AS lp FROM scored
+            GROUP BY doc_id),
+    mk AS (SELECT doc_id, len(lp)::BIGINT AS n_ngrams,
+                  greatest(CAST(ceil(len(lp) * 0.2) AS INT), 1)::BIGINT
+                      AS n_bottom,
+                  lp FROM agg)
+    SELECT t.doc_id, coalesce(mk.n_ngrams, 0) AS n_ngrams,
+           coalesce(mk.n_bottom, 0) AS n_bottom,
+           CASE WHEN mk.n_ngrams > 0
+                THEN round(list_reduce(lp[1:CAST(mk.n_bottom AS INT)],
+                                       (a, x) -> a + x) / mk.n_bottom, 9)
+           END AS min_k_avg_logp
+    FROM tk t LEFT JOIN mk ON t.doc_id = mk.doc_id
+""")
+def llm_min_k_prob(spark, sf_dir):
+    """Min-K% probability membership score (``llm/lm.py min_k_prob``,
+    Shi et al. 2023): mean log-prob of each doc's LOWEST 20% of trigram
+    events under the corpus LM — the same scored-events stage the
+    perplexity gate exercises, plus the per-doc sorted bottom-k slice.
+    The oracle folds the sorted slice left-to-right exactly as the
+    Spark side's ``F.aggregate`` does, so the double sums are
+    bit-identical."""
+    from ..llm.lm import min_k_prob, train_ngram_lm
+    docs = tables(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs, n=3)
+    out = min_k_prob(docs, lm, k_frac=0.2, add_k=0.1)
+    return out.select("doc_id",
+                      F.col("n_ngrams").cast("long").alias("n_ngrams"),
+                      F.col("n_bottom").cast("long").alias("n_bottom"),
+                      "min_k_avg_logp")
+
+
+@query("llm_composition_drift", sql="""
+    WITH ca AS (SELECT source AS grp, count(*)::BIGINT AS n_a
+                FROM documents GROUP BY source),
+    cb AS (SELECT source AS grp, count(*)::BIGINT AS n_b
+           FROM documents WHERE doc_id % 3 <> 0 GROUP BY source),
+    j AS (SELECT coalesce(ca.grp, cb.grp) AS grp,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+          FROM ca FULL JOIN cb ON ca.grp = cb.grp),
+    t AS (SELECT grp, n_a, n_b,
+                 n_a / (SELECT sum(n_a) FROM j) AS p,
+                 n_b / (SELECT sum(n_b) FROM j) AS q
+          FROM j)
+    SELECT grp, n_a, n_b,
+           round(p, 9) AS frac_a, round(q, 9) AS frac_b,
+           round(q - p, 9) AS delta,
+           round(CASE WHEN n_a > 0 THEN p / 2 * ln(p / ((p + q) / 2))
+                      ELSE 0.0 END
+                 + CASE WHEN n_b > 0 THEN q / 2 * ln(q / ((p + q) / 2))
+                        ELSE 0.0 END, 9) AS js_term
+    FROM t
+""")
+def llm_composition_drift(spark, sf_dir):
+    """Corpus composition drift (``llm/text.py composition_drift``):
+    per-source document fractions of the full corpus vs a filtered pass
+    (every third doc dropped), with each group's Jensen-Shannon
+    divergence term — sum(js_term) IS the JS divergence of the mix
+    shift. Two group-cardinality aggregates; corpus-sized work is only
+    the counts."""
+    from ..llm.text import composition_drift
+    docs = tables(spark, sf_dir, "documents")
+    return composition_drift(docs, docs.filter(F.col("doc_id") % 3 != 0),
+                             group_col="source")
+
+
+def _semantic_dedup_sql(threshold: float = 0.4) -> str:
+    """Oracle for SemDeDup: literal-centroid cell assignment (the
+    llm_kmeans_assign expression), within-cell cosine pairs, then
+    min-label propagation over the duplicate graph as a RECURSIVE CTE
+    (the UNION dedups states, so propagation terminates once every node
+    knows the smallest id in its component — exactly the connected-
+    components semantics of ``dedup_keep_representative``)."""
+    sims = []
+    for c in _KMEANS_CENTROIDS:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        s = f"list_cosine_similarity(e, {lit})"
+        sims.append(f"CASE WHEN isnan({s}) THEN -2.0 ELSE {s} END")
+    s_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(sims))
+    k = len(sims)
+    cases = " ".join(
+        "WHEN " + " AND ".join(f"s{i} >= s{j}" for j in range(i + 1, k))
+        + f" THEN {i}" for i in range(k - 1))
+    cos = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+           " * sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+        WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                             FROM embeddings),
+        s AS (SELECT vec_id, e, {s_cols} FROM v),
+        cells AS (SELECT vec_id, e, CASE {cases} ELSE {k - 1} END AS cell
+                  FROM s),
+        pr AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+               FROM cells a JOIN cells b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+               WHERE round(CASE WHEN isnan({cos}) THEN 0.0
+                           ELSE {cos} END, 6) >= {threshold}),
+        edges AS (SELECT pa AS src, pb AS dst FROM pr
+                  UNION ALL SELECT pb, pa FROM pr),
+        cc(id, rep) AS (SELECT DISTINCT src, src FROM edges
+                        UNION
+                        SELECT e.dst, cc.rep FROM cc
+                        JOIN edges e ON cc.id = e.src
+                        WHERE cc.rep < e.dst),
+        reps AS (SELECT id, min(rep) AS rep FROM cc GROUP BY id),
+        losers AS (SELECT id FROM reps WHERE rep < id)
+        SELECT em.vec_id, em.label FROM embeddings em
+        ANTI JOIN losers l ON em.vec_id = l.id
+    """
+
+
+@query("llm_semantic_dedup", sql=_semantic_dedup_sql())
+def llm_semantic_dedup(spark, sf_dir):
+    """SemDeDup (``llm/similarity.py semantic_dedup``, Abbas et al.
+    2023) with the gate's 4 literal centroids: cluster the embedding
+    space map-side, call within-cell cosine >= 0.4 duplicates,
+    keep the smallest id per connected duplicate group. Candidate work
+    is sum-of-|cell|^2, never corpus^2."""
+    from ..llm.similarity import semantic_dedup
+    emb = tables(spark, sf_dir, "embeddings")
+    return (semantic_dedup(emb, _KMEANS_CENTROIDS, threshold=0.4)
+            .select("vec_id", "label"))
+
+
+@query("llm_cross_corpus_neardup", sql=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS ts FROM documents),
+    shq AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM toks),
+    exs AS (SELECT doc_id AS doc, unnest(sh) AS sh FROM shq),
+    ex AS (SELECT doc, {_md5int_sql('sh')} AS shash FROM exs),
+    hashes AS (SELECT doc, seed,
+               (a * (shash % 2147483647) + b) % 2147483647 AS h
+               FROM ex, {_minhash_seeds_sql(16)}),
+    sig AS (SELECT doc, seed, min(h) AS minhash FROM hashes
+            GROUP BY doc, seed),
+    buckets AS (SELECT doc, CAST(seed // 4 AS INT) AS band,
+                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed))
+                    AS bucket
+                FROM sig GROUP BY doc, CAST(seed // 4 AS INT)),
+    cand AS (SELECT DISTINCT a.doc AS cdoc, b.doc AS rdoc
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+             WHERE a.doc % 2 = 0 AND b.doc % 2 = 1),
+    sizes AS (SELECT doc, count(*) AS n FROM exs GROUP BY doc),
+    inter AS (SELECT c.cdoc, c.rdoc, count(*) AS ni
+              FROM cand c
+              JOIN exs ea ON ea.doc = c.cdoc
+              JOIN exs eb ON eb.doc = c.rdoc AND eb.sh = ea.sh
+              GROUP BY c.cdoc, c.rdoc),
+    best AS (SELECT c.cdoc,
+                    round(max(coalesce(i.ni, 0)
+                              / (na.n + nb.n - coalesce(i.ni, 0))), 6)
+                        AS best_jaccard
+             FROM cand c
+             LEFT JOIN inter i ON i.cdoc = c.cdoc AND i.rdoc = c.rdoc
+             JOIN sizes na ON na.doc = c.cdoc
+             JOIN sizes nb ON nb.doc = c.rdoc
+             GROUP BY c.cdoc)
+    SELECT d.doc_id,
+           coalesce(best_jaccard >= 0.5, FALSE) AS neardup_of_reference,
+           best_jaccard
+    FROM documents d LEFT JOIN best ON best.cdoc = d.doc_id
+    WHERE d.doc_id % 2 = 0
+""")
+def llm_cross_corpus_neardup(spark, sf_dir):
+    """Cross-corpus near-dedup (``llm/dedup.py cross_corpus_neardup``):
+    flag even-doc_id corpus docs that near-duplicate any odd-doc_id
+    reference doc — MinHash band buckets on both sides, cross-side
+    (band, bucket) equi-join for candidates, exact 3-shingle Jaccard
+    verify bounded to candidates (never corpus^2)."""
+    from ..llm.dedup import cross_corpus_neardup
+    docs = tables(spark, sf_dir, "documents")
+    return cross_corpus_neardup(docs.filter(F.col("doc_id") % 2 == 0),
+                                docs.filter(F.col("doc_id") % 2 == 1),
+                                k=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+@query("wet_parse", sql="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN 'warcinfo'
+                WHEN doc_id % 7 = 0 THEN '_torn'
+                WHEN doc_id % 5 = 0 THEN '_truncated'
+                ELSE 'conversion' END AS warc_type,
+           '<urn:uuid:' || doc_id || '>' AS record_id,
+           'https://example.com/' || doc_id AS url,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE '2024-03-01 12:00:00' END AS warc_date,
+           (CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0 THEN 0
+                 ELSE length(text) END)::BIGINT AS n_chars,
+           CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0 THEN md5('')
+                ELSE md5(text) END AS text_md5
+    FROM documents
+""")
+def wet_parse(spark, sf_dir):
+    """WET (Common Crawl) record parsing semantics under the
+    independent hash gate: construct one WARC record per document row
+    (with deterministic malformed variants) and push it through the
+    REAL parser (``sources/warc.py parse_wet_records`` — the shared
+    core of read_wet and wet_quarantine_counts). The oracle states the
+    EXPECTED parse independently from the construction rules, so
+    header-field extraction, record classification, and byte-exact body
+    isolation are all hash-checked:
+
+    - doc_id % 11 == 0: a ``warcinfo`` record (dropped-by-type class);
+    - doc_id %  7 == 0: TORN — header with no blank-line split
+      (classified ``_torn``, body empty);
+    - doc_id %  5 == 0: TRUNCATED — Content-Length overstates the body
+      by 10 bytes (the marker-torn leading-fragment signature);
+    - doc_id % 13 == 0: malformed WARC-Date (``try_to_timestamp`` ->
+      NULL, record survives — the ANSI no-abort rule);
+    - doc_id %  3 == 0 (plain conversions): Content-Length UNDERSTATES
+      the body by 5 bytes — the U+FFFD-inflation shape a complete
+      record with invalid input bytes produces; must still classify
+      ``conversion`` (the strictly-shorter check, ADVICE r5).
+    """
+    from ..sources.warc import parse_wet_records
+    docs = tables(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    typ_hdr = (F.when(d % 11 == 0, F.lit("warcinfo"))
+               .otherwise(F.lit("conversion")))
+    date_hdr = (F.when(d % 13 == 0, F.lit("not-a-date"))
+                .otherwise(F.lit("2024-03-01T12:00:00Z")))
+    octets = F.octet_length(F.encode("text", "UTF-8"))
+    plain = (d % 11 != 0) & (d % 7 != 0)
+    declared = (octets
+                + F.when(plain & (d % 5 == 0), F.lit(10)).otherwise(F.lit(0))
+                - F.when(plain & (d % 5 != 0) & (d % 3 == 0),
+                         F.lit(5)).otherwise(F.lit(0)))
+    header = F.concat(
+        F.lit("WARC-Type: "), typ_hdr,
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:"), d.cast("string"),
+        F.lit(">\r\nWARC-Target-URI: https://example.com/"),
+        d.cast("string"),
+        F.lit("\r\nWARC-Date: "), date_hdr,
+        F.lit("\r\nContent-Length: "), declared.cast("string"),
+        F.lit("\r\n"))
+    value = (F.when((d % 11 != 0) & (d % 7 == 0),
+                    F.concat(header, F.col("text")))
+             .otherwise(F.concat(header, F.lit("\r\n"), F.col("text"),
+                                 F.lit("\r\n\r\n"))))
+    parsed = parse_wet_records(docs.select(value.alias("value")))
+    return parsed.select(
+        F.regexp_extract("record_id", r"(\d+)", 1).cast("long")
+        .alias("doc_id"),
+        "warc_type", "record_id", "url",
+        F.date_format("warc_date", "yyyy-MM-dd HH:mm:ss")
+        .alias("warc_date"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"))

@@ -43,7 +43,20 @@ def _dec_str(col: F.Column, prec: int = 38, scale: int = 2) -> F.Column:
 
 # --- P: projections / filters / predicates -------------------------------
 
-@query("p1_equality_filter", sql="""
+# r6 gate rotation (driver 50-query cap): p1_equality_filter,
+# p10_project_rename_cast, j1_dim_broadcast_join, a5_dedup_by_key,
+# a8_salted_agg, and w1_running_total moved to gate=False, freeing six
+# rows for llm_rrf_fuse, llm_min_k_prob, llm_composition_drift,
+# llm_semantic_dedup, llm_cross_corpus_neardup, and wet_parse. Unlike
+# the r3/r4 rotations, displaced queries now KEEP full oracle parity
+# coverage: tests/test_displaced_oracles.py runs every gate=False entry
+# against its DuckDB oracle with the driver's own multiset compare.
+# Gate-path class carriers: equality predicates/projections/casts ride
+# every remaining query (q1/q5/f_scalar_suite), broadcast dim joins ride
+# j3/q5, keep-latest dedup rides j7, group aggregation rides a1/q1, and
+# the window-function class rides w2_topk_per_group/w3_session_windows.
+
+@query("p1_equality_filter", gate=False, sql="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
     FROM lineitem
     WHERE l_returnflag = 'R' AND l_linestatus = 'F'
@@ -132,7 +145,7 @@ def p5_overlap_join(spark, sf_dir):
                         left_id="l_key", right_id="r_key", bucket="1 day")
 
 
-@query("p10_project_rename_cast", sql="""
+@query("p10_project_rename_cast", gate=False, sql="""
     SELECT p_partkey AS part_key,
            upper(p_name) AS part_name_upper,
            CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS retail_dec,
@@ -153,7 +166,7 @@ def p10_project_rename_cast(spark, sf_dir):
 
 # --- J: joins ------------------------------------------------------------
 
-@query("j1_dim_broadcast_join", sql="""
+@query("j1_dim_broadcast_join", gate=False, sql="""
     SELECT s_suppkey, s_name, n_name, r_name
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
@@ -324,7 +337,7 @@ def j10_asof_join(spark, sf_dir):
                      left_ts="ts", right_ts="ts", value_cols=["value"])
 
 
-@query("a5_dedup_by_key", sql="""
+@query("a5_dedup_by_key", gate=False, sql="""
     SELECT doc_id, source, n_chars
     FROM documents
     QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) = 1
@@ -489,7 +502,7 @@ def f_scalar_suite(spark, sf_dir):
     )
 
 
-@query("a8_salted_agg", sql="""
+@query("a8_salted_agg", gate=False, sql="""
     SELECT event_type,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR)
                AS total_value,
@@ -553,7 +566,7 @@ def a6_json_agg(spark, sf_dir):
 
 # --- W: window functions (scale extension; reference has none, SURVEY 2.9) --
 
-@query("w1_running_total", sql="""
+@query("w1_running_total", gate=False, sql="""
     SELECT event_id, user_id, ts,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
                PARTITION BY user_id ORDER BY ts

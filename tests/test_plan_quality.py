@@ -11,7 +11,7 @@ import pytest
 
 from apsviz_timeseriesdb_ingest_spark import suite
 
-QUERIES = suite.all_queries()
+QUERIES = {**suite.all_queries(), **suite.displaced_queries()}
 
 
 def _plan(df) -> str:

@@ -25,7 +25,7 @@ SHOW = ["p1_equality_filter", "q1_pricing_summary", "q5_local_supplier_volume",
 def main() -> None:
     spark = get_spark("plans", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = suite.all_queries()
+    qs = {**suite.all_queries(), **suite.displaced_queries()}
     out = ["# PLANS — physical plans of headline queries (sf0.1)",
            "", "Regenerate with `python tools/dump_plans.py`.", ""]
     for name in SHOW:
