@@ -79,7 +79,15 @@ def _merge_pairs_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
     at most one pair can match at any position, no pair can consume
     another's output within the pass, and one fused pass is exactly
     equivalent to applying the pairs sequentially in any order (which
-    is what encoding does)."""
+    is what encoding does).
+
+    The whole fold is guarded by a cheap ``arrays_overlap`` against the
+    pairs' symbol set: a word containing NO symbol of any pair cannot
+    merge, so the O(|syms|·|pairs|) fold is skipped for it (conditional
+    evaluation in codegen). Merges target ever-rarer symbols as
+    training progresses, so the guard prunes most of the word table in
+    exactly the late passes that dominate long trainings (r6,
+    measured)."""
     rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
 
     def step(acc: Column, x: Column) -> Column:
@@ -91,13 +99,32 @@ def _merge_pairs_expr(syms: Column, pairs: list[tuple[str, str]]) -> Column:
                          F.array(F.lit(a + b)))).otherwise(out)
         return out
 
-    return F.aggregate(rest, F.slice(syms, 1, 1), step)
+    touched = F.arrays_overlap(syms, F.array(*[
+        F.lit(s) for s in dict.fromkeys(s for p in pairs for s in p)]))
+    return F.when(touched, F.aggregate(rest, F.slice(syms, 1, 1), step)) \
+        .otherwise(syms)
 
 
 def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
     """One BPE merge (the ``pairs=[(a, b)]`` case of
     :func:`_merge_pairs_expr`)."""
     return _merge_pairs_expr(syms, [(a, b)])
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """``(a, b, c)`` — corpus-weighted counts of adjacent symbol pairs
+    over a ``(syms, count)`` word table. The ``size >= 2`` guard keeps
+    ``sequence(1, size - 1)`` ascending (the descending-sequence trap)
+    and single-symbol words contribute no pairs by definition."""
+    return (words
+            .filter(F.size("syms") >= 2)
+            .select("count", F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + 1).alias("b"))))
+                .alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("count").alias("c")))
 
 
 def _word_counts(df: DataFrame, text_col: str, id_col: str,
@@ -124,7 +151,8 @@ def train_bpe(df: DataFrame, *, text_col: str = "text",
               max_words: int | None = None, batch: int = 1,
               seed: str = "bpe-v1", eow: str = EOW,
               checkpoint_catalog=None, checkpoint_prefix: str = "bpe",
-              checkpoint_every: int = 1) -> BpeModel:
+              checkpoint_every: int = 1, resume: bool = False,
+              pair_counts: str = "delta") -> BpeModel:
     """Learn ``num_merges`` BPE merges from a corpus.
 
     Deterministic: the winning pair is the highest weighted count with
@@ -162,6 +190,28 @@ def train_bpe(df: DataFrame, *, text_col: str = "text",
     contract) instead of executor-local localCheckpoint blocks — the
     executor-loss story for long production-vocab trainings (r3
     verdict caveat). Identical merges either way (tested).
+
+    ``pair_counts="delta"`` (default) maintains the per-pass pair-count
+    table incrementally — subtract the CHANGED words' old pair counts,
+    add their new ones — instead of re-aggregating pairs over the whole
+    word table every pass (``"full"``, the pre-r6 behavior, kept for
+    A/B measurement). Exact integer sums make the maintained table
+    value-identical to a recount, so the selected merges are
+    bit-for-bit the same in both modes (tested); what changes is the
+    per-pass shuffle: |changed words| + |distinct pairs| rather than
+    the full word table — the measured floor of the 8k-merge soak.
+
+    ``resume=True`` (requires ``checkpoint_catalog``) makes a DRIVER
+    loss recoverable: each durable words cut also overwrites a
+    ``{checkpoint_prefix}_progress`` table holding the merge list so
+    far plus the slot-table/cut-count pointer, and a resumed call
+    reloads the words table and merge list and continues the training
+    loop — losing at most ``checkpoint_every`` passes of work (a
+    replayed pass regenerates the SAME merges: the winner selection is
+    a deterministic function of the words table). The resumed model is
+    merge-for-merge identical to an uninterrupted run (tested). The
+    caller owns passing the SAME corpus/params — the tables cannot
+    validate that (the :func:`llm.graph.pagerank` resume contract).
     """
     from ..operators.itercheckpoint import LineageCutter
 
@@ -169,25 +219,52 @@ def train_bpe(df: DataFrame, *, text_col: str = "text",
         raise ValueError("batch must be >= 1")
     cut = LineageCutter(checkpoint_catalog, checkpoint_prefix,
                         checkpoint_every)
-    words = _word_counts(df, text_col, id_col, sample_fraction, seed)
-    if max_words is not None:
-        words = words.orderBy(F.desc("count"), "word").limit(max_words)
-    words = cut(words.select(_char_syms(F.col("word"), eow).alias("syms"),
-                             "count"), "words")
-
+    progress_table = f"{checkpoint_prefix}_progress"
     merges: list[tuple[str, str]] = []
+    resumed = False
+    if resume:
+        if checkpoint_catalog is None:
+            raise ValueError("resume=True requires checkpoint_catalog")
+        if checkpoint_catalog.exists(progress_table):
+            rows = (checkpoint_catalog.read(progress_table)
+                    .orderBy("idx").collect())
+            merges = [(r["a"], r["b"]) for r in rows]
+            if len(merges) > num_merges:
+                raise ValueError(
+                    f"resume: stored progress has {len(merges)} merges but "
+                    f"num_merges={num_merges} — the persisted state is "
+                    "further along than the request; raise num_merges or "
+                    f"drop the '{checkpoint_prefix}_*' tables for a fresh "
+                    "run")
+            words = checkpoint_catalog.read(rows[0]["table"])
+            cut.seed("words", int(rows[0]["cuts"]))
+            resumed = True
+    if not resumed:
+        words = _word_counts(df, text_col, id_col, sample_fraction, seed)
+        if max_words is not None:
+            words = words.orderBy(F.desc("count"), "word").limit(max_words)
+        words = cut(words.select(_char_syms(F.col("word"), eow).alias("syms"),
+                                 "count"), "words")
+
+    if pair_counts not in ("full", "delta"):
+        raise ValueError(f"pair_counts must be 'full' or 'delta', "
+                         f"got {pair_counts!r}")
+    # Delta mode (default): maintain the pair-count table incrementally.
+    # A merge rewrites only the words CONTAINING the merged pair (a
+    # vanishing fraction on Zipfian corpora), yet the full mode
+    # re-aggregates pairs over EVERY word each pass — the measured
+    # per-pass floor of the 8k-merge soak (NOTES_r4). Here each pass
+    # subtracts the changed words' old pair counts and adds their new
+    # ones (exact integer sums — the maintained table is value-identical
+    # to a recount, so merge selection is bit-for-bit the same; tested),
+    # and the shuffle is bounded by |changed words| + |distinct pairs|
+    # instead of |word table|.
+    pc = (cut(_pair_counts(words), "pairs")
+          if pair_counts == "delta" else None)
     while len(merges) < num_merges:
         # over-fetch so the conflict filter still fills the batch
-        top = (words
-               .filter(F.size("syms") >= 2)
-               .select("count", F.explode(F.transform(
-                   F.sequence(F.lit(1), F.size("syms") - 1),
-                   lambda i: F.struct(
-                       F.element_at(F.col("syms"), i).alias("a"),
-                       F.element_at(F.col("syms"), i + 1).alias("b"))))
-                   .alias("p"))
-               .groupBy("p.a", "p.b").agg(F.sum("count").alias("c"))
-               .orderBy(F.desc("c"), "a", "b")
+        source = pc if pc is not None else _pair_counts(words)
+        top = (source.orderBy(F.desc("c"), "a", "b")
                .limit(max(4 * batch, 8)).collect())
         top = [r for r in top if r["c"] >= min_count]
         if not top:
@@ -204,9 +281,45 @@ def train_bpe(df: DataFrame, *, text_col: str = "text",
                 break
         chosen = chosen[:num_merges - len(merges)]
         merges.extend(chosen)
-        words = cut(words
-                    .select(_merge_pairs_expr(F.col("syms"), chosen)
-                            .alias("syms"), "count"), "words")
+        merged_expr = _merge_pairs_expr(F.col("syms"), chosen)
+        if pc is not None:
+            # ONE evaluation of the fused-merge expression per pass: the
+            # cut materializes (new syms, old syms, count) together, and
+            # both the delta aggregation and the next pass's word table
+            # are projections of it (evaluating the batch-of-whens HOF
+            # twice per pass measurably dominated the saved aggregate)
+            staged = cut(words.select(merged_expr.alias("syms"),
+                                      F.col("syms").alias("__old"),
+                                      "count"), "words")
+            # capture the WORDS slot pointer before the pairs cut below
+            # clobbers cut.last_written (progress must point at words)
+            words_table = cut.last_written
+            changed = staged.filter(F.col("syms") != F.col("__old"))
+            delta = (_pair_counts(changed.select(
+                         F.col("__old").alias("syms"), "count"))
+                     .select("a", "b", (-F.col("c")).alias("c"))
+                     .unionByName(_pair_counts(
+                         changed.select("syms", "count"))))
+            pc = cut(pc.unionByName(delta)
+                     .groupBy("a", "b").agg(F.sum("c").alias("c"))
+                     .filter(F.col("c") > 0), "pairs")
+            words = staged.select("syms", "count")
+        else:
+            words = cut(words.select(merged_expr.alias("syms"), "count"),
+                        "words")
+            words_table = cut.last_written
+        if checkpoint_catalog is not None and words_table is not None:
+            # merge list + slot pointer + cut count in ONE overwrite, so
+            # the progress table is always self-consistent (a crash
+            # between separate writes would desynchronize them); written
+            # only on passes whose words cut was DURABLE, so the pointer
+            # always names a slot that reflects exactly these merges
+            checkpoint_catalog.overwrite(
+                df.sparkSession.createDataFrame(
+                    [(i, a, b, words_table, cut.count("words"))
+                     for i, (a, b) in enumerate(merges)],
+                    "idx int, a string, b string, table string, cuts int"),
+                progress_table)
     return BpeModel(merges=tuple(merges), eow=eow)
 
 

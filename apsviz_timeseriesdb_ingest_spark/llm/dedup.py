@@ -514,18 +514,26 @@ def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
 
 
 def _label_prop_components(edges: DataFrame, max_iters: int,
-                           cut=None) -> DataFrame:
+                           cut=None, start=None,
+                           progress_cb=None) -> DataFrame:
     """Min-label propagation CC: O(component diameter) rounds. ``edges``
     is the symmetric (a, b) frame. Returns (node, label). ``cut`` is the
     per-round lineage cut (``operators.itercheckpoint.LineageCutter``;
-    defaults to localCheckpoint)."""
+    defaults to localCheckpoint). ``start=(labels, done)`` resumes from
+    a persisted labels frame after ``done`` completed rounds (each round
+    is a pure function of (edges, labels), so the resumed result is
+    bit-identical); ``progress_cb(round)`` fires after each round's cut
+    so a resume wrapper can record durable progress."""
     if cut is None:
         from ..operators.itercheckpoint import LineageCutter
         cut = LineageCutter()
-    labels = (edges.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node")))
-    for _ in range(max_iters):
+    if start is not None:
+        labels, done = start
+    else:
+        labels, done = (edges.select(F.col("a").alias("node"))
+                        .distinct()
+                        .withColumn("label", F.col("node"))), 0
+    for r in range(done, max_iters):
         neighbor = (edges.join(labels, edges.b == labels.node)
                     .select(edges.a.alias("node"), "label"))
         new = cut(labels.unionByName(neighbor)
@@ -535,6 +543,8 @@ def _label_prop_components(edges: DataFrame, max_iters: int,
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
         labels = new
+        if progress_cb is not None:
+            progress_cb(r + 1)
         if not changed:
             return labels
     raise RuntimeError(
@@ -544,7 +554,8 @@ def _label_prop_components(edges: DataFrame, max_iters: int,
 
 
 def _star_components(edges: DataFrame, max_iters: int,
-                     cut=None) -> DataFrame:
+                     cut=None, start=None,
+                     progress_cb=None) -> DataFrame:
     """Alternating large-star/small-star CC (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC 2014 — public algorithm):
     O(log n) rounds on ANY graph shape, vs O(diameter) for label
@@ -556,17 +567,26 @@ def _star_components(edges: DataFrame, max_iters: int,
     irrelevant). Returns (node, label) with label = component min; nodes
     equal to their component min are included. ``cut`` is the per-round
     lineage cut (``operators.itercheckpoint.LineageCutter``; defaults
-    to localCheckpoint).
+    to localCheckpoint). ``start=(work, done)`` resumes from a persisted
+    oriented-edge frame after ``done`` completed rounds (each round is a
+    pure function of ``work``, so the resumed result is bit-identical);
+    ``progress_cb(round)`` fires after each round's cut so a resume
+    wrapper can record durable progress.
     """
     if cut is None:
         from ..operators.itercheckpoint import LineageCutter
         cut = LineageCutter()
-    # Orient every edge child->parent-candidate; invariant maintained
-    # below: b < a on every kept edge (parent smaller than child).
-    work = cut(edges.select(F.greatest("a", "b").alias("a"),
-                            F.least("a", "b").alias("b"))
-               .distinct(), "work")
-    for _ in range(max_iters):
+    if start is not None:
+        work, done = start
+    else:
+        # Orient every edge child->parent-candidate; invariant
+        # maintained below: b < a on every kept edge (parent smaller
+        # than child).
+        work = cut(edges.select(F.greatest("a", "b").alias("a"),
+                                F.least("a", "b").alias("b"))
+                   .distinct(), "work")
+        done = 0
+    for r in range(done, max_iters):
         # Large-star: connect every neighbor v > u to m(u) = min(N(u), u).
         sym = work.unionByName(work.select(F.col("b").alias("a"),
                                            F.col("a").alias("b")))
@@ -591,6 +611,8 @@ def _star_components(edges: DataFrame, max_iters: int,
         converged = (small.exceptAll(work).limit(1).count() == 0
                      and small.count() == work.count())
         work = small
+        if progress_cb is not None:
+            progress_cb(r + 1)
         if converged:
             break
     else:
@@ -607,7 +629,8 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
                      algorithm: str = "star",
                      checkpoint_catalog=None,
                      checkpoint_prefix: str = "neardup_cc",
-                     checkpoint_every: int = 1) -> DataFrame:
+                     checkpoint_every: int = 1,
+                     resume: bool = False) -> DataFrame:
     """Connected components over near-duplicate pairs: (node, cluster_id)
     where cluster_id = the smallest doc id in the component.
 
@@ -633,11 +656,62 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
     Input: a frame with ``doc_a``/``doc_b`` columns (any extra columns
     are ignored), e.g. the output of :func:`minhash_lsh_pairs`,
     :func:`simhash_neardup_pairs`, or embedding near-dup pairs.
+
+    ``resume=True`` (requires ``checkpoint_catalog``) makes a DRIVER
+    loss recoverable: each durable per-round cut also records a
+    ``{checkpoint_prefix}_progress`` row (completed round + state slot
+    table + cut count), and a resumed call reloads the round state (and
+    edges, for label propagation) from the tables and continues —
+    losing at most ``checkpoint_every`` rounds of work. Every round is
+    a pure function of the persisted state, so the resumed clustering
+    is bit-identical to an uninterrupted run (tested; the
+    :func:`llm.graph.pagerank` resume contract — the caller owns
+    passing the SAME pairs/params).
     """
     from ..operators.itercheckpoint import LineageCutter
 
     cut = LineageCutter(checkpoint_catalog, checkpoint_prefix,
                         checkpoint_every)
+    if algorithm not in ("star", "label"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    state_name = "work" if algorithm == "star" else "labels"
+    progress_table = f"{checkpoint_prefix}_progress"
+    spark = pairs.sparkSession
+
+    def progress_cb(round_done: int) -> None:
+        if checkpoint_catalog is not None and cut.last_written is not None:
+            checkpoint_catalog.overwrite(
+                spark.createDataFrame(
+                    [(round_done, cut.last_written,
+                      cut.count(state_name))],
+                    "round int, table string, cuts int"), progress_table)
+
+    if resume:
+        if checkpoint_catalog is None:
+            raise ValueError("resume=True requires checkpoint_catalog")
+        if checkpoint_catalog.exists(progress_table):
+            prog = checkpoint_catalog.read(progress_table).collect()[0]
+            done = int(prog["round"])
+            if done > max_iters:
+                raise ValueError(
+                    f"resume: stored progress is at round {done} but "
+                    f"max_iters={max_iters}; raise max_iters or drop the "
+                    f"'{checkpoint_prefix}_*' tables for a fresh run")
+            state = checkpoint_catalog.read(prog["table"])
+            cut.seed(state_name, int(prog["cuts"]))
+            if algorithm == "star":
+                labels = _star_components(None, max_iters, cut,
+                                          start=(state, done),
+                                          progress_cb=progress_cb)
+            else:
+                edges = checkpoint_catalog.read(
+                    f"{checkpoint_prefix}_edges_0")
+                cut.seed("edges", 1)
+                labels = _label_prop_components(edges, max_iters, cut,
+                                                start=(state, done),
+                                                progress_cb=progress_cb)
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
     edges = cut(pairs.select(F.col("doc_a").alias("a"),
                              F.col("doc_b").alias("b"))
                 .unionByName(pairs.select(F.col("doc_b").alias("a"),
@@ -645,11 +719,11 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
                 .filter(F.col("a") != F.col("b"))
                 .distinct(), "edges")
     if algorithm == "star":
-        labels = _star_components(edges, max_iters, cut)
-    elif algorithm == "label":
-        labels = _label_prop_components(edges, max_iters, cut)
+        labels = _star_components(edges, max_iters, cut,
+                                  progress_cb=progress_cb)
     else:
-        raise ValueError(f"unknown algorithm: {algorithm!r}")
+        labels = _label_prop_components(edges, max_iters, cut,
+                                        progress_cb=progress_cb)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -115,7 +115,8 @@ def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
     # a crash mid-swap leaves a params-check failure, not a silent
     # wrong-geometry probe.
     with catalog.staged_rebuild(table, commits_table(table),
-                                _meta_table(table)) as stage:
+                                _meta_table(table),
+                                f"{table}_writer") as stage:
         if stream_index:
             catalog.overwrite(
                 buckets.withColumn("__batch", F.lit(-1).cast("long")),

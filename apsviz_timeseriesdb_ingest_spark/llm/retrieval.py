@@ -243,7 +243,8 @@ def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
     # staged rebuild writes the new generation to __staging names and
     # swaps after the job succeeds; a flat rebuild stages no commits
     # ledger, so publish retires a previous txn generation's ledger.
-    names = [f"{table}{t}" for t in ("_tf", "_df", "_stats", "_commits")]
+    names = [f"{table}{t}"
+             for t in ("_tf", "_df", "_stats", "_commits", "_writer")]
     with catalog.staged_rebuild(*names) as stage:
         if txn:
             bid = F.lit(-1).cast("long")
@@ -285,7 +286,7 @@ def _bm25_counts(docs: DataFrame, text_col: str, id_col: str):
 
 def append_bm25_increment_txn(catalog, docs: DataFrame, batch_id: int, *,
                               table: str = "bm25", text_col: str = "text",
-                              id_col: str = "doc_id") -> None:
+                              id_col: str = "doc_id", lease=None) -> None:
     """Append one corpus increment to a ``txn=True`` BM25 index under
     the COMMIT-LEDGER protocol (the
     ``streaming.corpus_stream.apply_dedup_increment_txn`` pattern,
@@ -301,7 +302,11 @@ def append_bm25_increment_txn(catalog, docs: DataFrame, batch_id: int, *,
        a crash ANYWHERE before (3) leaves the index observably
        unchanged: no torn tf-without-df state, no double counts.
 
-    Single-writer contract, like every plain-parquet mutation here.
+    Single-writer contract, like every plain-parquet mutation here;
+    ``lease=`` (a :class:`~..sources.catalog.WriterLease`) makes a
+    violation LOUD — checked after the replay short-circuit, before any
+    mutation, so a writer fenced by a newer acquirer raises
+    ``ConcurrentWriterError`` instead of silently interleaving batches.
     """
     spark = docs.sparkSession
     commits = f"{table}_commits"
@@ -309,6 +314,8 @@ def append_bm25_increment_txn(catalog, docs: DataFrame, batch_id: int, *,
         if catalog.read(commits).filter(
                 F.col("__batch") == int(batch_id)).take(1):
             return
+    if lease is not None:
+        lease.check()
     if (catalog.exists(f"{table}_tf")
             and "__batch" not in catalog.read(f"{table}_tf").columns):
         raise ValueError(

@@ -338,7 +338,8 @@ def train_unigram(df: DataFrame, *, vocab_size: int = 512,
                   max_words: int | None = None,
                   seed: str = "unigram-v1",
                   checkpoint_catalog=None,
-                  checkpoint_prefix: str = "unigram") -> UnigramModel:
+                  checkpoint_prefix: str = "unigram",
+                  resume: bool = False) -> UnigramModel:
     """Train a unigram-LM tokenizer distributed (see module docstring).
 
     ``sample_fraction``/``max_words`` bound the training word table the
@@ -355,25 +356,62 @@ def train_unigram(df: DataFrame, *, vocab_size: int = 512,
     (+2 final): ~12 jobs total regardless of vocabulary, each bounded
     by the distinct-word table (NOTES_r4 soak has measured times). The
     job count scales with the vocab RATIO, not the corpus.
+
+    ``resume=True`` (requires ``checkpoint_catalog``) makes a DRIVER
+    loss recoverable: the vocabulary-sized model state is persisted to
+    ``{checkpoint_prefix}_model`` after the seed vocabulary and after
+    every pruning round (one overwrite of a (piece, logp) frame —
+    doubles round-trip parquet exactly), and a resumed call reloads the
+    words table and model and re-enters the EM loop, losing at most one
+    round of EM passes. The resumed model is piece-for-piece and
+    log-prob-for-log-prob identical to an uninterrupted run (tested) —
+    every round is a deterministic function of (words, logp). The
+    caller owns passing the SAME corpus/params (the
+    :func:`llm.graph.pagerank` resume contract).
     """
-    words = _word_counts(df, text_col, id_col, sample_fraction, seed)
-    if max_words is not None:
-        words = (words.orderBy(F.desc("count"), F.asc("word"))
-                 .limit(max_words))
     from ..operators.itercheckpoint import LineageCutter
 
-    # every EM pass re-reads this table; with a catalog the cut is a
-    # durable table instead of executor-local blocks (itercheckpoint
-    # contract — the executor-loss story for long trainings)
-    words = LineageCutter(checkpoint_catalog, checkpoint_prefix)(
-        words, "words")
-    if not words.take(1):
-        return UnigramModel(pieces=(), log_probs=())
+    model_table = f"{checkpoint_prefix}_model"
+    logp: dict[str, float] | None = None
+    words = None
+    if resume:
+        if checkpoint_catalog is None:
+            raise ValueError("resume=True requires checkpoint_catalog")
+        if checkpoint_catalog.exists(model_table):
+            # rebuild in the EXACT insertion order of the lost run's
+            # dict: _m_step's total is a float sum in dict order, so a
+            # reordered dict could produce a bitwise-different model
+            logp = {r["piece"]: r["logp"]
+                    for r in checkpoint_catalog.read(model_table)
+                    .orderBy("idx").collect()}
+            words = checkpoint_catalog.read(f"{checkpoint_prefix}_words_0")
+    if logp is None:
+        words = _word_counts(df, text_col, id_col, sample_fraction, seed)
+        if max_words is not None:
+            words = (words.orderBy(F.desc("count"), F.asc("word"))
+                     .limit(max_words))
+        # every EM pass re-reads this table; with a catalog the cut is a
+        # durable table instead of executor-local blocks (itercheckpoint
+        # contract — the executor-loss story for long trainings)
+        words = LineageCutter(checkpoint_catalog, checkpoint_prefix)(
+            words, "words")
+        if not words.take(1):
+            return UnigramModel(pieces=(), log_probs=())
 
-    seed_rows = _seed_vocab(words, seed_size, max_piece_len).collect()
-    total = sum(r["freq"] for r in seed_rows)
-    logp = {r["piece"]: math.log(r["freq"] / total) for r in seed_rows}
+        seed_rows = _seed_vocab(words, seed_size, max_piece_len).collect()
+        total = sum(r["freq"] for r in seed_rows)
+        logp = {r["piece"]: math.log(r["freq"] / total)
+                for r in seed_rows}
 
+    def persist_model() -> None:
+        if checkpoint_catalog is not None:
+            checkpoint_catalog.overwrite(
+                df.sparkSession.createDataFrame(
+                    [(i, s, lp) for i, (s, lp) in enumerate(logp.items())],
+                    "idx int, piece string, logp double"),
+                model_table)
+
+    persist_model()
     while True:
         final = len(logp) <= vocab_size
         for _ in range(em_iters):
@@ -385,6 +423,7 @@ def train_unigram(df: DataFrame, *, vocab_size: int = 512,
         prev = len(logp)
         logp = _m_step({s: math.exp(lp) for s, lp in logp.items()},
                        logp, vocab_size, prune_frac, final=False)
+        persist_model()
         if len(logp) >= prev:  # all-chars floor: cannot shrink further
             break
     pieces = tuple(sorted(logp))

@@ -71,6 +71,12 @@ class LineageCutter:
         alternation exactly where a fresh run would be."""
         self._counts[name] = count
 
+    def count(self, name: str = "state") -> int:
+        """Cuts performed so far for ``name`` — resume wrappers persist
+        this next to the slot-table pointer so a resumed run can
+        :meth:`seed` the alternation exactly where the lost run was."""
+        return self._counts.get(name, 0)
+
     def __call__(self, df: DataFrame, name: str = "state") -> DataFrame:
         if self.catalog is None:
             self.last_written = None

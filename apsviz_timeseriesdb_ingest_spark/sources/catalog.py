@@ -337,6 +337,72 @@ class Catalog:
         return self.spark.table(table)
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Another writer has taken over a single-writer table family —
+    this writer is FENCED and must stop (see :class:`WriterLease`)."""
+
+
+class WriterLease:
+    """Writer-generation fencing for the single-writer plain-parquet
+    contract (r4 verdict task 5 — previously a docstring-only contract:
+    "the commit check is not a lock").
+
+    Plain parquet offers no compare-and-swap, so a true lock is
+    impossible — but GENERATION FENCING is: each writer stamps a
+    ``{table}_writer`` one-row sidecar with its id on :meth:`acquire`
+    (last acquirer wins ownership), and re-reads it via :meth:`check`
+    before every mutation. A fenced writer — one whose id is no longer
+    the stored id because a second writer acquired after it — raises
+    :class:`ConcurrentWriterError` LOUDLY instead of silently
+    interleaving batches into the index. The residual race is one
+    check-to-write window per batch (two writers passing check
+    simultaneously), which no parquet-only protocol can close — the
+    fence bounds silent interleaving to at most one batch per takeover
+    instead of unbounded; a transactional table format (Delta/Iceberg)
+    closes it fully, and this seam maps onto their commit-conflict
+    detection.
+
+    Usage::
+
+        lease = WriterLease(catalog, "minhash_index")
+        lease.acquire(spark)          # stamp ownership (start of stream)
+        ...
+        lease.check()                 # before each batch's mutation
+    """
+
+    def __init__(self, catalog: Catalog, table: str,
+                 writer_id: str | None = None):
+        import uuid
+
+        self.catalog = catalog
+        self.table = f"{table}_writer"
+        self.writer_id = writer_id or uuid.uuid4().hex
+
+    def acquire(self, spark: SparkSession) -> "WriterLease":
+        """Stamp ownership of the table family (one-row overwrite).
+        Call once per writer session, before the first mutation."""
+        self.catalog.overwrite(
+            spark.createDataFrame([(self.writer_id,)], "writer_id string"),
+            self.table)
+        return self
+
+    def check(self) -> None:
+        """Raise :class:`ConcurrentWriterError` if another writer has
+        acquired since this one did. Call before every mutation."""
+        if not self.catalog.exists(self.table):
+            # lease table dropped (e.g. index rebuilt from scratch) —
+            # treat as fenced: this writer's view of the index is stale
+            raise ConcurrentWriterError(
+                f"writer lease table '{self.table}' is gone — the index "
+                "was rebuilt or retired under this writer; restart it")
+        holder = self.catalog.read(self.table).collect()[0]["writer_id"]
+        if holder != self.writer_id:
+            raise ConcurrentWriterError(
+                f"writer {self.writer_id} is fenced: '{self.table}' is "
+                f"now held by {holder} — a second writer acquired this "
+                "index; this writer must stop (single-writer contract)")
+
+
 _STAGING_SUFFIX = "__staging"
 
 

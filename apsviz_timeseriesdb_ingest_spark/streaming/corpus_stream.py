@@ -166,7 +166,8 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
                                  corpus_table: str = "stream_corpus",
                                  index_table: str = "minhash_index",
                                  schema: str = "doc_id long, text string",
-                                 id_col: str = "doc_id", **lsh_kw):
+                                 id_col: str = "doc_id",
+                                 fence_writer: bool = True, **lsh_kw):
     """Continuous near-dedup ingest: each micro-batch probes the
     PERSISTED MinHash-LSH index (``llm.incremental``), so cross-batch
     near-duplicate state lives in a table, not in stream state — the
@@ -185,12 +186,26 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
     layout (``__batch``-partitioned); a pre-built index must be created
     with ``build_dedup_index(stream_index=True)``.
 
+    ``fence_writer=True`` (default) acquires a
+    :class:`~..sources.catalog.WriterLease` on the index at stream
+    start and checks it before every batch: a second stream acquiring
+    the same index fences THIS one — its next batch raises
+    ``ConcurrentWriterError`` and the stream stops loudly, instead of
+    two streams silently interleaving ``__batch`` partitions (the
+    previously docstring-only single-writer contract, r4 verdict
+    task 5).
+
     Returns the StreamingQuery (caller drives it).
     """
+    from ..sources.catalog import WriterLease
+
+    lease = (WriterLease(catalog, index_table).acquire(spark)
+             if fence_writer else None)
+
     def _apply(batch_df, batch_id):
         apply_dedup_increment_txn(
             catalog, batch_df, batch_id, corpus_table=corpus_table,
-            index_table=index_table, id_col=id_col, **lsh_kw)
+            index_table=index_table, id_col=id_col, lease=lease, **lsh_kw)
 
     docs = spark.readStream.schema(schema).parquet(input_dir)
     return (docs.writeStream
@@ -203,7 +218,8 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
 def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
                               corpus_table: str = "stream_corpus",
                               index_table: str = "minhash_index",
-                              id_col: str = "doc_id", **lsh_kw) -> None:
+                              id_col: str = "doc_id",
+                              lease=None, **lsh_kw) -> None:
     """Apply one dedup-ingest micro-batch under the COMMIT-LEDGER
     protocol — the plain-parquet closure of the partial-index-append
     window (r3 verdict task 8; a transactional table format achieves
@@ -233,7 +249,12 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
     recall loss (crash-replay pytest ``test_incremental_dedup``).
 
     Single-writer contract, like every plain-parquet mutation here:
-    one stream drives one index. The commit check is not a lock.
+    one stream drives one index. The commit check is not a lock — but
+    ``lease=`` (a :class:`~..sources.catalog.WriterLease`) makes a
+    VIOLATION loud: the lease is checked after the replay short-circuit
+    and before any mutation, so a writer fenced by a newer acquirer
+    raises ``ConcurrentWriterError`` instead of silently interleaving
+    its batches with the new writer's.
     """
     from pyspark.sql import functions as F
 
@@ -247,6 +268,8 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
                 .filter(F.col("__batch") == int(batch_id)).take(1))
         if done:
             return
+    if lease is not None:
+        lease.check()
     accepted, accepted_buckets = plan_increment(
         catalog, batch_df, table=index_table, id_col=id_col,
         committed_only=True, **lsh_kw)

@@ -233,3 +233,35 @@ def test_merge_pairs_fold_equals_sequential_on_random_words(spark):
         for a, b in pairs:  # sequential reference
             expect = _ref_apply(expect, a, b)
         assert got[i] == expect, (i, w)
+
+
+def test_delta_pair_counts_match_full_recount(spark):
+    """pair_counts='delta' (incremental maintenance) must select the
+    bit-for-bit identical merge sequence as the full per-pass recount,
+    across batch sizes and through the early-stop path."""
+    from apsviz_timeseriesdb_ingest_spark.llm.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "the bright lighthouse lights the nightly coastline "
+             "while weather stations watch the rising water")
+         for i in range(5)] +
+        [(10, "shuffle partitions shuffle again nightly"),
+         (11, "coastline weather rising rising rising water"),
+         (12, "aaa aab aba abb baa bab bba bbb")],
+        "doc_id long, text string")
+    for batch in (1, 4):
+        full = train_bpe(docs, num_merges=24, batch=batch,
+                         pair_counts="full")
+        delta = train_bpe(docs, num_merges=24, batch=batch,
+                          pair_counts="delta")
+        assert full.merges == delta.merges, batch
+    # early stop (min_count exhausts pairs) behaves identically
+    full = train_bpe(docs, num_merges=500, batch=8, min_count=3,
+                     pair_counts="full")
+    delta = train_bpe(docs, num_merges=500, batch=8, min_count=3,
+                      pair_counts="delta")
+    assert full.merges == delta.merges
+
+    import pytest
+    with pytest.raises(ValueError, match="pair_counts"):
+        train_bpe(docs, num_merges=2, pair_counts="bogus")

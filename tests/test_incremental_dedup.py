@@ -310,3 +310,73 @@ def test_flat_rebuild_retires_stale_commit_ledger(spark, catalog):
     build_dedup_index(catalog, _docs(spark, BASE), **LSH)
     assert not catalog.exists("minhash_index_commits")
     assert "__batch" not in catalog.read("minhash_index").columns
+
+
+def test_concurrent_writer_fencing(spark, catalog):
+    """Two writers on one commit-ledger index: the second acquirer
+    fences the first, whose next batch raises LOUDLY instead of
+    silently interleaving __batch partitions (the previously
+    docstring-only single-writer contract)."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import (
+        ConcurrentWriterError, WriterLease)
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn)
+
+    build_dedup_index(catalog, _docs(spark, BASE), stream_index=True, **LSH)
+    a = WriterLease(catalog, "minhash_index").acquire(spark)
+    apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 1,
+                              lease=a, **LSH)
+
+    b = WriterLease(catalog, "minhash_index").acquire(spark)
+    apply_dedup_increment_txn(
+        catalog, _docs(spark, [(20, "a wholly new doc about lease fencing "
+                                    "semantics and parquet tables")]),
+        2, lease=b, **LSH)
+
+    # writer A is now fenced: its next mutation raises before touching
+    # the index
+    before = catalog.read("minhash_index").count()
+    with pytest.raises(ConcurrentWriterError, match="fenced"):
+        apply_dedup_increment_txn(
+            catalog, _docs(spark, [(21, "another new doc that writer a "
+                                        "must not be able to index")]),
+            3, lease=a, **LSH)
+    assert catalog.read("minhash_index").count() == before
+
+    # replays of an ALREADY-COMMITTED batch stay no-ops even for a
+    # fenced writer (the short-circuit precedes the lease check)
+    apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 1,
+                              lease=a, **LSH)
+
+    # a rebuild retires the lease table: both writers now fail loudly
+    build_dedup_index(catalog, _docs(spark, BASE), stream_index=True, **LSH)
+    with pytest.raises(ConcurrentWriterError, match="gone"):
+        apply_dedup_increment_txn(
+            catalog, _docs(spark, [(22, "post rebuild doc")]), 4,
+            lease=b, **LSH)
+
+
+def test_dedup_stream_acquires_lease(spark, catalog, tmp_path):
+    """run_incremental_dedup_stream stamps the writer lease at start, so
+    a later stream on the same index fences the first."""
+    import os
+
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_dedup_stream)
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    _docs(spark, BASE).coalesce(1).write.parquet(str(src / "b0"))
+    q = run_incremental_dedup_stream(
+        spark, str(src / "b0"), catalog,
+        checkpoint_dir=str(tmp_path / "ck"), **LSH)
+    q.processAllAvailable(); q.stop()
+    assert catalog.exists("minhash_index_writer")
+    first = catalog.read("minhash_index_writer").collect()[0]["writer_id"]
+
+    q2 = run_incremental_dedup_stream(
+        spark, str(src / "b0"), catalog,
+        checkpoint_dir=str(tmp_path / "ck2"), **LSH)
+    q2.processAllAvailable(); q2.stop()
+    second = catalog.read("minhash_index_writer").collect()[0]["writer_id"]
+    assert second != first

@@ -210,3 +210,148 @@ def test_pagerank_resume_rejects_shorter_iters(spark, tmp_path):
     pagerank(edges, iters=5, checkpoint_catalog=cat).collect()
     with pytest.raises(ValueError, match="further along"):
         pagerank(edges, iters=3, checkpoint_catalog=cat, resume=True)
+
+
+def test_bpe_resume_from_progress_table(spark, tmp_path):
+    """Driver-loss recovery for BPE training (r4 verdict task 4): a run
+    killed after k merges resumes from the {prefix}_progress merge list
+    + words slot table and finishes merge-for-merge identical to an
+    uninterrupted run."""
+    from apsviz_timeseriesdb_ingest_spark.llm.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "the bright lighthouse lights the nightly coastline "
+             "while weather stations watch the rising water")
+         for i in range(6)] +
+        [(10, "shuffle partitions shuffle again nightly"),
+         (11, "coastline weather rising rising rising water")],
+        "doc_id long, text string")
+
+    full = train_bpe(docs, num_merges=12, batch=1)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    # "crashed" run: completed only 5 of 12 merges before dying
+    train_bpe(docs, num_merges=5, batch=1, checkpoint_catalog=cat)
+    prog = cat.read("bpe_progress").orderBy("idx").collect()
+    assert len(prog) == 5
+    assert prog[0]["table"].startswith("bpe_words_")
+
+    resumed = train_bpe(docs, num_merges=12, batch=1,
+                        checkpoint_catalog=cat, resume=True)
+    assert resumed.merges == full.merges
+    assert resumed.eow == full.eow
+    assert len(cat.read("bpe_progress").collect()) == 12
+
+    # resume with nothing left to do returns the stored merges unchanged
+    again = train_bpe(docs, num_merges=12, batch=1,
+                      checkpoint_catalog=cat, resume=True)
+    assert again.merges == full.merges
+
+    # stored progress beyond the request is an error, like pagerank
+    with pytest.raises(ValueError, match="further along"):
+        train_bpe(docs, num_merges=3, batch=1,
+                  checkpoint_catalog=cat, resume=True)
+    with pytest.raises(ValueError, match="requires checkpoint_catalog"):
+        train_bpe(docs, num_merges=3, resume=True)
+
+    # resume without a progress table runs fresh
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    fresh = train_bpe(docs, num_merges=12, batch=1,
+                      checkpoint_catalog=cat2, resume=True)
+    assert fresh.merges == full.merges
+
+
+def test_unigram_resume_after_injected_driver_loss(spark, tmp_path,
+                                                   monkeypatch):
+    """Driver-loss recovery for unigram-LM training: kill the run
+    mid-EM (injected exception), then resume from the persisted
+    {prefix}_model + words tables — piece-for-piece and
+    log-prob-for-log-prob identical to an uninterrupted run."""
+    import apsviz_timeseriesdb_ingest_spark.llm.unigram as ug
+
+    docs = spark.createDataFrame(
+        [(i, "the bright lighthouse lights the nightly coastline "
+             "while weather stations watch the rising water")
+         for i in range(6)] +
+        [(10, "shuffle partitions shuffle again nightly"),
+         (11, "coastline weather rising rising rising water")],
+        "doc_id long, text string")
+    kw = dict(vocab_size=48, seed_size=96, em_iters=1)
+
+    full = ug.train_unigram(docs, **kw)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    real = ug._expected_counts
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected driver loss")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ug, "_expected_counts", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ug.train_unigram(docs, **kw, checkpoint_catalog=cat)
+    monkeypatch.undo()
+    assert cat.exists("unigram_model")
+
+    resumed = ug.train_unigram(docs, **kw, checkpoint_catalog=cat,
+                               resume=True)
+    assert resumed.pieces == full.pieces
+    assert resumed.log_probs == full.log_probs
+
+    with pytest.raises(ValueError, match="requires checkpoint_catalog"):
+        ug.train_unigram(docs, **kw, resume=True)
+
+    # resume without a model table runs fresh
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    fresh = ug.train_unigram(docs, **kw, checkpoint_catalog=cat2,
+                             resume=True)
+    assert fresh.pieces == full.pieces
+    assert fresh.log_probs == full.log_probs
+
+
+@pytest.mark.parametrize("algorithm", ["star", "label"])
+def test_neardup_clusters_resume(spark, tmp_path, algorithm):
+    """Driver-loss recovery for near-dup connected components: a run
+    that dies mid-rounds (simulated by a too-small max_iters budget,
+    which raises AFTER recording durable progress) resumes from the
+    {prefix}_progress row + state slot table and produces the identical
+    clustering."""
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import neardup_clusters
+
+    # a 33-node path graph: label propagation needs ~diameter rounds,
+    # star needs ~log2(n) — both need > 2
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(33)],
+                                  "doc_a long, doc_b long")
+    full = {r.doc_id: r.cluster_id
+            for r in neardup_clusters(pairs, algorithm=algorithm,
+                                      max_iters=40).collect()}
+    assert set(full.values()) == {0}
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(pairs, algorithm=algorithm, max_iters=2,
+                         checkpoint_catalog=cat)
+    prog = cat.read("neardup_cc_progress").collect()[0]
+    assert prog["round"] == 2
+
+    resumed = {r.doc_id: r.cluster_id
+               for r in neardup_clusters(pairs, algorithm=algorithm,
+                                         max_iters=40,
+                                         checkpoint_catalog=cat,
+                                         resume=True).collect()}
+    assert resumed == full
+
+    # resume with a satisfied budget re-verifies convergence and
+    # returns the same clustering
+    again = {r.doc_id: r.cluster_id
+             for r in neardup_clusters(pairs, algorithm=algorithm,
+                                       max_iters=40,
+                                       checkpoint_catalog=cat,
+                                       resume=True).collect()}
+    assert again == full
+
+    with pytest.raises(ValueError, match="requires checkpoint_catalog"):
+        neardup_clusters(pairs, algorithm=algorithm, resume=True)

@@ -532,3 +532,47 @@ def test_bm25_failed_rebuild_keeps_old_generation(spark, sf_small,
     assert after == before
     assert not any(t.endswith("__staging")
                    for t in os.listdir(catalog.warehouse))
+
+
+def test_bm25_concurrent_writer_fencing(spark, sf_small, tmp_path):
+    """Writer-generation fencing on the BM25 commit-ledger index: the
+    second acquirer fences the first, whose next transactional append
+    raises instead of silently interleaving batches."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.llm.retrieval import (
+        append_bm25_increment_txn,
+        build_bm25_index,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import (
+        Catalog, ConcurrentWriterError, WriterLease)
+
+    docs = load_table(spark, sf_small, "documents")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    build_bm25_index(catalog, docs.filter(F.col("doc_id") < 20), txn=True)
+
+    a = WriterLease(catalog, "bm25").acquire(spark)
+    append_bm25_increment_txn(
+        catalog, docs.filter((F.col("doc_id") >= 20)
+                             & (F.col("doc_id") < 30)), 1, lease=a)
+    b = WriterLease(catalog, "bm25").acquire(spark)
+    before = catalog.read("bm25_commits").count()
+    with _pytest.raises(ConcurrentWriterError, match="fenced"):
+        append_bm25_increment_txn(
+            catalog, docs.filter((F.col("doc_id") >= 30)
+                                 & (F.col("doc_id") < 40)), 2, lease=a)
+    assert catalog.read("bm25_commits").count() == before
+    # committed-batch replays stay no-ops even when fenced
+    append_bm25_increment_txn(
+        catalog, docs.filter((F.col("doc_id") >= 20)
+                             & (F.col("doc_id") < 30)), 1, lease=a)
+    # writer B proceeds normally
+    append_bm25_increment_txn(
+        catalog, docs.filter((F.col("doc_id") >= 30)
+                             & (F.col("doc_id") < 40)), 2, lease=b)
+    # a rebuild retires the lease table -> both writers fail loudly
+    build_bm25_index(catalog, docs.filter(F.col("doc_id") < 20), txn=True)
+    with _pytest.raises(ConcurrentWriterError, match="gone"):
+        append_bm25_increment_txn(
+            catalog, docs.filter(F.col("doc_id") >= 40), 3, lease=b)
