@@ -79,8 +79,9 @@ def check_or_record_params(catalog: Catalog, spark, table: str,
 
 
 def commits_table(table: str) -> str:
-    """Commit-ledger sidecar of a stream-owned index (one ``__batch``
-    row per fully-applied micro-batch — see
+    """Commit-ledger sidecar of a stream-owned index: a DIRECTORY of
+    one put-if-absent file per committed ``(batch, writer)`` — the
+    atomic commit point (``Catalog.commit_batch``; see
     ``streaming.corpus_stream.apply_dedup_increment_txn``)."""
     return f"{table}_commits"
 
@@ -94,12 +95,13 @@ def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
     ``{table}_meta`` sidecar (see :func:`check_or_record_params`).
 
     ``stream_index=True`` writes the STREAM-OWNED layout instead of the
-    flat one: rows carry ``__batch = -1`` (the table is partitioned by
-    it) and the ``{table}_commits`` ledger records batch -1 as
-    committed — the layout ``run_incremental_dedup_stream`` requires so
-    its per-batch dynamic partition overwrites and commit ledger can
-    make index appends atomic-with-replay (the r3 partial-commit window
-    closure)."""
+    flat one: rows carry ``__batch = -1`` / ``__writer = "-"`` (the
+    table is partitioned by both) and the ``{table}_commits`` ledger
+    records batch -1 as committed — the layout
+    ``run_incremental_dedup_stream`` requires so its per-batch dynamic
+    partition overwrites and put-if-absent ledger commits make index
+    appends atomic-with-replay AND writer-exclusive (the r3
+    partial-commit closure + the r6 two-writer closure)."""
     buckets = minhash_band_buckets(docs, text_col=text_col, id_col=id_col,
                                    **lsh_kw)
     spark = docs.sparkSession
@@ -119,10 +121,10 @@ def build_dedup_index(catalog: Catalog, docs: DataFrame, *,
                                 f"{table}_writer") as stage:
         if stream_index:
             catalog.overwrite(
-                buckets.withColumn("__batch", F.lit(-1).cast("long")),
-                stage(table), partition_by=["__batch"])
-            catalog.overwrite(spark.createDataFrame([(-1,)], "__batch long"),
-                              stage(commits_table(table)))
+                buckets.withColumn("__batch", F.lit(-1).cast("long"))
+                .withColumn("__writer", F.lit("-")),
+                stage(table), partition_by=["__batch", "__writer"])
+            catalog.commit_batch(stage(commits_table(table)), -1, "-")
         else:
             catalog.overwrite(buckets, stage(table))
         # overwrite (not check): a rebuild REDEFINES the geometry
@@ -156,11 +158,13 @@ def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
     (band, bucket) equi-join against the index table.
 
     ``committed_only=True`` (the stream-owned layout): probe only index
-    rows whose ``__batch`` appears in the ``{table}_commits`` ledger —
-    rows from a crashed, uncommitted index write are invisible, so a
-    replay recomputes the SAME accepted set instead of rejecting docs
-    against their own partial rows (the r3 partial-commit recall-loss
-    mode). Requires the index to carry ``__batch``
+    rows whose ``(__batch, __writer)`` pair appears in the
+    ``{table}_commits`` ledger — rows from a crashed, uncommitted index
+    write (or from a fenced writer that lost the commit race) are
+    invisible, so a replay recomputes the SAME accepted set instead of
+    rejecting docs against partial/orphan rows (the r3 partial-commit
+    recall-loss mode; the r6 two-writer closure). Requires the index to
+    carry ``__batch``/``__writer``
     (``build_dedup_index(stream_index=True)`` or stream-created).
     """
     spark = new_docs.sparkSession
@@ -170,18 +174,17 @@ def plan_increment(catalog: Catalog, new_docs: DataFrame, *,
     stored = (catalog.read(table) if catalog.exists(table)
               else spark.createDataFrame([], INDEX_SCHEMA))
     if committed_only:
-        if catalog.exists(table) and "__batch" not in stored.columns:
+        if catalog.exists(table) and not {
+                "__batch", "__writer"}.issubset(stored.columns):
             raise ValueError(
-                f"index '{table}' has no __batch column — rebuild it with "
-                "build_dedup_index(stream_index=True) before probing with "
-                "committed_only (a flat index cannot distinguish committed "
-                "from partial rows)")
+                f"index '{table}' lacks the __batch/__writer layout — "
+                "rebuild it with build_dedup_index(stream_index=True) "
+                "before probing with committed_only (a flat index cannot "
+                "distinguish committed from partial or orphan rows)")
         if "__batch" in stored.columns:
-            committed = (catalog.read(commits_table(table))
-                         if catalog.exists(commits_table(table))
-                         else spark.createDataFrame([], "__batch long"))
-            stored = stored.join(F.broadcast(committed), "__batch",
-                                 "left_semi")
+            stored = stored.join(
+                F.broadcast(catalog.committed_frame(commits_table(table))),
+                ["__batch", "__writer"], "left_semi")
     vs_corpus = (buckets.join(stored, ["band", "bucket"], "left_semi")
                  .select("doc").distinct())
     fresh_buckets = buckets.join(vs_corpus, "doc", "left_anti")

@@ -221,11 +221,11 @@ def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
     (this legacy path commits tf/df/stats as THREE separate writes — a
     crash between them leaves the tables mutually inconsistent until
     the batch is replayed). ``txn=True`` writes the txn-ready layout
-    (rows carry ``__batch = -1``, the ``{table}_commits`` ledger seeds
-    batch -1) so increments can use the crash-safe path — the
+    (rows carry ``__batch = -1`` / ``__writer = "-"``, the
+    ``{table}_commits`` put-if-absent ledger seeds batch -1) so
+    increments can use the crash-safe, writer-exclusive path — the
     ``build_dedup_index(stream_index=True)`` twin.
     """
-    spark = docs.sparkSession
     tf, dfreq, stats = _bm25_counts(docs, text_col, id_col)
     if txn and append:
         raise ValueError("txn=True rebuilds the layout; use "
@@ -248,17 +248,20 @@ def build_bm25_index(catalog, docs: DataFrame, *, table: str = "bm25",
     with catalog.staged_rebuild(*names) as stage:
         if txn:
             bid = F.lit(-1).cast("long")
-            catalog.overwrite(tf.withColumn("__batch", bid),
-                              stage(f"{table}_tf"),
-                              partition_by=["__batch", "term_bucket"])
-            catalog.overwrite(dfreq.withColumn("__batch", bid),
-                              stage(f"{table}_df"),
-                              partition_by=["__batch", "term_bucket"])
-            catalog.overwrite(stats.withColumn("__batch", bid),
-                              stage(f"{table}_stats"),
-                              partition_by=["__batch"])
-            catalog.overwrite(spark.createDataFrame([(-1,)], "__batch long"),
-                              stage(f"{table}_commits"))
+            wid = F.lit("-")
+            catalog.overwrite(
+                tf.withColumn("__batch", bid).withColumn("__writer", wid),
+                stage(f"{table}_tf"),
+                partition_by=["__batch", "__writer", "term_bucket"])
+            catalog.overwrite(
+                dfreq.withColumn("__batch", bid).withColumn("__writer", wid),
+                stage(f"{table}_df"),
+                partition_by=["__batch", "__writer", "term_bucket"])
+            catalog.overwrite(
+                stats.withColumn("__batch", bid).withColumn("__writer", wid),
+                stage(f"{table}_stats"),
+                partition_by=["__batch", "__writer"])
+            catalog.commit_batch(stage(f"{table}_commits"), -1, "-")
         else:
             catalog.overwrite(tf, stage(f"{table}_tf"),
                               partition_by=["term_bucket"])
@@ -288,50 +291,59 @@ def append_bm25_increment_txn(catalog, docs: DataFrame, batch_id: int, *,
                               table: str = "bm25", text_col: str = "text",
                               id_col: str = "doc_id", lease=None) -> None:
     """Append one corpus increment to a ``txn=True`` BM25 index under
-    the COMMIT-LEDGER protocol (the
+    the EXCLUSIVE COMMIT-LEDGER protocol (the
     ``streaming.corpus_stream.apply_dedup_increment_txn`` pattern,
     applied to the lexical index):
 
-    1. ``batch_id`` already in ``{table}_commits`` → fully applied,
-       return (replay no-op).
-    2. Write the increment's tf/df/stats rows as ``__batch=batch_id``
-       partitions via DYNAMIC partition overwrite — a replay REPLACES a
-       crashed attempt's partial partitions across all three tables.
-    3. Append ``batch_id`` to the ledger — the commit point. Probes
-       (:func:`bm25_topk_from_index`) read committed batches only, so
-       a crash ANYWHERE before (3) leaves the index observably
-       unchanged: no torn tf-without-df state, no double counts.
+    1. ``batch_id`` already committed in ``{table}_commits`` (a
+       driver-side file check) → fully applied, return (replay no-op).
+    2. Write the increment's tf/df/stats rows as
+       ``(__batch=batch_id, __writer)`` partitions via DYNAMIC
+       partition overwrite — a replay REPLACES a crashed attempt's
+       partial partitions across all three tables, and a racing
+       writer's rows land in its OWN partition.
+    3. ``Catalog.commit_batch`` — the atomic, exclusive commit point
+       (hard-link put-if-absent). Probes
+       (:func:`bm25_topk_from_index`) read committed (batch, writer)
+       pairs only, so a crash ANYWHERE before (3) leaves the index
+       observably unchanged — no torn tf-without-df state, no double
+       counts — and at most one writer ever commits a given batch.
 
-    Single-writer contract, like every plain-parquet mutation here;
-    ``lease=`` (a :class:`~..sources.catalog.WriterLease`) makes a
-    violation LOUD — checked after the replay short-circuit, before any
-    mutation, so a writer fenced by a newer acquirer raises
-    ``ConcurrentWriterError`` instead of silently interleaving batches.
+    ``lease=`` (a :class:`~..sources.catalog.WriterLease`) is the
+    fast-fail layer: checked after the replay short-circuit, so a
+    fenced writer raises before burning compute; its id becomes the
+    ``__writer`` partition value (``"-"`` without a lease). A writer
+    that slips past the fence loses at (3) and its orphan partitions
+    stay invisible (``Catalog.vacuum_uncommitted`` reclaims them).
     """
-    spark = docs.sparkSession
     commits = f"{table}_commits"
-    if catalog.exists(commits):
-        if catalog.read(commits).filter(
-                F.col("__batch") == int(batch_id)).take(1):
-            return
+    if catalog.batch_committed(commits, int(batch_id)):
+        return
     if lease is not None:
         lease.check()
+    writer = lease.writer_id if lease is not None else "-"
     if (catalog.exists(f"{table}_tf")
-            and "__batch" not in catalog.read(f"{table}_tf").columns):
+            and not {"__batch", "__writer"}.issubset(
+                catalog.read(f"{table}_tf").columns)):
         raise ValueError(
-            f"BM25 index '{table}' has the legacy flat layout — rebuild "
+            f"BM25 index '{table}' has a legacy layout — rebuild "
             "with build_bm25_index(txn=True) before transactional appends")
     if not docs.isEmpty():
         tf, dfreq, stats = _bm25_counts(docs, text_col, id_col)
         bid = F.lit(int(batch_id)).cast("long")
-        catalog.overwrite(tf.withColumn("__batch", bid), f"{table}_tf",
-                          partition_by=["__batch", "term_bucket"])
-        catalog.overwrite(dfreq.withColumn("__batch", bid), f"{table}_df",
-                          partition_by=["__batch", "term_bucket"])
-        catalog.overwrite(stats.withColumn("__batch", bid),
-                          f"{table}_stats", partition_by=["__batch"])
-    catalog.append(spark.createDataFrame([(int(batch_id),)],
-                                         "__batch long"), commits)
+        wid = F.lit(writer)
+        catalog.overwrite(
+            tf.withColumn("__batch", bid).withColumn("__writer", wid),
+            f"{table}_tf",
+            partition_by=["__batch", "__writer", "term_bucket"])
+        catalog.overwrite(
+            dfreq.withColumn("__batch", bid).withColumn("__writer", wid),
+            f"{table}_df",
+            partition_by=["__batch", "__writer", "term_bucket"])
+        catalog.overwrite(
+            stats.withColumn("__batch", bid).withColumn("__writer", wid),
+            f"{table}_stats", partition_by=["__batch", "__writer"])
+    catalog.commit_batch(commits, int(batch_id), writer)
 
 
 def bm25_topk_from_index(catalog, queries: DataFrame, *,
@@ -355,14 +367,16 @@ def bm25_topk_from_index(catalog, queries: DataFrame, *,
     buckets = sorted({r[0] for r in
                       qterms.select(_term_bucket()).distinct().collect()})
 
-    # txn layout: read COMMITTED batches only, so a crashed partial
-    # append (append_bm25_increment_txn) is invisible to probes
-    committed = (catalog.read(f"{table}_commits")
+    # txn layout: read COMMITTED (batch, writer) pairs only, so a
+    # crashed partial append (append_bm25_increment_txn) or a fenced
+    # writer's orphan partition is invisible to probes
+    committed = (catalog.committed_frame(f"{table}_commits")
                  if catalog.exists(f"{table}_commits") else None)
 
     def _committed(df_):
         if committed is not None and "__batch" in df_.columns:
-            return df_.join(F.broadcast(committed), "__batch", "left_semi")
+            return df_.join(F.broadcast(committed),
+                            ["__batch", "__writer"], "left_semi")
         return df_
 
     stats = (_committed(catalog.read(f"{table}_stats"))

@@ -336,36 +336,146 @@ class Catalog:
         """Read a session-catalog (possibly bucketed) table by name."""
         return self.spark.table(table)
 
+    # -- exclusive commit ledger -------------------------------------
+    #
+    # The ledger of a transactional index family is a DIRECTORY of one
+    # small json file per committed batch, created via hard-link
+    # put-if-absent — the atomic create-exclusive primitive every POSIX
+    # filesystem provides (HDFS: create(overwrite=false); S3:
+    # If-None-Match puts). File creation is the COMMIT POINT: it either
+    # happens exactly once or raises, so two writers racing the same
+    # batch id cannot both commit — which closes the check-to-write
+    # window that :class:`WriterLease` fencing alone leaves open.
+    # Commits are driver-side file ops (no Spark job per batch), and
+    # the ledger directory participates in :meth:`staged_rebuild`
+    # exactly like a table (it is dropped/renamed as a directory).
+
+    def commit_batch(self, ledger: str, batch_id: int,
+                     writer: str = "-") -> None:
+        """Atomically commit ``batch_id`` to ``ledger`` (put-if-absent).
+        Raises :class:`ConcurrentWriterError` if the batch is already
+        committed — the loser of a two-writer race fails here, BEFORE
+        its data becomes visible (probes read committed
+        (batch, writer) pairs only)."""
+        import json
+        import uuid
+
+        d = self.path(ledger)
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"b{int(batch_id)}.json")
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"__batch": int(batch_id), "__writer": writer}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # link-then-unlink publishes the COMPLETE file atomically:
+            # a concurrent reader never observes a half-written commit,
+            # and link() fails with EEXIST if the batch is committed
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriterError(
+                f"batch {batch_id} of ledger '{ledger}' is already "
+                "committed — a concurrent writer won this batch; this "
+                "writer must stop (its data partition is invisible: "
+                "probes read committed (batch, writer) pairs only)")
+        finally:
+            os.unlink(tmp)
+        try:  # durability of the directory entry itself
+            dfd = os.open(d, os.O_RDONLY)
+            os.fsync(dfd)
+            os.close(dfd)
+        except OSError:
+            pass
+
+    def batch_committed(self, ledger: str, batch_id: int) -> bool:
+        """True if ``batch_id`` is committed in ``ledger`` (driver-side
+        file check — the replay short-circuit costs no Spark job)."""
+        return os.path.isfile(
+            os.path.join(self.path(ledger), f"b{int(batch_id)}.json"))
+
+    def committed_batches(self, ledger: str) -> list[tuple[int, str]]:
+        """All committed ``(batch_id, writer)`` pairs, batch-ordered.
+        Ledger size is O(#batches) — driver listing by design."""
+        import json
+
+        d = self.path(ledger)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("b") and name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    row = json.load(f)
+                out.append((int(row["__batch"]), str(row["__writer"])))
+        return sorted(out)
+
+    def committed_frame(self, ledger: str) -> DataFrame:
+        """The ledger as a ``(__batch, __writer)`` frame — broadcast
+        this against a ``[__batch, __writer]``-partitioned table to
+        make uncommitted/orphan partitions invisible."""
+        return self.spark.createDataFrame(
+            self.committed_batches(ledger), "__batch long, __writer string")
+
+    def vacuum_uncommitted(self, table: str, ledger: str) -> list[str]:
+        """Drop ``__batch=…/__writer=…`` partitions of ``table`` absent
+        from ``ledger`` — the GC for orphans left by crashed or fenced
+        writers (their partitions are already invisible to committed
+        probes; this reclaims the bytes). Returns the dropped partition
+        dirs. Safe concurrently with readers of COMMITTED data only."""
+        import shutil
+
+        committed = set(self.committed_batches(ledger))
+        root = self.path(table)
+        dropped: list[str] = []
+        if not os.path.isdir(root):
+            return dropped
+        for bdir in sorted(os.listdir(root)):
+            if not bdir.startswith("__batch="):
+                continue
+            batch = int(bdir.split("=", 1)[1])
+            bpath = os.path.join(root, bdir)
+            for wdir in sorted(os.listdir(bpath)):
+                if not wdir.startswith("__writer="):
+                    continue
+                writer = wdir.split("=", 1)[1]
+                if (batch, writer) not in committed:
+                    shutil.rmtree(os.path.join(bpath, wdir),
+                                  ignore_errors=True)
+                    dropped.append(f"{bdir}/{wdir}")
+            if not os.listdir(bpath):
+                shutil.rmtree(bpath, ignore_errors=True)
+        return dropped
+
 
 class ConcurrentWriterError(RuntimeError):
-    """Another writer has taken over a single-writer table family —
-    this writer is FENCED and must stop (see :class:`WriterLease`)."""
+    """Another writer has taken over a single-writer table family (or
+    lost a commit race) — this writer is FENCED and must stop (see
+    :class:`WriterLease` and :meth:`Catalog.commit_batch`)."""
 
 
 class WriterLease:
-    """Writer-generation fencing for the single-writer plain-parquet
-    contract (r4 verdict task 5 — previously a docstring-only contract:
-    "the commit check is not a lock").
+    """Writer-generation fencing for transactional index families (r4
+    verdict task 5 — previously a docstring-only contract: "the commit
+    check is not a lock").
 
-    Plain parquet offers no compare-and-swap, so a true lock is
-    impossible — but GENERATION FENCING is: each writer stamps a
-    ``{table}_writer`` one-row sidecar with its id on :meth:`acquire`
-    (last acquirer wins ownership), and re-reads it via :meth:`check`
-    before every mutation. A fenced writer — one whose id is no longer
-    the stored id because a second writer acquired after it — raises
-    :class:`ConcurrentWriterError` LOUDLY instead of silently
-    interleaving batches into the index. The residual race is one
-    check-to-write window per batch (two writers passing check
-    simultaneously), which no parquet-only protocol can close — the
-    fence bounds silent interleaving to at most one batch per takeover
-    instead of unbounded; a transactional table format (Delta/Iceberg)
-    closes it fully, and this seam maps onto their commit-conflict
-    detection.
+    Each writer stamps ``{table}_writer/lease.json`` with its id on
+    :meth:`acquire` via atomic rename (last acquirer wins ownership),
+    and re-reads it via :meth:`check` before every mutation — both
+    driver-side file ops, no Spark job. A fenced writer — one whose id
+    is no longer the stored id because a second writer acquired after
+    it — raises :class:`ConcurrentWriterError` LOUDLY at the top of its
+    next batch instead of burning a batch of compute. The fence is the
+    FAST-FAIL layer; the exclusivity GUARANTEE is
+    :meth:`Catalog.commit_batch`'s put-if-absent ledger commit plus the
+    ``[__batch, __writer]`` data layout (a racing writer that slips
+    past the fence loses the commit and its writer-scoped partition is
+    never visible to committed probes). Together they map onto a
+    transactional table format's commit-conflict detection.
 
     Usage::
 
-        lease = WriterLease(catalog, "minhash_index")
-        lease.acquire(spark)          # stamp ownership (start of stream)
+        lease = WriterLease(catalog, "minhash_index").acquire()
         ...
         lease.check()                 # before each batch's mutation
     """
@@ -378,24 +488,41 @@ class WriterLease:
         self.table = f"{table}_writer"
         self.writer_id = writer_id or uuid.uuid4().hex
 
-    def acquire(self, spark: SparkSession) -> "WriterLease":
-        """Stamp ownership of the table family (one-row overwrite).
-        Call once per writer session, before the first mutation."""
-        self.catalog.overwrite(
-            spark.createDataFrame([(self.writer_id,)], "writer_id string"),
-            self.table)
+    def _file(self) -> str:
+        return os.path.join(self.catalog.path(self.table), "lease.json")
+
+    def acquire(self, spark=None) -> "WriterLease":
+        """Stamp ownership of the table family (atomic replace — last
+        acquirer wins). Call once per writer session, before the first
+        mutation. ``spark`` is accepted for call-site symmetry and
+        unused (the stamp is a driver-side file op)."""
+        import json
+        import uuid
+
+        d = self.catalog.path(self.table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"writer_id": self.writer_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._file())
         return self
 
     def check(self) -> None:
         """Raise :class:`ConcurrentWriterError` if another writer has
         acquired since this one did. Call before every mutation."""
-        if not self.catalog.exists(self.table):
-            # lease table dropped (e.g. index rebuilt from scratch) —
+        import json
+
+        try:
+            with open(self._file()) as f:
+                holder = json.load(f)["writer_id"]
+        except FileNotFoundError:
+            # lease sidecar dropped (e.g. index rebuilt from scratch) —
             # treat as fenced: this writer's view of the index is stale
             raise ConcurrentWriterError(
-                f"writer lease table '{self.table}' is gone — the index "
-                "was rebuilt or retired under this writer; restart it")
-        holder = self.catalog.read(self.table).collect()[0]["writer_id"]
+                f"writer lease '{self.table}' is gone — the index was "
+                "rebuilt or retired under this writer; restart it")
         if holder != self.writer_id:
             raise ConcurrentWriterError(
                 f"writer {self.writer_id} is fenced: '{self.table}' is "

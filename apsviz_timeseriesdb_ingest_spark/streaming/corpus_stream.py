@@ -220,26 +220,33 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
                               index_table: str = "minhash_index",
                               id_col: str = "doc_id",
                               lease=None, **lsh_kw) -> None:
-    """Apply one dedup-ingest micro-batch under the COMMIT-LEDGER
-    protocol — the plain-parquet closure of the partial-index-append
-    window (r3 verdict task 8; a transactional table format achieves
-    the same with one atomic commit, this does it with the ledger
-    pattern the harvest ingest already uses):
+    """Apply one dedup-ingest micro-batch under the EXCLUSIVE
+    COMMIT-LEDGER protocol — the plain-parquet closure of BOTH the
+    partial-index-append window (r3 verdict task 8) and the two-writer
+    interleave window (r6; a transactional table format achieves the
+    same with one atomic commit + commit-conflict detection, this does
+    it with put-if-absent ledger files and writer-scoped partitions):
 
-    1. ``batch_id`` already in the ``{index}_commits`` ledger → the
-       batch is fully applied; return (replay no-op).
+    1. ``batch_id`` already committed in the ``{index}_commits`` ledger
+       (a driver-side file check) → the batch is fully applied; return
+       (replay no-op).
     2. Probe the index with ``committed_only=True``: rows from any
-       crashed, uncommitted index write are INVISIBLE, so the accepted
-       set recomputes identically on replay instead of colliding with
-       its own partial rows (the old recall-loss mode).
-    3. Append accepted docs to the corpus (anti-join against stored ids
-       makes it idempotent; materialized before the append so the plan
-       never reads the path it is writing).
-    4. Write the accepted index rows as partition ``__batch=batch_id``
-       via DYNAMIC partition overwrite — a replay REPLACES a crashed
-       attempt's partial partition rather than appending next to it.
-    5. Append ``batch_id`` to the commit ledger — the commit point;
-       only now do this batch's index rows participate in probes.
+       crashed or racing uncommitted write are INVISIBLE, so the
+       accepted set recomputes identically on replay instead of
+       colliding with its own partial rows (the old recall-loss mode).
+    3. Write accepted docs to the corpus as partition
+       ``(__batch, __writer)`` via DYNAMIC partition overwrite
+       (anti-join against committed stored ids keeps re-sent doc ids
+       out; materialized before the write so the plan never reads the
+       path it is writing).
+    4. Write the accepted index rows as partition
+       ``(__batch=batch_id, __writer)`` the same way — a replay
+       REPLACES a crashed attempt's partial partition rather than
+       appending next to it.
+    5. ``Catalog.commit_batch`` — the atomic, EXCLUSIVE commit point
+       (hard-link put-if-absent): only now do this batch's corpus and
+       index partitions participate in committed reads, and at most
+       ONE writer can ever commit a given batch id.
 
     Crash matrix: before (4) → nothing visible, replay recomputes;
     mid-(4) → partial partition invisible to probes, replaced by the
@@ -248,13 +255,21 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
     returns. Every path converges to the fully-indexed state: ZERO
     recall loss (crash-replay pytest ``test_incremental_dedup``).
 
-    Single-writer contract, like every plain-parquet mutation here:
-    one stream drives one index. The commit check is not a lock — but
-    ``lease=`` (a :class:`~..sources.catalog.WriterLease`) makes a
-    VIOLATION loud: the lease is checked after the replay short-circuit
-    and before any mutation, so a writer fenced by a newer acquirer
-    raises ``ConcurrentWriterError`` instead of silently interleaving
-    its batches with the new writer's.
+    Two-writer matrix: ``lease=`` (a
+    :class:`~..sources.catalog.WriterLease`) is the FAST-FAIL layer —
+    checked after the replay short-circuit, so a fenced writer raises
+    before burning compute. A writer that slips past the fence (the
+    check-to-write race) still cannot corrupt: its data lands in its
+    OWN ``__writer`` partition, and step (5) admits exactly one
+    (batch, writer) pair — the loser raises ``ConcurrentWriterError``
+    at commit and its orphan partition stays invisible
+    (``Catalog.vacuum_uncommitted`` reclaims the bytes). Without a
+    lease the writer id is ``"-"`` — single-writer deployments keep
+    deterministic partitions and zero orphans.
+
+    Raw ``catalog.read(corpus_table)`` may see uncommitted/orphan rows;
+    read through :func:`committed_corpus` (or filter on the ledger)
+    when exactness matters.
     """
     from pyspark.sql import functions as F
 
@@ -263,29 +278,51 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
     if batch_df.isEmpty():
         return
     commits = commits_table(index_table)
-    if catalog.exists(commits):
-        done = (catalog.read(commits)
-                .filter(F.col("__batch") == int(batch_id)).take(1))
-        if done:
-            return
+    if catalog.batch_committed(commits, int(batch_id)):
+        return
     if lease is not None:
         lease.check()
+    writer = lease.writer_id if lease is not None else "-"
     accepted, accepted_buckets = plan_increment(
         catalog, batch_df, table=index_table, id_col=id_col,
         committed_only=True, **lsh_kw)
     if catalog.exists(corpus_table):
-        stored_ids = catalog.read(corpus_table).select(id_col)
+        stored_ids = committed_corpus(
+            catalog, corpus_table, index_table).select(id_col)
         accepted = accepted.join(stored_ids, id_col, "left_anti"
                                  ).localCheckpoint(eager=True)
-    if not accepted.isEmpty():  # empty append would poison a fresh table
-        catalog.append(accepted, corpus_table)
-    stamped = accepted_buckets.withColumn(
-        "__batch", F.lit(int(batch_id)).cast("long"))
+    bid = F.lit(int(batch_id)).cast("long")
+    # empty dynamic overwrites would poison a fresh table's schema
+    if not accepted.isEmpty():
+        catalog.overwrite(
+            accepted.withColumn("__batch", bid)
+            .withColumn("__writer", F.lit(writer)),
+            corpus_table, partition_by=["__batch", "__writer"])
+    stamped = (accepted_buckets.withColumn("__batch", bid)
+               .withColumn("__writer", F.lit(writer)))
     if not stamped.isEmpty():
-        catalog.overwrite(stamped, index_table, partition_by=["__batch"])
-    catalog.append(
-        batch_df.sparkSession.createDataFrame([(int(batch_id),)],
-                                              "__batch long"), commits)
+        catalog.overwrite(stamped, index_table,
+                          partition_by=["__batch", "__writer"])
+    catalog.commit_batch(commits, int(batch_id), writer)
+
+
+def committed_corpus(catalog, corpus_table: str,
+                     index_table: str = "minhash_index"):
+    """The corpus with uncommitted/orphan ``(__batch, __writer)``
+    partitions filtered out via the index's commit ledger — the
+    read-committed view callers should consume (raw reads may see
+    partitions from crashed or fenced writers until
+    ``Catalog.vacuum_uncommitted`` runs)."""
+    from pyspark.sql import functions as F
+
+    from ..llm.incremental import commits_table
+
+    df = catalog.read(corpus_table)
+    if {"__batch", "__writer"}.issubset(df.columns):
+        df = df.join(
+            F.broadcast(catalog.committed_frame(commits_table(index_table))),
+            ["__batch", "__writer"], "left_semi")
+    return df
 
 
 def run_incremental_embedding_stream(

@@ -109,7 +109,7 @@ class _CrashingCatalog:
     """Delegates to a real Catalog but injects one fault: either a
     PARTIAL index-partition write (half the bucket rows land, then the
     'process dies') or a crash after the index write but before the
-    commit-ledger append."""
+    put-if-absent ledger commit."""
 
     def __init__(self, real, *, mode):
         self._real = real
@@ -120,16 +120,16 @@ class _CrashingCatalog:
 
     def overwrite(self, df, table, *, partition_by=()):
         if self._mode == "partial_index" and "__batch" in df.columns \
-                and not table.endswith("_commits"):
+                and "band" in df.columns:
             half = df.filter(F.col("band") < 2)
             self._real.overwrite(half, table, partition_by=partition_by)
             raise RuntimeError("simulated crash mid index write")
         return self._real.overwrite(df, table, partition_by=partition_by)
 
-    def append(self, df, table, *, partition_by=()):
-        if self._mode == "before_commit" and table.endswith("_commits"):
+    def commit_batch(self, ledger, batch_id, writer="-"):
+        if self._mode == "before_commit":
             raise RuntimeError("simulated crash before ledger commit")
-        return self._real.append(df, table, partition_by=partition_by)
+        return self._real.commit_batch(ledger, batch_id, writer)
 
 
 @pytest.mark.parametrize("mode", ["partial_index", "before_commit"])
@@ -155,8 +155,7 @@ def test_txn_crash_replay_zero_recall_loss(spark, catalog, mode):
         apply_dedup_increment_txn(_CrashingCatalog(catalog, mode=mode),
                                   batch1, 7, **LSH)
     # not committed: the crashed attempt's rows are invisible to probes
-    commits = catalog.read(commits_table("minhash_index"))
-    assert commits.filter(F.col("__batch") == 7).count() == 0
+    assert not catalog.batch_committed(commits_table("minhash_index"), 7)
     if mode == "partial_index":
         partial = (catalog.read("minhash_index")
                    .filter(F.col("__batch") == 7))
@@ -174,12 +173,15 @@ def test_txn_crash_replay_zero_recall_loss(spark, catalog, mode):
     per_doc = (idx.filter(F.col("__batch") == 7)
                .groupBy("doc").count().collect())
     assert {r["count"] for r in per_doc} == {LSH["bands"]}
-    assert commits_table("minhash_index") and \
-        catalog.read(commits_table("minhash_index"))\
-        .filter(F.col("__batch") == 7).count() == 1
-    # corpus exactly-once
+    assert catalog.batch_committed(commits_table("minhash_index"), 7)
+    # corpus exactly-once (committed view == raw view here: the solo
+    # writer's replay REPLACED its own crashed partition)
     corpus = catalog.read("stream_corpus")
     assert {r.doc_id for r in corpus.collect()} == {12, 14}
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        committed_corpus)
+    assert {r.doc_id for r in
+            committed_corpus(catalog, "stream_corpus").collect()} == {12, 14}
 
     # a later near-dup of a batch-7 doc is rejected (the behavior the
     # old window lost)
@@ -193,8 +195,7 @@ def test_txn_crash_replay_zero_recall_loss(spark, catalog, mode):
     n_idx = catalog.read("minhash_index").count()
     apply_dedup_increment_txn(catalog, batch1, 7, **LSH)
     assert catalog.read("minhash_index").count() == n_idx
-    assert catalog.read(commits_table("minhash_index"))\
-        .filter(F.col("__batch") == 7).count() == 1
+    assert catalog.batch_committed(commits_table("minhash_index"), 7)
 
 
 def test_txn_rejects_flat_legacy_index(spark, catalog):
@@ -235,8 +236,7 @@ def test_stream_index_rebuild_replaces_stale_batches(spark, catalog):
     batches = [d for d in os.listdir(catalog.path("minhash_index"))
                if d.startswith("__batch=")]
     assert batches == ["__batch=-1"]
-    assert [r["__batch"] for r in
-            catalog.read("minhash_index_commits").collect()] == [-1]
+    assert catalog.committed_batches("minhash_index_commits") == [(-1, "-")]
     assert (catalog.read("minhash_index").select("doc")
             .distinct().count() == 2)
 
@@ -244,9 +244,22 @@ def test_stream_index_rebuild_replaces_stale_batches(spark, catalog):
     # __batch=7 rows would have rejected 12 and 14 here; 11 is still
     # rejected legitimately (near-copy of base doc 1, in the rebuild)
     apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 8, **LSH)
+    from apsviz_timeseriesdb_ingest_spark.llm.incremental import (
+        commits_table)
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        committed_corpus)
     got = sorted(r.doc_id for r in
-                 catalog.read("stream_corpus").collect())
+                 committed_corpus(catalog, "stream_corpus").collect())
     assert got == [12, 14]
+    # the pre-rebuild batch-7 corpus partition is an orphan under the
+    # reset ledger: invisible to the committed view above, reclaimed by
+    # vacuum — after which even a raw read matches
+    dropped = catalog.vacuum_uncommitted(
+        "stream_corpus", commits_table("minhash_index"))
+    assert dropped == ["__batch=7/__writer=-"]
+    got_raw = sorted(r.doc_id for r in
+                     catalog.read("stream_corpus").collect())
+    assert got_raw == [12, 14]
 
 
 def test_failed_rebuild_keeps_old_generation(spark, catalog, monkeypatch):
@@ -367,16 +380,70 @@ def test_dedup_stream_acquires_lease(spark, catalog, tmp_path):
     src = tmp_path / "in"
     os.makedirs(src)
     _docs(spark, BASE).coalesce(1).write.parquet(str(src / "b0"))
+    import json
+
+    def holder():
+        with open(os.path.join(catalog.path("minhash_index_writer"),
+                               "lease.json")) as f:
+            return json.load(f)["writer_id"]
+
     q = run_incremental_dedup_stream(
         spark, str(src / "b0"), catalog,
         checkpoint_dir=str(tmp_path / "ck"), **LSH)
     q.processAllAvailable(); q.stop()
     assert catalog.exists("minhash_index_writer")
-    first = catalog.read("minhash_index_writer").collect()[0]["writer_id"]
+    first = holder()
 
     q2 = run_incremental_dedup_stream(
         spark, str(src / "b0"), catalog,
         checkpoint_dir=str(tmp_path / "ck2"), **LSH)
     q2.processAllAvailable(); q2.stop()
-    second = catalog.read("minhash_index_writer").collect()[0]["writer_id"]
-    assert second != first
+    assert holder() != first
+
+
+def test_exclusive_commit_and_orphan_invisibility(spark, catalog):
+    """The r6 two-writer closure at the protocol level: (a) commit_batch
+    is put-if-absent — the second writer to commit a batch id RAISES;
+    (b) a writer's uncommitted data partition is invisible to committed
+    probes and to committed_corpus; (c) vacuum_uncommitted reclaims it."""
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import (
+        minhash_band_buckets)
+    from apsviz_timeseriesdb_ingest_spark.llm.incremental import (
+        plan_increment)
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import (
+        ConcurrentWriterError)
+
+    build_dedup_index(catalog, _docs(spark, BASE), stream_index=True, **LSH)
+
+    # (a) exactly one writer can commit a given batch id
+    catalog.commit_batch("minhash_index_commits", 5, "writer-a")
+    with pytest.raises(ConcurrentWriterError, match="already"):
+        catalog.commit_batch("minhash_index_commits", 5, "writer-b")
+    assert (5, "writer-a") in catalog.committed_batches(
+        "minhash_index_commits")
+
+    # (b) writer-b's UNCOMMITTED partition: rows present on disk but
+    # invisible to the committed probe — its near-dup of doc 20 is NOT
+    # rejected
+    doc20 = [(20, "a wholly distinct doc about orphaned partitions and "
+                  "exclusive ledger commits in parquet")]
+    orphan = (minhash_band_buckets(_docs(spark, doc20), **LSH)
+              .withColumn("__batch", F.lit(6).cast("long"))
+              .withColumn("__writer", F.lit("writer-b")))
+    catalog.overwrite(orphan, "minhash_index",
+                      partition_by=["__batch", "__writer"])
+    assert catalog.read("minhash_index").filter(
+        F.col("__writer") == "writer-b").count() > 0
+    accepted, _ = plan_increment(catalog, _docs(spark, doc20),
+                                 committed_only=True, **LSH)
+    assert [r.doc_id for r in accepted.collect()] == [20]
+
+    # (c) vacuum drops exactly the uncommitted partition
+    dropped = catalog.vacuum_uncommitted("minhash_index",
+                                         "minhash_index_commits")
+    assert dropped == ["__batch=6/__writer=writer-b"]
+    assert catalog.read("minhash_index").filter(
+        F.col("__batch") == 6).count() == 0
+    # committed data untouched
+    assert catalog.read("minhash_index").filter(
+        F.col("__batch") == -1).count() > 0

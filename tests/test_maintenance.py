@@ -128,7 +128,7 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     build_bm25_index(cat, docs.filter(F.col("doc_id") < 15), txn=True)
     append_bm25_increment_txn(
         cat, docs.filter(F.col("doc_id") >= 15), 1)
-    assert cat.partition_columns("bm25_tf") == ["__batch", "term_bucket"]
+    assert cat.partition_columns("bm25_tf") == ["__batch", "__writer", "term_bucket"]
     queries = spark.createDataFrame([(0, "shared tokens filler")],
                                     "query_id long, text string")
     before = sorted(map(tuple,
@@ -136,7 +136,7 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
 
     cat.compact("bm25_tf")
     # layout and rows survive
-    assert cat.partition_columns("bm25_tf") == ["__batch", "term_bucket"]
+    assert cat.partition_columns("bm25_tf") == ["__batch", "__writer", "term_bucket"]
     after = sorted(map(tuple,
                        bm25_topk_from_index(cat, queries).collect()))
     assert after == before and after

@@ -401,8 +401,7 @@ def test_bm25_txn_append_crash_replay(spark, sf_small, tmp_path):
     # uncommitted tf rows ARE on disk (the crash was real) ...
     assert catalog.read("bm25_tf").filter(F.col("__batch") == 5).count() > 0
     # ... but the ledger lacks the batch
-    assert catalog.read("bm25_commits").filter(
-        F.col("__batch") == 5).count() == 0
+    assert not catalog.batch_committed("bm25_commits", 5)
 
     # replay: replaces the partial partitions, commits, and the index
     # now equals a one-shot full build bit-for-bit
@@ -418,8 +417,7 @@ def test_bm25_txn_append_crash_replay(spark, sf_small, tmp_path):
     append_bm25_increment_txn(catalog, second, 5)
     assert sorted(map(tuple, bm25_topk_from_index(catalog, queries)
                       .collect())) == exp
-    assert catalog.read("bm25_commits").filter(
-        F.col("__batch") == 5).count() == 1
+    assert catalog.batch_committed("bm25_commits", 5)
 
     legacy = Catalog(spark, str(tmp_path / "legacy"))
     build_bm25_index(legacy, first)
@@ -466,8 +464,7 @@ def test_bm25_rebuild_replaces_stale_partitions(spark, sf_small, tmp_path):
         batches = {d for d in os.listdir(catalog.path(t))
                    if d.startswith("__batch=")}
         assert batches == {"__batch=-1"}, t
-    assert [r["__batch"] for r in
-            catalog.read("bm25_commits").collect()] == [-1]
+    assert catalog.committed_batches("bm25_commits") == [(-1, "-")]
     # probe scores match the direct path over ONLY the rebuilt corpus
     # (phantom rows would shift N, avgdl, df and every score)
     got = sorted(map(tuple,
@@ -557,12 +554,12 @@ def test_bm25_concurrent_writer_fencing(spark, sf_small, tmp_path):
         catalog, docs.filter((F.col("doc_id") >= 20)
                              & (F.col("doc_id") < 30)), 1, lease=a)
     b = WriterLease(catalog, "bm25").acquire(spark)
-    before = catalog.read("bm25_commits").count()
+    before = len(catalog.committed_batches("bm25_commits"))
     with _pytest.raises(ConcurrentWriterError, match="fenced"):
         append_bm25_increment_txn(
             catalog, docs.filter((F.col("doc_id") >= 30)
                                  & (F.col("doc_id") < 40)), 2, lease=a)
-    assert catalog.read("bm25_commits").count() == before
+    assert len(catalog.committed_batches("bm25_commits")) == before
     # committed-batch replays stay no-ops even when fenced
     append_bm25_increment_txn(
         catalog, docs.filter((F.col("doc_id") >= 20)
