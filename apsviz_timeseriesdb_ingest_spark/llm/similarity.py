@@ -153,10 +153,11 @@ def brute_force_topk(vectors: DataFrame, *, id_col: str = "vec_id",
 
 def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
                             vec_col: str = "embedding", threshold: float = 0.9,
-                            dim: int | None = None, planes: int = 0,
+                            dim: int | None = None, planes: int | str = 0,
                             bands: int = 1, inv_density: int | None = 8,
                             method: str = "auto",
-                            max_bucket_size: int | None = None) -> DataFrame:
+                            max_bucket_size: int | None = None,
+                            tune_kw: dict | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
     With ``planes > 0`` candidates come from banded multi-table
@@ -185,7 +186,21 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     a SQL oracle); 'blas' broadcasts the corpus matrix and runs a blocked
     NumPy matmul scan per partition (~10x faster; requires the matrix to
     fit in a broadcast — beyond that, LSH/IVF candidate generation is the
-    path). 'auto' = blas for the exact scan, expr when bucketed."""
+    path). 'auto' = blas for the exact scan, expr when bucketed.
+
+    ``planes="auto"`` sizes the LSH family FROM the corpus: one count
+    job, then :func:`hyperplane_tune` picks (planes, bands) so bucket
+    occupancy — and therefore candidate volume per vector — stays
+    constant as n grows (fixed planes are the measured r6 scale cliff:
+    10x vectors → 100x candidates). ``tune_kw`` forwards to the tuner
+    (target_recall/target_bucket/max_bands); explicit ``bands`` is
+    ignored in auto mode."""
+    if planes == "auto":
+        tuned = hyperplane_tune(vectors.count(), threshold,
+                                **(tune_kw or {}))
+        planes, bands = tuned["planes"], tuned["bands"]
+    elif tune_kw is not None:
+        raise ValueError("tune_kw is only meaningful with planes='auto'")
     if method == "auto":
         method = "expr" if planes else "blas"
     if method == "blas" and not planes:
@@ -406,6 +421,70 @@ def sparse_hyperplane_rows(dim: int, planes: int,
             row[md5int(f"sparse-fallback|{p}") % dim] = 1.0
         rows.append(row)
     return rows
+
+
+def hyperplane_tune(n: int, threshold: float, *,
+                    target_recall: float = 0.9, target_bucket: int = 32,
+                    min_planes: int = 4, max_planes: int = 24,
+                    max_bands: int = 64) -> dict:
+    """Pick (planes, bands) for banded sign-random-projection LSH from
+    the corpus size and cosine threshold — the :func:`~.dedup.
+    minhash_tune` analogue for embeddings, and the closure of the r6
+    soak's scale cliff: a FIXED plane count means a fixed ``2^planes``
+    bucket count, so per-bucket occupancy grows with n and candidate
+    volume grows ~n² (measured: 10x vectors → 100x candidates at 12x8).
+
+    Theory (Charikar 2002, public): two vectors at angle θ disagree on
+    one sign bit with probability θ/π, so a pair AT the cosine
+    threshold collides in one r-plane band with p(r) = (1 - θ/π)^r and
+    across b bands with recall 1 - (1 - p^r)^b. The tuner:
+
+    - sets ``planes = ceil(log2(n / target_bucket))`` — bucket count
+      scales WITH n, expected occupancy stays ~target_bucket, so
+      per-band candidate volume is ~n·target_bucket/2: LINEAR in n;
+    - sets ``bands`` = smallest b whose recall at the threshold meets
+      ``target_recall``;
+    - if that b exceeds ``max_bands`` (low thresholds make sign-LSH
+      inherently weak: p per plane = 1 - θ/π falls toward 1/2), sheds
+      planes one at a time — trading bucket occupancy back for per-band
+      recall — until the band budget fits, and reports the achieved
+      recall honestly.
+
+    Returns ``{"planes", "bands", "recall_at_threshold",
+    "exp_bucket_occupancy", "exp_candidates"}``. Driver-side arithmetic
+    only — feed planes/bands to :func:`embedding_neardup_pairs`
+    (``planes="auto"`` does exactly this internally).
+    """
+    import math
+
+    if not -1.0 < threshold < 1.0:
+        raise ValueError("cosine threshold must be in (-1, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    planes = max(min_planes,
+                 math.ceil(math.log2(max(n, 1) / max(target_bucket, 1))))
+    planes = min(planes, max_planes, 62)  # bucket is one signed long
+
+    def bands_for(r: int) -> int:
+        pr = p1 ** r
+        if pr >= 1.0:
+            return 1
+        return max(1, math.ceil(math.log(1.0 - target_recall)
+                                / math.log(1.0 - pr)))
+
+    while planes > min_planes and bands_for(planes) > max_bands:
+        planes -= 1
+    bands = min(bands_for(planes), max_bands)
+    pr = p1 ** planes
+    recall = 1.0 - (1.0 - pr) ** bands
+    occupancy = n / float(2 ** planes)
+    return {
+        "planes": planes, "bands": bands,
+        "recall_at_threshold": round(recall, 6),
+        "exp_bucket_occupancy": round(occupancy, 3),
+        "exp_candidates": int(bands * n * max(occupancy - 1.0, 0.0) / 2),
+    }
 
 
 #: max nonzero coefficients for which a plane dot is emitted as an

@@ -410,12 +410,24 @@ class Catalog:
                 out.append((int(row["__batch"]), str(row["__writer"])))
         return sorted(out)
 
-    def committed_frame(self, ledger: str) -> DataFrame:
+    def committed_frame(self, ledger: str,
+                        as_of: int | None = None) -> DataFrame:
         """The ledger as a ``(__batch, __writer)`` frame — broadcast
         this against a ``[__batch, __writer]``-partitioned table to
-        make uncommitted/orphan partitions invisible."""
+        make uncommitted/orphan partitions invisible.
+
+        ``as_of`` gives SNAPSHOT reads for free: commits are immutable
+        put-if-absent files and batch ids are monotone, so the state a
+        reader observed right after batch N committed is exactly the
+        committed pairs with ``__batch <= N`` — the plain-parquet
+        analogue of Delta/Iceberg time travel (``VERSION AS OF``). An
+        ``as_of`` below every committed batch yields an empty frame
+        (before even the rebuild's seed batch -1)."""
+        rows = self.committed_batches(ledger)
+        if as_of is not None:
+            rows = [r for r in rows if r[0] <= int(as_of)]
         return self.spark.createDataFrame(
-            self.committed_batches(ledger), "__batch long, __writer string")
+            rows, "__batch long, __writer string")
 
     def vacuum_uncommitted(self, table: str, ledger: str) -> list[str]:
         """Drop ``__batch=…/__writer=…`` partitions of ``table`` absent

@@ -1,0 +1,192 @@
+"""Zone-map file skipping for plain-parquet corpora.
+
+Spark's parquet reader already prunes ROW GROUPS inside a file once a
+filter is pushed to the scan — but it still schedules a task per file
+split and opens every footer at query time. At 100 TB / O(100k) files
+that planning cost dominates selective queries on NON-partition columns
+(partition pruning only helps columns the layout was keyed on). The
+zone map is the standard fix (Moerkotte "Small Materialized Aggregates"
+1998; Delta/Iceberg column stats + data skipping): harvest per-file
+min/max once, persist them as a tiny stats table, and answer every
+later range query by reading ONLY the files whose [min, max] intersects
+the predicate — file-level skipping decided from kilobytes of metadata,
+before any data task is scheduled.
+
+Build is one distributed pass over FOOTERS only (``mapInPandas`` over
+the file list — no row data is read, so building stats for a 100 TB
+corpus moves megabytes); pruning is driver-side arithmetic over the
+collected stats frame (O(#files) rows — planning metadata, not data).
+
+Reference parity note: the reference ingests into PostgreSQL, where
+BRIN indexes play this exact role for its time-range queries
+(`/root/reference/run/ingestObsTasks.py:390-399` bounds dedup DELETEs
+to a file's [min(TIME), max(TIME)] window — the same min/max-per-file
+idea, applied at write time). This module is the Spark-side,
+query-time generalization.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: stats-table schema; values rendered to strings so ONE table covers
+#: every column type (comparisons re-parse via ``dtype`` at prune time)
+ZONEMAP_SCHEMA = ("file string, column string, dtype string, "
+                  "min_val string, max_val string, null_count long, "
+                  "num_rows long, has_stats boolean")
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"  # fixed width → lexicographic = chronological
+
+
+def _render(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.strftime(_TS_FMT)
+    if isinstance(v, _dt.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return repr(v) if isinstance(v, float) else str(v)
+
+
+def _parse(dtype: str, s: str):
+    """Inverse of :func:`_render` for comparisons, per column type."""
+    if s is None:
+        return None
+    if dtype.startswith(("int", "uint")):
+        return int(s)
+    if dtype.startswith(("float", "double", "halffloat")):
+        return float(s)
+    # timestamps/dates/strings: fixed-width rendering makes the plain
+    # string comparison order-correct
+    return s
+
+
+def list_parquet_files(path: str) -> list[str]:
+    """The data files under a parquet table path (driver-side listing —
+    file METADATA, cheap at any corpus size; nested partition dirs
+    included, hidden/_SUCCESS/commit sidecars excluded)."""
+    out: list[str] = []
+    if os.path.isfile(path):
+        return [path]
+    for root, _dirs, names in os.walk(path):
+        for n in sorted(names):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                out.append(os.path.join(root, n))
+    return sorted(out)
+
+
+def collect_zonemap(spark: SparkSession, path: str,
+                    columns: Iterable[str]) -> DataFrame:
+    """One (file, column) stats row per data file — distributed FOOTER
+    read: the file list is parallelized and each task opens only the
+    parquet metadata (kilobytes per file), never row data. Columns
+    whose physical type has no usable ordered stats (or files written
+    without statistics) yield ``has_stats = false`` — the pruner keeps
+    those files conservatively."""
+    files = list_parquet_files(path)
+    cols = list(columns)
+    if not files:
+        return spark.createDataFrame([], ZONEMAP_SCHEMA)
+
+    def scan(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+            _parse, _render)
+
+        for b in batches:
+            rows = []
+            for f in b["file"]:
+                md = pq.ParquetFile(f).metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+                for c in cols:
+                    mn = mx = None
+                    nulls = 0
+                    ok = c in idx
+                    dtype = ""
+                    if ok:
+                        dtype = md.schema.column(idx[c]).logical_type.type \
+                            .lower()
+                        if dtype == "none":
+                            dtype = md.schema.column(idx[c]).physical_type \
+                                .lower()
+                        for g in range(md.num_row_groups):
+                            st = md.row_group(g).column(idx[c]).statistics
+                            if st is None or not st.has_min_max:
+                                ok = False
+                                break
+                            nulls += st.null_count or 0
+                            lo, hi = _render(st.min), _render(st.max)
+                            if lo is None or hi is None:
+                                ok = False
+                                break
+                            mn = lo if mn is None else min(mn, lo, key=lambda
+                                                           x: _parse(dtype, x))
+                            mx = hi if mx is None else max(mx, hi, key=lambda
+                                                           x: _parse(dtype, x))
+                    rows.append((f, c, dtype, mn if ok else None,
+                                 mx if ok else None, nulls, md.num_rows, ok))
+            yield pd.DataFrame(rows, columns=[
+                "file", "column", "dtype", "min_val", "max_val",
+                "null_count", "num_rows", "has_stats"])
+
+    par = min(len(files), spark.sparkContext.defaultParallelism)
+    return (spark.createDataFrame([(f,) for f in files], "file string")
+            .repartition(par)
+            .mapInPandas(scan, schema=ZONEMAP_SCHEMA))
+
+
+def build_zonemap(catalog, path: str, columns: Iterable[str], *,
+                  table: str) -> int:
+    """Persist :func:`collect_zonemap` stats as a catalog table — the
+    build-once/probe-many form (probes then cost a metadata-table read,
+    no footer access at all). Returns the file count covered."""
+    zm = collect_zonemap(catalog.spark, path, columns)
+    catalog.overwrite(zm, table)
+    return catalog.read(table).select("file").distinct().count()
+
+
+def prune_files(zonemap: DataFrame, column: str, lo=None, hi=None) -> list[str]:
+    """Files whose ``[min, max]`` for ``column`` can intersect
+    ``[lo, hi]`` (either bound may be None = unbounded). Files without
+    stats for the column are KEPT — pruning must never change results,
+    only skip provably-irrelevant files. Driver-side arithmetic over
+    the stats frame (planning metadata)."""
+    rows = (zonemap.filter(F.col("column") == column)
+            .select("file", "dtype", "min_val", "max_val", "has_stats")
+            .collect())
+    lo_r, hi_r = _render(lo), _render(hi)
+    keep = []
+    for r in rows:
+        if not r.has_stats:
+            keep.append(r.file)
+            continue
+        p = lambda s: _parse(r.dtype, s)  # noqa: E731
+        if lo_r is not None and p(r.max_val) < p(lo_r):
+            continue
+        if hi_r is not None and p(r.min_val) > p(hi_r):
+            continue
+        keep.append(r.file)
+    return sorted(keep)
+
+
+def read_pruned(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
+    """Read only ``files`` of the table at ``path``; an empty selection
+    returns the empty frame with the table's schema (footer-only read).
+    The caller still applies its real filter — zone-map pruning is an
+    I/O optimization, never a semantic one."""
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*files)

@@ -307,12 +307,20 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
 
 
 def committed_corpus(catalog, corpus_table: str,
-                     index_table: str = "minhash_index"):
+                     index_table: str = "minhash_index",
+                     as_of_batch: int | None = None):
     """The corpus with uncommitted/orphan ``(__batch, __writer)``
     partitions filtered out via the index's commit ledger — the
     read-committed view callers should consume (raw reads may see
     partitions from crashed or fenced writers until
-    ``Catalog.vacuum_uncommitted`` runs)."""
+    ``Catalog.vacuum_uncommitted`` runs).
+
+    ``as_of_batch=N`` is a SNAPSHOT read: exactly the committed state a
+    reader observed right after batch N landed (commit files are
+    immutable and batch ids monotone — plain-parquet time travel; the
+    semi-join's partition pruning drops later batches at the scan).
+    Reproducibility use: pin the corpus snapshot a training run
+    consumed, re-read it bit-identically after more batches commit."""
     from pyspark.sql import functions as F
 
     from ..llm.incremental import commits_table
@@ -320,8 +328,13 @@ def committed_corpus(catalog, corpus_table: str,
     df = catalog.read(corpus_table)
     if {"__batch", "__writer"}.issubset(df.columns):
         df = df.join(
-            F.broadcast(catalog.committed_frame(commits_table(index_table))),
+            F.broadcast(catalog.committed_frame(commits_table(index_table),
+                                                as_of=as_of_batch)),
             ["__batch", "__writer"], "left_semi")
+    elif as_of_batch is not None:
+        raise ValueError(
+            f"corpus '{corpus_table}' has no (__batch, __writer) layout — "
+            "snapshot reads need the stream-owned partitioning")
     return df
 
 

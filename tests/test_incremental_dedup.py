@@ -447,3 +447,46 @@ def test_exclusive_commit_and_orphan_invisibility(spark, catalog):
     # committed data untouched
     assert catalog.read("minhash_index").filter(
         F.col("__batch") == -1).count() > 0
+
+
+def test_snapshot_read_as_of_batch(spark, catalog):
+    """Plain-parquet time travel (r6): commit files are immutable and
+    batch ids monotone, so committed_corpus(as_of_batch=N) reproduces
+    bit-identically the state a reader saw right after batch N — even
+    after later batches commit. The reproducibility contract for
+    pinning the corpus a training run consumed."""
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn, committed_corpus)
+
+    build_dedup_index(catalog, _docs(spark, BASE), stream_index=True, **LSH)
+    apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 7, **LSH)
+    snap7 = sorted(r.doc_id for r in
+                   committed_corpus(catalog, "stream_corpus").collect())
+    assert snap7 == [12, 14]
+
+    batch8 = [(31, "fresh prose regarding columnar zone maps and "
+                   "snapshot isolation for large corpora")]
+    apply_dedup_increment_txn(catalog, _docs(spark, batch8), 8, **LSH)
+    assert sorted(r.doc_id for r in
+                  committed_corpus(catalog, "stream_corpus").collect()) \
+        == [12, 14, 31]
+
+    # the as-of view is exactly the pre-batch-8 state, and stays so
+    assert sorted(r.doc_id for r in committed_corpus(
+        catalog, "stream_corpus", as_of_batch=7).collect()) == snap7
+    # before any stream batch: only the rebuild seed (-1) is visible,
+    # and the corpus table has no seed partition → empty
+    assert committed_corpus(catalog, "stream_corpus",
+                            as_of_batch=-1).count() == 0
+    # index snapshots prune the same way
+    idx7 = (catalog.read("minhash_index")
+            .join(F.broadcast(catalog.committed_frame(
+                "minhash_index_commits", as_of=7)),
+                ["__batch", "__writer"], "left_semi"))
+    assert set(r.doc for r in idx7.select("doc").distinct().collect()) \
+        == {1, 2, 3, 12, 14}
+
+    # a flat corpus cannot be snapshot-read — loud, not silent
+    catalog.overwrite(_docs(spark, BASE), "flat_corpus")
+    with pytest.raises(ValueError, match="snapshot"):
+        committed_corpus(catalog, "flat_corpus", as_of_batch=7)

@@ -250,6 +250,67 @@ def test_banded_lsh_beats_single_table(spark, sf_oracle):
     assert banded_cand < single_cand
 
 
+def test_hyperplane_tune_scales_with_corpus():
+    """The r6 soak cliff closure: planes must grow with n so bucket
+    occupancy (→ candidate volume per vector) stays constant, bands
+    must meet the recall target, and low thresholds must shed planes
+    under the band cap instead of exploding."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        hyperplane_tune)
+
+    small = hyperplane_tune(2_000, 0.9)
+    big = hyperplane_tune(20_000_000, 0.9)
+    assert big["planes"] > small["planes"]
+    # occupancy pinned near the target at any n (power-of-two rounding)
+    for t in (small, big):
+        assert t["exp_bucket_occupancy"] <= 32
+        assert t["recall_at_threshold"] >= 0.9
+    # candidate volume ~ n * bands (bands rises with planes to hold
+    # recall, so the curve is O(n log n), NOT the fixed-family n^2):
+    # 10_000x vectors → <= 2 * 10_000x per-band candidates
+    assert (big["exp_candidates"] / big["bands"]
+            <= 2 * 10_000 * max(small["exp_candidates"]
+                                / small["bands"], 1))
+    # higher threshold → per-plane collision prob rises → fewer bands
+    assert (hyperplane_tune(100_000, 0.95)["bands"]
+            < hyperplane_tune(100_000, 0.6)["bands"])
+    # low threshold + tight band budget: planes shed to min_planes and
+    # the achieved recall is reported honestly (< target is allowed)
+    capped = hyperplane_tune(10_000_000, 0.3, max_bands=8)
+    assert capped["bands"] <= 8
+    assert capped["planes"] == 4
+    assert 0 < capped["recall_at_threshold"] < 1
+    with pytest.raises(ValueError):
+        hyperplane_tune(1000, -1.0)
+
+
+def test_embedding_neardup_auto_tunes(spark, sf_oracle):
+    """planes='auto' sizes the family from the corpus and keeps the
+    exact-verify contract: returned pairs are a subset of the blas
+    truth, and realized recall meets the tuner's target (hyperplanes
+    and testdata are deterministic, so these numbers are stable)."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        hyperplane_tune)
+
+    vecs = load_table(spark, sf_oracle, "embeddings")
+    exact = {(r.vec_id_a, r.vec_id_b) for r in embedding_neardup_pairs(
+        vecs, threshold=0.4, method="blas").collect()}
+    auto = {(r.vec_id_a, r.vec_id_b) for r in embedding_neardup_pairs(
+        vecs, threshold=0.4, dim=64, planes="auto").collect()}
+    assert auto <= exact
+    assert len(auto) / len(exact) >= 0.9          # measured: 0.949
+    # the auto family is the tuned family: same candidate volume
+    t = hyperplane_tune(vecs.count(), 0.4)
+    assert t["planes"] == 4 and t["bands"] == 14
+    with pytest.raises(ValueError, match="tune_kw"):
+        embedding_neardup_pairs(vecs, threshold=0.4, dim=64, planes=8,
+                                tune_kw={"target_recall": 0.5})
+
+
 def test_semantic_dedup_synthetic_cells(spark):
     """SemDeDup composition: within-cell near-identical pair loses its
     larger id; lone vectors and cross-cell neighbors survive."""

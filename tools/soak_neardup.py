@@ -185,6 +185,37 @@ def main():
             "candidate_pairs": cand, "verified_pairs": pairs,
             "wall_sec": round(dt, 1)}), flush=True)
         emb.unpersist()
+
+    # auto-tuned family (r6): planes scale with n so bucket occupancy —
+    # and candidate volume per vector — stays constant. Measured at the
+    # realistic near-dup operating point (threshold 0.85): sign-LSH
+    # band counts stay small there (per-plane collision prob 0.82),
+    # where the 0.4 threshold above is inherently hostile to it (prob
+    # 0.63 → dozens of bands for any recall; hyperplane_tune reports
+    # that honestly rather than hiding it). The verified count at 0.85
+    # is near zero on this synthetic corpus — this leg measures the
+    # CANDIDATE curve, the quantity that breaks at 100 TB.
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        hyperplane_tune)
+
+    for label, n in (("sf0.1", 1), ("sf1", REPLICAS)):
+        emb = replicate_embeddings(spark, n).cache()
+        n_vec = emb.count()
+        tuned = hyperplane_tune(n_vec, 0.85)
+        cand = embedding_neardup_pairs(
+            emb, threshold=-1.0, dim=64, planes=tuned["planes"],
+            bands=tuned["bands"], inv_density=8).count()
+        t0 = time.time()
+        pairs = embedding_neardup_pairs(
+            emb, threshold=0.85, dim=64, planes="auto",
+            inv_density=8).count()
+        dt = time.time() - t0
+        print(json.dumps({
+            "op": "embedding_neardup_auto", "scale": label,
+            "vectors": n_vec, "tuned": tuned, "candidate_pairs": cand,
+            "verified_pairs": pairs, "wall_sec": round(dt, 1)}),
+            flush=True)
+        emb.unpersist()
     spark.stop()
 
 
