@@ -172,7 +172,28 @@ class Catalog:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.path(table))
 
-    def overwrite(self, df: DataFrame, table: str, *, partition_by: Sequence[str] = ()) -> None:
+    def overwrite(self, df: DataFrame, table: str, *,
+                  partition_by: Sequence[str] = (),
+                  cluster_by: Sequence[str] = (),
+                  zorder_by: Sequence[str] = (),
+                  files: int = 32) -> None:
+        """``cluster_by`` range-shards + sorts on one key set (zone-map
+        selectivity on the leading key); ``zorder_by`` Morton-interleaves
+        several keys (selectivity on any of them) — see
+        ``sources/layout.py``. Mutually exclusive with each other and
+        with ``partition_by`` (directory partitioning already clusters
+        its keys)."""
+        if sum(map(bool, (partition_by, cluster_by, zorder_by))) > 1:
+            raise ValueError("partition_by, cluster_by, and zorder_by "
+                             "are mutually exclusive")
+        if cluster_by:
+            from .layout import cluster_write
+            cluster_write(df, self.path(table), cluster_by, files=files)
+            return
+        if zorder_by:
+            from .layout import zorder_write
+            zorder_write(df, self.path(table), zorder_by, files=files)
+            return
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
