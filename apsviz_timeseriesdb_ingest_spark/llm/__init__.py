@@ -156,6 +156,12 @@ from .classifier import (  # noqa: F401
 )
 from .sketches import (  # noqa: F401
     corpus_sketch,
+    heavy_hitters_estimates,
+    heavy_hitters_sketch,
+    length_quantiles,
+    length_sketch,
     merge_corpus_sketches,
+    merge_heavy_hitters,
+    merge_length_sketches,
     sketch_estimates,
 )

@@ -94,3 +94,194 @@ def sketch_estimates(sketches: DataFrame) -> DataFrame:
                             F.col("n_docs")
                             - F.col("distinct_content_estimate"),
                             F.lit(0).cast("long"))))
+
+
+# -- mergeable quantiles (KLL) ----------------------------------------
+
+#: default KLL k: ~1.3% rank error at k=200 (DataSketches default),
+#: a few KB of state
+DEFAULT_KLL_K = 200
+
+
+def length_sketch(df: DataFrame, *, text_col: str = "text",
+                  k: int = DEFAULT_KLL_K,
+                  group_by: Sequence[str] = ()) -> DataFrame:
+    """One mergeable LENGTH-distribution row per group: ``(…group
+    cols…, n_docs, len_sketch)`` where ``len_sketch`` is a DataSketches
+    KLL sketch (Karnin/Lang/Liberty 2016, public; Spark 4.1's
+    ``kll_sketch_agg_bigint``) over per-doc whitespace token counts.
+
+    The quantile companion to :func:`corpus_sketch`'s HLL columns:
+    length percentiles (doc-length drift, packing-budget planning, the
+    data card's token percentiles) normally cost a corpus-wide
+    ``percentile`` pass per measurement — a KLL row is computed once
+    per increment, and any window of increments merges in O(rows) with
+    bounded rank error (~1.3% at k=200), NO corpus rescan. NULL text
+    counts as length 0 (the ``corpus_sketch`` coalesce convention)."""
+    keys = list(group_by)
+    per_doc = df.select(
+        *keys,
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long").alias("__len"))
+    return (per_doc.groupBy(*keys)
+            .agg(F.count("*").alias("n_docs"),
+                 F.kll_sketch_agg_bigint("__len", F.lit(k))
+                 .alias("len_sketch")))
+
+
+def merge_length_sketches(sketches: DataFrame, *,
+                          group_by: Sequence[str] = ()) -> DataFrame:
+    """Merge KLL rows (a window of per-increment rows from a stats
+    table) into one per group — counts summed, sketches KLL-merged.
+    ``kll_sketch_merge_bigint`` is a two-sketch scalar, so the column
+    folds via collect_list + ``aggregate`` — O(#increments) rows per
+    group, driver-free."""
+    keys = list(group_by)
+    g = (sketches.groupBy(*keys)
+         .agg(F.sum("n_docs").alias("n_docs"),
+              F.collect_list("len_sketch").alias("__s")))
+
+    def _merge(acc, x):
+        return F.kll_sketch_merge_bigint(acc, x)
+
+    fold = F.aggregate(F.slice("__s", 2, F.greatest(F.size("__s") - 1,
+                                                    F.lit(0))),
+                       F.element_at("__s", 1), _merge)
+    return g.select(*keys, "n_docs", fold.alias("len_sketch"))
+
+
+def length_quantiles(sketches: DataFrame,
+                     qs: Sequence[float] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Readable length percentiles for KLL rows: one ``p<q>`` column
+    per requested rank (plus the pass-through counts)."""
+    out = sketches
+    for q in qs:
+        name = f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        out = out.withColumn(
+            name, F.kll_sketch_get_quantile_bigint("len_sketch",
+                                                   F.lit(float(q))))
+    return out
+
+
+# -- mergeable heavy hitters (Misra-Gries) ----------------------------
+
+#: default counter budget: error <= n_items/65 per window, ~KBs of state
+DEFAULT_MG_K = 64
+
+
+def _mg_compress(counts: DataFrame, keys: list[str], k: int,
+                 n_salt: int = 32) -> DataFrame:
+    """Reduce an exact ``(…keys…, __k, __c)`` count frame to one
+    Misra-Gries row per group: ``(…keys…, counters, __delta)`` where
+    ``counters`` is the top-k ``struct<count, item>`` list (count desc,
+    item desc on ties — deterministic) with the (k+1)-th largest count
+    subtracted from every kept counter, and ``__delta`` is that
+    subtracted amount (0 when the group has <= k distinct items).
+
+    Every dropped item's count is <= __delta, so for EVERY item
+    ``count - __delta <= estimate <= count`` with estimate 0 for
+    dropped items — the Misra-Gries invariant (Misra & Gries 1982;
+    merge rule from Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Two-phase top-(k+1): each item has exactly ONE count row, so the
+    global top-(k+1) equals the top-(k+1) of the union of per-salt-
+    bucket top-(k+1) lists — collect_list buffers are bounded by
+    bucket vocabulary, never whole-group vocabulary (the salted-agg
+    shape of operators/salt.py, applied to an order statistic)."""
+    entry = F.struct(F.col("__c").alias("count"),
+                     F.col("__k").alias("item"))
+    top = F.slice(F.reverse(F.sort_array(F.collect_list(entry))),
+                  1, k + 1)
+    p1 = (counts
+          .withColumn("__salt", F.pmod(F.xxhash64("__k"), F.lit(n_salt)))
+          .groupBy(*keys, "__salt")
+          .agg(F.sum("__c").alias("__np"), top.alias("__t")))
+    p2 = (p1.groupBy(*keys)
+          .agg(F.sum("__np").alias("n_items"),
+               F.slice(F.reverse(F.sort_array(
+                   F.flatten(F.collect_list("__t")))), 1, k + 1)
+               .alias("__l")))
+    delta = (F.when(F.size("__l") > k,
+                    F.element_at("__l", k + 1)["count"])
+             .otherwise(F.lit(0)).cast("long"))
+    g = p2.withColumn("__delta", delta)
+    kept = F.filter(
+        F.transform(
+            F.slice("__l", 1, k),
+            lambda x: F.struct(
+                (x["count"] - F.col("__delta")).cast("long")
+                .alias("count"),
+                x["item"].alias("item"))),
+        lambda x: x["count"] > 0)
+    return g.select(*keys, "n_items", kept.alias("counters"), "__delta")
+
+
+def heavy_hitters_sketch(df: DataFrame, *, text_col: str = "text",
+                         key: str | None = None, k: int = DEFAULT_MG_K,
+                         group_by: Sequence[str] = ()) -> DataFrame:
+    """One mergeable FREQUENT-ITEMS row per group: ``(…group cols…,
+    n_items, counters, deficit)`` — the heavy-hitters companion to
+    :func:`corpus_sketch` (HLL distincts) and :func:`length_sketch`
+    (KLL quantiles), hand-built on Misra-Gries because Spark ships no
+    frequent-items aggregate.
+
+    ``key`` names the item column (e.g. a domain column); when None,
+    items are the whitespace tokens of ``text_col`` (top-token drift).
+    Per increment: ONE exact count shuffle + the salted compression —
+    no corpus rescan ever again; any window of increment rows merges
+    via :func:`merge_heavy_hitters`.
+
+    Guarantee (exact per increment, additive across merges): for every
+    item, ``true - deficit <= estimate <= true`` (estimate 0 if the
+    item is absent from ``counters``), and ``deficit <= n_items /
+    (k+1)`` — so any item with frequency > n_items/(k+1) is PRESENT.
+    Report estimates with :func:`heavy_hitters_estimates`."""
+    keys = list(group_by)
+    if key is None:
+        items = df.select(*keys, F.explode(
+            tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("__k"))
+    else:
+        items = (df.select(*keys, F.col(key).cast("string").alias("__k"))
+                 .filter(F.col("__k").isNotNull()))
+    counts = items.groupBy(*keys, "__k").agg(F.count("*").alias("__c"))
+    return (_mg_compress(counts, keys, k)
+            .withColumnRenamed("__delta", "deficit"))
+
+
+def merge_heavy_hitters(sketches: DataFrame, *, k: int = DEFAULT_MG_K,
+                        group_by: Sequence[str] = ()) -> DataFrame:
+    """Merge heavy-hitter rows (a window of per-increment rows from a
+    stats table) into one per group — counter lists summed item-wise,
+    then re-compressed to k; deficits ADD (each input's error carries
+    through the merge, plus the new compression's delta). O(window
+    rows x k) items touched, no corpus access."""
+    keys = list(group_by)
+    summed = (sketches
+              .select(*keys, F.explode("counters").alias("__e"))
+              .select(*keys, F.col("__e")["item"].alias("__k"),
+                      F.col("__e")["count"].alias("__c"))
+              .groupBy(*keys, "__k").agg(F.sum("__c").alias("__c")))
+    comp = _mg_compress(summed, keys, k).drop("n_items")
+    meta = (sketches.groupBy(*keys)
+            .agg(F.sum("n_items").alias("n_items"),
+                 F.sum("deficit").alias("__d0")))
+    joined = meta.join(comp, on=keys) if keys else meta.crossJoin(comp)
+    return (joined
+            .select(*keys, "n_items", "counters",
+                    (F.col("__d0") + F.col("__delta")).alias("deficit")))
+
+
+def heavy_hitters_estimates(sketches: DataFrame) -> DataFrame:
+    """Readable per-item rows for heavy-hitter sketch rows: one row per
+    reported item with ``est_count`` (lower bound), ``max_count``
+    (``est + deficit``, upper bound), and the group's ``n_items``."""
+    keys = [c for c in sketches.columns
+            if c not in ("n_items", "counters", "deficit")]
+    return (sketches
+            .select(*keys, "n_items", "deficit",
+                    F.explode("counters").alias("__e"))
+            .select(*keys, "n_items",
+                    F.col("__e")["item"].alias("item"),
+                    F.col("__e")["count"].alias("est_count"),
+                    (F.col("__e")["count"] + F.col("deficit"))
+                    .alias("max_count")))

@@ -1,6 +1,9 @@
-"""Mergeable HLL corpus sketches: lossless merge (split == whole,
-exactly), accuracy vs exact distincts, duplicate-rate proxy, grouped
-form, and the incremental catalog-append monitoring flow."""
+"""Mergeable corpus sketches — HLL distincts: lossless merge (split ==
+whole, exactly), accuracy vs exact distincts, duplicate-rate proxy,
+grouped form, and the incremental catalog-append monitoring flow; KLL
+length quantiles: exact below compaction, split-merge == whole, rank
+error within bound past compaction, NULL-as-zero convention, and the
+single-increment merge edge."""
 
 from __future__ import annotations
 
@@ -8,7 +11,10 @@ from pyspark.sql import functions as F
 
 from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
     corpus_sketch,
+    length_quantiles,
+    length_sketch,
     merge_corpus_sketches,
+    merge_length_sketches,
     sketch_estimates,
 )
 from apsviz_timeseriesdb_ingest_spark.testdata import load_table
@@ -78,3 +84,140 @@ def test_incremental_monitoring_via_catalog(spark, tmp_path):
     assert merged.vocab_estimate == 9  # alpha..iota
     assert merged.distinct_content_estimate == 4  # doc 4 repeats doc 1
     assert merged.est_duplicate_docs == 1
+
+
+def test_length_sketch_exact_below_compaction(spark):
+    """n <= k: the KLL sketch stores every value, so quantiles are
+    exact and the split-merge equals the whole-corpus sketch."""
+    rows = [(i, " ".join(["w"] * (i + 1))) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    whole = length_quantiles(length_sketch(docs)).collect()[0]
+    assert whole.n_docs == 100
+    # lengths are exactly 1..100
+    assert (whole.p50, whole.p90, whole.p99) == (50, 90, 99)
+
+    halves = [length_sketch(docs.filter(F.col("doc_id") % 2 == i))
+              for i in (0, 1)]
+    merged = length_quantiles(merge_length_sketches(
+        halves[0].unionByName(halves[1]))).collect()[0]
+    assert merged.n_docs == 100
+    assert (merged.p50, merged.p90, merged.p99) == (50, 90, 99)
+
+
+def test_length_sketch_rank_error_past_compaction(spark):
+    """n >> k forces compaction; the merged estimate must stay within
+    the KLL rank-error bound (~1.3% at k=200 — assert 3%)."""
+    n = 5000
+    rows = [(i, (i % 1000) + 1) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, len int").select(
+        "doc_id",
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), "len")).alias("text"))
+    # three increments merged, like the stats-table flow
+    parts = [length_sketch(docs.filter(F.col("doc_id") % 3 == i))
+             for i in range(3)]
+    merged = length_quantiles(
+        merge_length_sketches(parts[0].unionByName(parts[1])
+                              .unionByName(parts[2])),
+        qs=(0.25, 0.5, 0.9)).collect()[0]
+    assert merged.n_docs == n
+    # uniform over 1..1000: value at rank q is ~1000*q; 3% rank error
+    # translates to +-30 in value space
+    for q, got in ((0.25, merged.p25), (0.5, merged.p50),
+                   (0.9, merged.p90)):
+        assert abs(got - 1000 * q) <= 30, (q, got)
+
+
+def test_length_sketch_null_text_and_single_increment(spark):
+    """NULL text counts as length 0 (corpus_sketch convention); a
+    one-row merge (single increment in the window) is the identity."""
+    docs = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, None, "x"), (3, "a", "y")],
+        "doc_id long, text string, source string")
+    one = length_sketch(docs, group_by=["source"])
+    merged = {r.source: r for r in length_quantiles(
+        merge_length_sketches(one, group_by=["source"]),
+        qs=(0.0, 1.0)).collect()}
+    assert merged["x"].n_docs == 2
+    assert (merged["x"].p0, merged["x"].p100) == (0, 3)
+    assert merged["y"].n_docs == 1
+    assert (merged["y"].p0, merged["y"].p100) == (1, 1)
+
+
+def test_heavy_hitters_exact_below_k(spark):
+    """vocab <= k: no truncation, deficit 0, counters are the exact
+    counts, and split-merge == whole."""
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        heavy_hitters_sketch, merge_heavy_hitters)
+    rows = [(i, "alpha beta alpha") for i in range(10)]
+    rows += [(100 + i, "beta gamma") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    whole = heavy_hitters_sketch(docs, k=8).collect()[0]
+    assert whole.deficit == 0
+    assert whole.n_items == 40
+    got = {c["item"]: c["count"] for c in whole.counters}
+    assert got == {"alpha": 20, "beta": 15, "gamma": 5}
+    # count-desc order, deterministic
+    assert [c["item"] for c in whole.counters] == ["alpha", "beta",
+                                                   "gamma"]
+    halves = [heavy_hitters_sketch(docs.filter(F.col("doc_id") % 2 == i),
+                                   k=8) for i in (0, 1)]
+    merged = merge_heavy_hitters(
+        halves[0].unionByName(halves[1]), k=8).collect()[0]
+    assert merged.deficit == 0 and merged.n_items == 40
+    assert {c["item"]: c["count"] for c in merged.counters} == got
+
+
+def test_heavy_hitters_bounds_and_presence_past_truncation(spark):
+    """vocab >> k forces truncation: every reported estimate is a
+    lower bound with est + deficit an upper bound (the Misra-Gries
+    invariant), deficit <= n_items/(k+1), any item with frequency
+    above n_items/(k+1) is guaranteed present — and the invariant
+    survives a 3-way split-merge with additive deficits."""
+    import collections
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        heavy_hitters_estimates, heavy_hitters_sketch,
+        merge_heavy_hitters)
+    k = 8
+    toks = ["the"] * 300 + ["cat"] * 100 + [f"tail{i}" for i in range(500)]
+    rows = [(i, t) for i, t in enumerate(toks)]
+    true = collections.Counter(toks)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    whole = heavy_hitters_sketch(docs, k=k)
+    r = whole.collect()[0]
+    assert r.n_items == 900
+    assert 0 < r.deficit <= 900 // (k + 1)
+    for e in heavy_hitters_estimates(whole).collect():
+        assert e.est_count <= true[e.item] <= e.max_count
+    assert any(c["item"] == "the" for c in r.counters)
+
+    parts = [heavy_hitters_sketch(docs.filter(F.col("doc_id") % 3 == i),
+                                  k=k) for i in range(3)]
+    deficits = sum(p.collect()[0].deficit for p in parts)
+    m = merge_heavy_hitters(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]),
+        k=k).collect()[0]
+    assert m.n_items == 900
+    assert m.deficit >= deficits  # input deficits carry through
+    for c in m.counters:
+        assert c["count"] <= true[c["item"]] <= c["count"] + m.deficit
+    # frequency 300 > 900/(k+1): presence guaranteed even after merge
+    assert any(c["item"] == "the" for c in m.counters)
+
+
+def test_heavy_hitters_key_col_grouped_and_null(spark):
+    """key= names an arbitrary item column (domains); NULL items are
+    skipped; group_by splits per source."""
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        heavy_hitters_sketch)
+    rows = [(1, "a.com", "x"), (2, "a.com", "x"), (3, "b.com", "x"),
+            (4, None, "x"), (5, "c.com", "y")]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, "
+                                       "source string")
+    by_src = {r.source: r for r in heavy_hitters_sketch(
+        docs, key="host", group_by=["source"], k=4).collect()}
+    assert by_src["x"].n_items == 3  # NULL dropped
+    assert {c["item"]: c["count"] for c in by_src["x"].counters} == \
+        {"a.com": 2, "b.com": 1}
+    assert {c["item"]: c["count"] for c in by_src["y"].counters} == \
+        {"c.com": 1}
