@@ -1,0 +1,137 @@
+"""Bloom-filter file skipping (sources/bloomskip.py): per-file Bloom
+bitmaps over a probed column, equality/IN-list queries answered from
+possibly-containing files only. Same contract discipline as the zone
+map tests: result equality against the unpruned read FIRST, then that
+files were actually skipped; no false negatives ever."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from apsviz_timeseriesdb_ingest_spark.sources.bloomskip import (
+    build_bloom_skip,
+    collect_bloom,
+    prune_files_bloom,
+)
+from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+    list_parquet_files,
+    read_pruned,
+)
+from apsviz_timeseriesdb_ingest_spark.testdata import load_table
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def docs_hashed(spark, sf_small, tmp_path):
+    """documents hash-sharded by doc_id — the layout where zone maps
+    are USELESS for a point lookup (every file spans the id domain)
+    and a Bloom filter is the only thing that can skip files."""
+    path = str(tmp_path / "docs_hashed")
+    (load_table(spark, sf_small, "documents")
+     .repartition(8, "doc_id")
+     .write.parquet(path))
+    return path
+
+
+def test_equality_probe_preserves_results_and_skips(spark, docs_hashed):
+    files = list_parquet_files(docs_hashed)
+    assert len(files) == 8
+    bl = collect_bloom(spark, docs_hashed, ["doc_id", "source"])
+    assert bl.filter(F.col("column") == "doc_id") \
+             .filter(~F.col("has_bloom")).count() == 0
+
+    probe = [r.doc_id for r in (spark.read.parquet(docs_hashed)
+                                .select("doc_id").limit(3).collect())]
+    pred = F.col("doc_id").isin(probe)
+    expect = sorted(r.doc_id for r in spark.read.parquet(docs_hashed)
+                    .filter(pred).select("doc_id").collect())
+    keep = prune_files_bloom(bl, "doc_id", probe)
+    # 3 ids hash-sharded over 8 files: at most 3 true files (+ rare FPs)
+    assert 0 < len(keep) < len(files)
+    got = sorted(r.doc_id for r in read_pruned(spark, docs_hashed, keep)
+                 .filter(pred).select("doc_id").collect())
+    assert got == expect and len(got) == len(probe)
+
+
+def test_no_false_negatives_for_every_value(spark, docs_hashed):
+    """Every (file, value) pair must survive its own probe — bits are
+    only set, never cleared, so this is the hard guarantee."""
+    bl = collect_bloom(spark, docs_hashed, ["doc_id"]).cache()
+    rows = (spark.read.parquet(docs_hashed)
+            .select("doc_id", F.input_file_name().alias("f"))
+            .sample(0.05, seed=7).collect())
+    assert rows
+    for r in rows[:40]:
+        keep = prune_files_bloom(bl, "doc_id", [r.doc_id])
+        assert any(r.f.endswith(k.split("/")[-1]) for k in keep), r
+    bl.unpersist()
+
+
+def test_missing_column_and_overfull_files_kept(spark, tmp_path):
+    """Bloom-less rows (missing column, distinct count past the
+    geometry's budget) are kept conservatively."""
+    p1 = str(tmp_path / "t" / "a.parquet")
+    p2 = str(tmp_path / "t" / "b.parquet")
+    spark.range(0, 50).select(F.col("id").alias("k")) \
+        .coalesce(1).write.parquet(str(tmp_path / "t1"))
+    spark.range(1000, 1050).select(F.col("id").alias("other")) \
+        .coalesce(1).write.parquet(str(tmp_path / "t2"))
+    import os
+    import shutil
+    os.makedirs(str(tmp_path / "t"))
+    shutil.copy([f for f in list_parquet_files(str(tmp_path / "t1"))][0], p1)
+    shutil.copy([f for f in list_parquet_files(str(tmp_path / "t2"))][0], p2)
+
+    # n_bits=128 → cap 12 distinct; file a has 50 → has_bloom False
+    bl = collect_bloom(spark, str(tmp_path / "t"), ["k"], n_bits=128)
+    stats = {r.file: r for r in bl.collect()}
+    assert stats[p1].has_bloom is False  # overfull
+    assert stats[p2].has_bloom is False  # column missing
+    keep = prune_files_bloom(bl, "k", [9999])
+    assert keep == sorted([p1, p2])  # nothing provably skippable
+
+
+def test_string_column_and_catalog_probe_many(spark, catalog, sf_small,
+                                              tmp_path):
+    """String items hash identically build/probe side; the persisted
+    table answers many probes with no footer or data access."""
+    path = str(tmp_path / "cust")
+    (load_table(spark, sf_small, "customer")
+     .repartition(6, "c_custkey").write.parquet(path))
+    n = build_bloom_skip(catalog, path, ["c_mktsegment", "c_name"],
+                         table="cust_bloom")
+    assert n == len(list_parquet_files(path))
+    bl = catalog.read("cust_bloom")
+
+    # every file holds every segment (5 distinct) → nothing skipped,
+    # results intact
+    keep = prune_files_bloom(bl, "c_mktsegment", ["BUILDING"])
+    assert len(keep) == n
+
+    # a single customer name lives in exactly one file
+    name = (spark.read.parquet(path).select("c_name").limit(1)
+            .collect()[0].c_name)
+    keep = prune_files_bloom(bl, "c_name", [name])
+    assert 0 < len(keep) < n
+    got = (read_pruned(spark, path, keep)
+           .filter(F.col("c_name") == name).count())
+    assert got == 1
+
+    # absent value: usually every file is skipped (allow rare FPs)
+    keep = prune_files_bloom(bl, "c_name", ["no#such#customer"])
+    assert len(keep) <= 1
+
+
+def test_mixed_geometry_refused(spark, tmp_path):
+    spark.range(0, 10).select(F.col("id").alias("k")) \
+        .coalesce(1).write.parquet(str(tmp_path / "t"))
+    a = collect_bloom(spark, str(tmp_path / "t"), ["k"], n_bits=1024)
+    b = collect_bloom(spark, str(tmp_path / "t"), ["k"], n_bits=2048)
+    with pytest.raises(ValueError, match="mixed bloom geometries"):
+        prune_files_bloom(a.unionByName(b), "k", [1])
