@@ -151,15 +151,25 @@ def build_bloom_skip(catalog, path: str, columns: Iterable[str], *,
     return catalog.read(table).select("file").distinct().count()
 
 
-def prune_files_bloom(bloom: DataFrame, column: str,
-                      values: Sequence) -> list[str]:
+def prune_files_bloom(bloom: DataFrame, column: str, values: Sequence,
+                      *, path: str | None = None) -> list[str]:
     """Files that may contain ANY of ``values`` in ``column`` (an
     equality probe is a 1-element IN-list). Bloom-less rows are KEPT —
     skipping is an I/O optimization, never a semantic one. The bit
     tests run Spark-side over the stats table (``shiftright & 1``
     conjunctions on the words array), so bitmaps never reach the
-    driver; only surviving file names are collected."""
+    driver; only surviving file names are collected.
+
+    Pass ``path`` whenever the table may have GROWN since the stats
+    build: files on disk but absent from the stats table are kept
+    unconditionally — a stale index degrades to reading more, never
+    to dropping unseen data."""
     rows = bloom.filter(F.col("column") == column)
+    uncovered: list[str] = []
+    if path is not None:
+        covered = {r.file for r in rows.select("file").collect()}
+        uncovered = [f for f in list_parquet_files(path)
+                     if f not in covered]
     geom = (rows.filter("has_bloom")
             .select("n_bits", "n_hashes").distinct().collect())
     if len(geom) > 1:
@@ -169,7 +179,7 @@ def prune_files_bloom(bloom: DataFrame, column: str,
     keep_all = [r.file for r in
                 rows.filter(~F.col("has_bloom")).select("file").collect()]
     if not geom:
-        return sorted(keep_all)
+        return sorted(set(keep_all) | set(uncovered))
     n_bits, n_hashes = geom[0].n_bits, geom[0].n_hashes
 
     def bit(pos: int):
@@ -188,4 +198,4 @@ def prune_files_bloom(bloom: DataFrame, column: str,
     hits = [r.file for r in
             rows.filter("has_bloom").filter(any_val)
             .select("file").collect()]
-    return sorted(set(keep_all) | set(hits))
+    return sorted(set(keep_all) | set(hits) | set(uncovered))

@@ -158,17 +158,25 @@ def build_zonemap(catalog, path: str, columns: Iterable[str], *,
     return catalog.read(table).select("file").distinct().count()
 
 
-def prune_files(zonemap: DataFrame, column: str, lo=None, hi=None) -> list[str]:
+def prune_files(zonemap: DataFrame, column: str, lo=None, hi=None, *,
+                path: str | None = None) -> list[str]:
     """Files whose ``[min, max]`` for ``column`` can intersect
     ``[lo, hi]`` (either bound may be None = unbounded). Files without
     stats for the column are KEPT — pruning must never change results,
     only skip provably-irrelevant files. Driver-side arithmetic over
-    the stats frame (planning metadata)."""
+    the stats frame (planning metadata).
+
+    Pass ``path`` whenever the table may have GROWN since the stats
+    build (appends, compaction): files present on disk but absent from
+    the stats table are then kept unconditionally — a stale zone map
+    must degrade to reading more, never to dropping unseen data."""
     rows = (zonemap.filter(F.col("column") == column)
             .select("file", "dtype", "min_val", "max_val", "has_stats")
             .collect())
     lo_r, hi_r = _render(lo), _render(hi)
-    keep = []
+    keep = ([f for f in list_parquet_files(path)
+             if f not in {r.file for r in rows}]
+            if path is not None else [])
     for r in rows:
         if not r.has_stats:
             keep.append(r.file)

@@ -135,3 +135,26 @@ def test_mixed_geometry_refused(spark, tmp_path):
     b = collect_bloom(spark, str(tmp_path / "t"), ["k"], n_bits=2048)
     with pytest.raises(ValueError, match="mixed bloom geometries"):
         prune_files_bloom(a.unionByName(b), "k", [1])
+
+
+def test_stale_stats_keep_uncovered_files(spark, tmp_path):
+    """Files appended AFTER the stats build have no bloom row; with
+    path= they are kept unconditionally — a stale index must read
+    more, never drop unseen data."""
+    path = str(tmp_path / "grow")
+    spark.range(0, 20).select(F.col("id").alias("k")) \
+        .coalesce(1).write.parquet(path)
+    bl = collect_bloom(spark, path, ["k"]).cache()
+    bl.count()  # materialize stats BEFORE the table grows
+    spark.range(100, 120).select(F.col("id").alias("k")) \
+        .coalesce(1).write.mode("append").parquet(path)
+
+    # value only in the appended file: without path= it would vanish
+    keep = prune_files_bloom(bl, "k", [105], path=path)
+    got = read_pruned(spark, path, keep).filter(F.col("k") == 105).count()
+    assert got == 1
+    # old values still prune nothing away
+    keep = prune_files_bloom(bl, "k", [5], path=path)
+    assert read_pruned(spark, path, keep) \
+        .filter(F.col("k") == 5).count() == 1
+    bl.unpersist()

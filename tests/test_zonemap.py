@@ -119,3 +119,24 @@ def test_build_probe_many_via_catalog(spark, catalog, orders_sharded):
     pred = F.col("o_orderdate").between("1997-01-01", "1997-03-31")
     assert (read_pruned(spark, orders_sharded, keep).filter(pred).count()
             == spark.read.parquet(orders_sharded).filter(pred).count())
+
+
+def test_stale_stats_keep_uncovered_files(spark, tmp_path):
+    """Files appended AFTER the stats build have no zone-map row; with
+    path= they are kept unconditionally — a stale map must read more,
+    never drop unseen data."""
+    path = str(tmp_path / "grow")
+    spark.range(0, 20).select(F.col("id").alias("k")) \
+        .coalesce(1).write.parquet(path)
+    zm = collect_zonemap(spark, path, ["k"]).cache()
+    zm.count()  # materialize stats BEFORE the table grows
+    spark.range(100, 120).select(F.col("id").alias("k")) \
+        .coalesce(1).write.mode("append").parquet(path)
+
+    keep = prune_files(zm, "k", 105, 105, path=path)
+    assert read_pruned(spark, path, keep) \
+        .filter(F.col("k") == 105).count() == 1
+    keep = prune_files(zm, "k", 5, 5, path=path)
+    assert read_pruned(spark, path, keep) \
+        .filter(F.col("k") == 5).count() == 1
+    zm.unpersist()
