@@ -156,6 +156,7 @@ from .classifier import (  # noqa: F401
 )
 from .sketches import (  # noqa: F401
     corpus_sketch,
+    corpus_stats_row,
     heavy_hitters_estimates,
     heavy_hitters_sketch,
     length_quantiles,

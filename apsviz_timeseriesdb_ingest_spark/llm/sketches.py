@@ -285,3 +285,29 @@ def heavy_hitters_estimates(sketches: DataFrame) -> DataFrame:
                     F.col("__e")["count"].alias("est_count"),
                     (F.col("__e")["count"] + F.col("deficit"))
                     .alias("max_count")))
+
+
+# -- one combined stats row (streaming increments) --------------------
+
+def corpus_stats_row(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id", lg_k: int = DEFAULT_LG_K,
+                     kll_k: int = DEFAULT_KLL_K,
+                     mg_k: int = DEFAULT_MG_K) -> DataFrame:
+    """ALL THREE mergeable sketches as one row over ``df`` (one
+    increment/micro-batch): HLL distincts (:func:`corpus_sketch`), KLL
+    length quantiles (:func:`length_sketch`), and Misra-Gries top
+    tokens (:func:`heavy_hitters_sketch`) — the schema a streaming
+    stats table appends per committed batch, so ANY window of batches
+    answers vocabulary growth, duplicate-rate trend, length drift, and
+    top-token drift by merging kilobyte rows instead of rescanning the
+    corpus. Each sketch family merges with its own ``merge_*`` function
+    (extra columns pass through groupBy untouched).
+
+    One row per call — callers guard empty inputs (a global aggregate
+    over zero rows would yield a degenerate row, not zero rows)."""
+    c = corpus_sketch(df, text_col=text_col, id_col=id_col, lg_k=lg_k)
+    ln = length_sketch(df, text_col=text_col, k=kll_k).drop("n_docs")
+    # n_items == n_tokens by construction, but merge_heavy_hitters
+    # keys on the name, so it stays
+    hh = heavy_hitters_sketch(df, text_col=text_col, k=mg_k)
+    return c.crossJoin(ln).crossJoin(hh)

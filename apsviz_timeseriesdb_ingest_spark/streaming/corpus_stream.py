@@ -167,7 +167,9 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
                                  index_table: str = "minhash_index",
                                  schema: str = "doc_id long, text string",
                                  id_col: str = "doc_id",
-                                 fence_writer: bool = True, **lsh_kw):
+                                 fence_writer: bool = True,
+                                 stats_table: str | None = None,
+                                 **lsh_kw):
     """Continuous near-dedup ingest: each micro-batch probes the
     PERSISTED MinHash-LSH index (``llm.incremental``), so cross-batch
     near-duplicate state lives in a table, not in stream state — the
@@ -185,6 +187,14 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
     docstring for the full crash matrix. The stream owns the index
     layout (``__batch``-partitioned); a pre-built index must be created
     with ``build_dedup_index(stream_index=True)``.
+
+    ``stats_table=`` appends ONE mergeable sketch row (HLL distincts +
+    KLL length quantiles + Misra-Gries top tokens,
+    ``llm.sketches.corpus_stats_row``) per committed batch, under the
+    SAME ledger commit as the batch's data — corpus monitoring
+    (vocabulary growth, dup-rate, length and top-token drift) over any
+    batch window by merging kilobyte rows, zero corpus rescans. Read it
+    through ``committed_corpus(catalog, stats_table, index_table)``.
 
     ``fence_writer=True`` (default) acquires a
     :class:`~..sources.catalog.WriterLease` on the index at stream
@@ -205,7 +215,8 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
     def _apply(batch_df, batch_id):
         apply_dedup_increment_txn(
             catalog, batch_df, batch_id, corpus_table=corpus_table,
-            index_table=index_table, id_col=id_col, lease=lease, **lsh_kw)
+            index_table=index_table, id_col=id_col, lease=lease,
+            stats_table=stats_table, **lsh_kw)
 
     docs = spark.readStream.schema(schema).parquet(input_dir)
     return (docs.writeStream
@@ -219,7 +230,9 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
                               corpus_table: str = "stream_corpus",
                               index_table: str = "minhash_index",
                               id_col: str = "doc_id",
-                              lease=None, **lsh_kw) -> None:
+                              lease=None,
+                              stats_table: str | None = None,
+                              **lsh_kw) -> None:
     """Apply one dedup-ingest micro-batch under the EXCLUSIVE
     COMMIT-LEDGER protocol — the plain-parquet closure of BOTH the
     partial-index-append window (r3 verdict task 8) and the two-writer
@@ -303,6 +316,20 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
     if not stamped.isEmpty():
         catalog.overwrite(stamped, index_table,
                           partition_by=["__batch", "__writer"])
+    if stats_table is not None and not accepted.isEmpty():
+        # one mergeable sketch row per batch, committed ATOMICALLY with
+        # the batch's corpus/index partitions (same ledger row below) —
+        # read through committed_corpus(catalog, stats_table, index) and
+        # merge any window with the llm.sketches merge_* family: corpus
+        # monitoring with no rescans, and a crashed write's stats row
+        # is invisible exactly like its data
+        from ..llm.sketches import corpus_stats_row
+
+        catalog.overwrite(
+            corpus_stats_row(accepted, id_col=id_col)
+            .withColumn("__batch", bid)
+            .withColumn("__writer", F.lit(writer)),
+            stats_table, partition_by=["__batch", "__writer"])
     catalog.commit_batch(commits, int(batch_id), writer)
 
 

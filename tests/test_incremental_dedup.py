@@ -490,3 +490,75 @@ def test_snapshot_read_as_of_batch(spark, catalog):
     catalog.overwrite(_docs(spark, BASE), "flat_corpus")
     with pytest.raises(ValueError, match="snapshot"):
         committed_corpus(catalog, "flat_corpus", as_of_batch=7)
+
+
+def test_txn_stats_rows_commit_with_batches(spark, catalog):
+    """stats_table=: one combined sketch row per committed batch under
+    the SAME ledger commit; the committed window merges to the exact
+    stats of the committed corpus, and a crashed attempt's stats row
+    is invisible exactly like its data."""
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        heavy_hitters_estimates,
+        length_quantiles,
+        merge_corpus_sketches,
+        merge_heavy_hitters,
+        merge_length_sketches,
+        sketch_estimates,
+    )
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn,
+        committed_corpus,
+    )
+
+    assert build_dedup_index(catalog, _docs(spark, BASE),
+                             stream_index=True, **LSH) == 3
+    # batch 1 accepts 12 and 14 (11/13 are near-dups); batch 2 is new
+    apply_dedup_increment_txn(catalog, _docs(spark, INCREMENT), 1,
+                              stats_table="corpus_stats", **LSH)
+    apply_dedup_increment_txn(
+        catalog, _docs(spark, [(22, "fresh words about window merges"),
+                               (23, "another brand new tiny doc")]), 2,
+        stats_table="corpus_stats", **LSH)
+
+    stats = committed_corpus(catalog, "corpus_stats")
+    # one row per committed batch WITH accepted docs
+    assert stats.count() == 2
+
+    # merged window == exact stats of the committed corpus
+    corpus = committed_corpus(catalog, "stream_corpus")
+    n_docs = corpus.count()
+    est = sketch_estimates(merge_corpus_sketches(stats)).collect()[0]
+    assert est.n_docs == n_docs
+    exact_vocab = (corpus.select(F.explode(F.split(F.lower("text"),
+                                                   r"\s+")).alias("t"))
+                   .filter(F.col("t") != "").distinct().count())
+    assert abs(est.vocab_estimate - exact_vocab) <= \
+        max(2, 0.05 * exact_vocab)
+
+    ln = length_quantiles(merge_length_sketches(stats),
+                          qs=(0.0, 1.0)).collect()[0]
+    lens = sorted(len(r.text.split()) for r in corpus.collect())
+    assert (ln.p0, ln.p100) == (lens[0], lens[-1])  # exact below k
+
+    hh = merge_heavy_hitters(stats)
+    import collections
+    true = collections.Counter(
+        t for r in corpus.collect() for t in r.text.lower().split())
+    for e in heavy_hitters_estimates(hh).collect():
+        assert e.est_count <= true[e.item] <= e.max_count
+
+    # a crashed batch's stats row is invisible until its replay commits
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_dedup_increment_txn(
+            _CrashingCatalog(catalog, mode="before_commit"),
+            _docs(spark, [(21, "more tokens arrive here")]), 3,
+            stats_table="corpus_stats", **LSH)
+    assert committed_corpus(catalog, "corpus_stats").count() == 2
+    apply_dedup_increment_txn(catalog,
+                              _docs(spark, [(21, "more tokens arrive "
+                                                 "here")]), 3,
+                              stats_table="corpus_stats", **LSH)
+    stats = committed_corpus(catalog, "corpus_stats")
+    assert stats.count() == 3
+    assert sketch_estimates(merge_corpus_sketches(stats)) \
+        .collect()[0].n_docs == n_docs + 1
