@@ -160,16 +160,23 @@ def prune_files_bloom(bloom: DataFrame, column: str, values: Sequence,
     conjunctions on the words array), so bitmaps never reach the
     driver; only surviving file names are collected.
 
-    Pass ``path`` whenever the table may have GROWN since the stats
+    Pass ``path`` whenever the table may have CHANGED since the stats
     build: files on disk but absent from the stats table are kept
     unconditionally — a stale index degrades to reading more, never
-    to dropping unseen data."""
+    to dropping unseen data — and stats rows for files no longer on
+    disk are dropped (compaction replaced them; keeping them would
+    make the read fail)."""
     rows = bloom.filter(F.col("column") == column)
     uncovered: list[str] = []
+    on_disk: set | None = None
     if path is not None:
+        on_disk = set(list_parquet_files(path))
         covered = {r.file for r in rows.select("file").collect()}
-        uncovered = [f for f in list_parquet_files(path)
-                     if f not in covered]
+        uncovered = [f for f in on_disk if f not in covered]
+
+    def existing(files: Iterable[str]) -> set:
+        return {f for f in files
+                if on_disk is None or f in on_disk}
     geom = (rows.filter("has_bloom")
             .select("n_bits", "n_hashes").distinct().collect())
     if len(geom) > 1:
@@ -179,7 +186,7 @@ def prune_files_bloom(bloom: DataFrame, column: str, values: Sequence,
     keep_all = [r.file for r in
                 rows.filter(~F.col("has_bloom")).select("file").collect()]
     if not geom:
-        return sorted(set(keep_all) | set(uncovered))
+        return sorted(existing(keep_all) | set(uncovered))
     n_bits, n_hashes = geom[0].n_bits, geom[0].n_hashes
 
     def bit(pos: int):
@@ -198,4 +205,4 @@ def prune_files_bloom(bloom: DataFrame, column: str, values: Sequence,
     hits = [r.file for r in
             rows.filter("has_bloom").filter(any_val)
             .select("file").collect()]
-    return sorted(set(keep_all) | set(hits) | set(uncovered))
+    return sorted(existing(keep_all) | existing(hits) | set(uncovered))

@@ -166,18 +166,23 @@ def prune_files(zonemap: DataFrame, column: str, lo=None, hi=None, *,
     only skip provably-irrelevant files. Driver-side arithmetic over
     the stats frame (planning metadata).
 
-    Pass ``path`` whenever the table may have GROWN since the stats
-    build (appends, compaction): files present on disk but absent from
-    the stats table are then kept unconditionally — a stale zone map
-    must degrade to reading more, never to dropping unseen data."""
+    Pass ``path`` whenever the table may have CHANGED since the stats
+    build (appends, compaction, overwrite): files on disk but absent
+    from the stats table are kept unconditionally — a stale zone map
+    must degrade to reading more, never to dropping unseen data — and
+    stats rows for files no longer on disk are dropped (compaction
+    replaced them; keeping them would make the read fail)."""
     rows = (zonemap.filter(F.col("column") == column)
             .select("file", "dtype", "min_val", "max_val", "has_stats")
             .collect())
     lo_r, hi_r = _render(lo), _render(hi)
-    keep = ([f for f in list_parquet_files(path)
-             if f not in {r.file for r in rows}]
-            if path is not None else [])
+    on_disk = set(list_parquet_files(path)) if path is not None else None
+    covered = {r.file for r in rows}
+    keep = ([f for f in on_disk if f not in covered]
+            if on_disk is not None else [])
     for r in rows:
+        if on_disk is not None and r.file not in on_disk:
+            continue
         if not r.has_stats:
             keep.append(r.file)
             continue
@@ -198,3 +203,36 @@ def read_pruned(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     if not files:
         return spark.read.parquet(path).filter(F.lit(False))
     return spark.read.parquet(*files)
+
+
+def zonemap_aggregates(zonemap: DataFrame, column: str, *,
+                       path: str | None = None) -> dict | None:
+    """``count(*)`` / ``min`` / ``max`` / null count for ``column``
+    answered ENTIRELY from the stats table — zero data tasks, the
+    manifest-aggregate trick transactional table formats use for
+    metadata-only queries. Returns ``None`` whenever the stats cannot
+    answer exactly: any covered file lacks usable stats for the
+    column, or (with ``path=``) the on-disk file set differs from the
+    covered set (stale stats must never produce a wrong answer —
+    callers fall back to the real scan).
+
+    min/max semantics match Spark's null-ignoring aggregates (parquet
+    column statistics exclude nulls; all-null files carry no min/max
+    and surface as ``has_stats = false`` → ``None`` here)."""
+    rows = (zonemap.filter(F.col("column") == column)
+            .select("file", "dtype", "min_val", "max_val",
+                    "null_count", "num_rows", "has_stats")
+            .collect())
+    if not rows or not all(r.has_stats for r in rows):
+        return None
+    if path is not None and \
+            set(list_parquet_files(path)) != {r.file for r in rows}:
+        return None
+    mins = [_parse(r.dtype, r.min_val) for r in rows]
+    maxs = [_parse(r.dtype, r.max_val) for r in rows]
+    return {
+        "num_rows": sum(r.num_rows for r in rows),
+        "null_count": sum(r.null_count for r in rows),
+        "min": min(mins),
+        "max": max(maxs),
+    }

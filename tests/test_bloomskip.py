@@ -158,3 +158,23 @@ def test_stale_stats_keep_uncovered_files(spark, tmp_path):
     assert read_pruned(spark, path, keep) \
         .filter(F.col("k") == 5).count() == 1
     bl.unpersist()
+
+
+def test_compacted_table_drops_dead_stats_rows(spark, tmp_path):
+    """After a compaction rewrote the table, stats rows point at
+    deleted files; with path= they are dropped (the replacement files
+    are kept as uncovered) instead of failing the read."""
+    path = str(tmp_path / "compact")
+    spark.range(0, 40).select(F.col("id").alias("k")) \
+        .repartition(4).write.parquet(path)
+    bl = collect_bloom(spark, path, ["k"]).cache()
+    bl.count()
+    # materialize before overwriting the path being read
+    compacted = spark.createDataFrame(spark.read.parquet(path).toPandas())
+    compacted.coalesce(1).write.mode("overwrite").parquet(path)
+
+    keep = prune_files_bloom(bl, "k", [7], path=path)
+    assert keep == list_parquet_files(path)  # all-new files, all kept
+    assert read_pruned(spark, path, keep) \
+        .filter(F.col("k") == 7).count() == 1
+    bl.unpersist()

@@ -140,3 +140,61 @@ def test_stale_stats_keep_uncovered_files(spark, tmp_path):
     assert read_pruned(spark, path, keep) \
         .filter(F.col("k") == 5).count() == 1
     zm.unpersist()
+
+
+def test_compacted_table_drops_dead_stats_rows(spark, tmp_path):
+    """After a compaction rewrote the table, stats rows point at
+    deleted files; with path= they are dropped (the replacement files
+    are kept as uncovered) instead of failing the read."""
+    path = str(tmp_path / "compact")
+    spark.range(0, 40).select(F.col("id").alias("k")) \
+        .repartition(4).write.parquet(path)
+    zm = collect_zonemap(spark, path, ["k"]).cache()
+    zm.count()
+    # materialize before overwriting the path being read
+    compacted = spark.createDataFrame(spark.read.parquet(path).toPandas())
+    compacted.coalesce(1).write.mode("overwrite").parquet(path)
+
+    keep = prune_files(zm, "k", 7, 7, path=path)
+    assert keep == list_parquet_files(path)
+    assert read_pruned(spark, path, keep) \
+        .filter(F.col("k") == 7).count() == 1
+    zm.unpersist()
+
+
+def test_zonemap_aggregates_metadata_only(spark, tmp_path):
+    """count/min/max/null_count answered from the stats table alone;
+    refuses (None) on stale or stats-less coverage."""
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        zonemap_aggregates)
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 != 0, F.col("id") * 2).alias("v"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("name"))
+    df.repartition(4).write.parquet(path)
+    zm = collect_zonemap(spark, path, ["k", "v", "name"]).cache()
+
+    exact = spark.read.parquet(path).agg(
+        F.count("*"), F.min("k"), F.max("k"),
+        F.sum(F.col("v").isNull().cast("long")),
+        F.min("v"), F.max("v"), F.min("name"), F.max("name")).collect()[0]
+    agg_k = zonemap_aggregates(zm, "k", path=path)
+    assert agg_k == {"num_rows": exact[0], "null_count": 0,
+                     "min": exact[1], "max": exact[2]}
+    agg_v = zonemap_aggregates(zm, "v", path=path)
+    assert agg_v == {"num_rows": exact[0], "null_count": exact[3],
+                     "min": exact[4], "max": exact[5]}
+    agg_n = zonemap_aggregates(zm, "name", path=path)
+    assert (agg_n["min"], agg_n["max"]) == (exact[6], exact[7])
+
+    # unknown column → None; stale coverage → None
+    assert zonemap_aggregates(zm, "nope") is None
+    spark.range(5).select(F.col("id").alias("k")) \
+        .coalesce(1).write.mode("append").parquet(path)
+    assert zonemap_aggregates(zm, "k", path=path) is None
+    # without path= the (possibly stale) covered-set answer is returned
+    assert zonemap_aggregates(zm, "k") == agg_k
+    zm.unpersist()
