@@ -1,0 +1,82 @@
+"""One-call facade over the file-skipping indexes for Catalog tables.
+
+`zonemap.py` and `bloomskip.py` are the mechanisms; this module is the
+usage contract: build both stats tables for a Catalog table in one
+call, then issue predicate reads that (a) consult the right index,
+(b) pass the CURRENT table path so staleness degrades safely in both
+directions (post-build files kept, compaction-deleted rows dropped),
+and (c) ALWAYS apply the real predicate on the pruned scan — skipping
+is an I/O optimization the caller cannot get wrong, and a missing
+stats table silently falls back to the plain filtered read.
+
+Stats tables are named ``{table}__zm`` / ``{table}__bloom`` (double
+underscore: the repo's reserved-sidecar convention, like the commit
+ledgers)."""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bloomskip import build_bloom_skip, prune_files_bloom
+from .zonemap import build_zonemap, prune_files, read_pruned
+
+
+def zm_table(table: str) -> str:
+    return f"{table}__zm"
+
+
+def bloom_table(table: str) -> str:
+    return f"{table}__bloom"
+
+
+def build_skipping(catalog, table: str, *,
+                   range_cols: Iterable[str] = (),
+                   equality_cols: Iterable[str] = (),
+                   **bloom_kw) -> dict[str, int]:
+    """Build the zone map over ``range_cols`` and the Bloom index over
+    ``equality_cols`` for a Catalog table (either may be empty).
+    Returns ``{stats_table: files_covered}``. Rebuild after compaction
+    or large appends — reads stay CORRECT against stale stats (the
+    pruners get the live path), they just skip less."""
+    out: dict[str, int] = {}
+    path = catalog.path(table)
+    if list(range_cols):
+        out[zm_table(table)] = build_zonemap(
+            catalog, path, range_cols, table=zm_table(table))
+    if list(equality_cols):
+        out[bloom_table(table)] = build_bloom_skip(
+            catalog, path, equality_cols, table=bloom_table(table),
+            **bloom_kw)
+    return out
+
+
+def read_between(catalog, table: str, column: str, lo, hi) -> DataFrame:
+    """``SELECT * FROM table WHERE column BETWEEN lo AND hi`` with
+    zone-map file skipping when ``{table}__zm`` exists (plain filtered
+    read otherwise). The real predicate is always applied — results
+    are identical with or without the index."""
+    path = catalog.path(table)
+    pred = F.col(column).between(F.lit(lo), F.lit(hi))
+    if not catalog.exists(zm_table(table)):
+        return catalog.read(table).filter(pred)
+    keep = prune_files(catalog.read(zm_table(table)), column, lo, hi,
+                       path=path)
+    return read_pruned(catalog.spark, path, keep).filter(pred)
+
+
+def read_equals(catalog, table: str, column: str,
+                values: Sequence) -> DataFrame:
+    """``SELECT * FROM table WHERE column IN (values)`` with Bloom
+    file skipping when ``{table}__bloom`` exists (plain filtered read
+    otherwise). The real predicate is always applied."""
+    path = catalog.path(table)
+    vals = list(values)
+    pred = F.col(column).isin(vals)
+    if not catalog.exists(bloom_table(table)):
+        return catalog.read(table).filter(pred)
+    keep = prune_files_bloom(catalog.read(bloom_table(table)), column,
+                             vals, path=path)
+    return read_pruned(catalog.spark, path, keep).filter(pred)

@@ -178,3 +178,40 @@ def test_compacted_table_drops_dead_stats_rows(spark, tmp_path):
     assert read_pruned(spark, path, keep) \
         .filter(F.col("k") == 7).count() == 1
     bl.unpersist()
+
+
+def test_skipping_facade_end_to_end(spark, catalog, sf_small):
+    """build_skipping + read_between/read_equals: identical results to
+    plain filtered reads, safe against post-build appends, plain
+    fallback when no stats exist."""
+    from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+        build_skipping, read_between, read_equals)
+
+    docs = load_table(spark, sf_small, "documents")
+    catalog.overwrite(docs.repartition(8, "doc_id"), "docs")
+
+    # no stats yet: plain fallback
+    ids = [r.doc_id for r in docs.select("doc_id").limit(3).collect()]
+    assert read_equals(catalog, "docs", "doc_id", ids).count() == len(ids)
+
+    built = build_skipping(catalog, "docs", range_cols=["doc_id"],
+                           equality_cols=["doc_id", "source"])
+    assert set(built) == {"docs__zm", "docs__bloom"}
+
+    lo = min(ids)
+    expect = docs.filter(F.col("doc_id").between(lo, lo + 100)).count()
+    assert read_between(catalog, "docs", "doc_id", lo,
+                        lo + 100).count() == expect
+    got = sorted(r.doc_id for r in
+                 read_equals(catalog, "docs", "doc_id", ids)
+                 .select("doc_id").collect())
+    assert got == sorted(ids)
+
+    # table grows after the build: reads stay correct (skip less)
+    catalog.append(spark.createDataFrame(
+        [(999_999, "late arrival", "x")],
+        "doc_id long, text string, source string"), "docs")
+    assert read_equals(catalog, "docs", "doc_id",
+                       [999_999]).count() == 1
+    assert read_between(catalog, "docs", "doc_id", 999_998,
+                        1_000_000).count() == 1
