@@ -113,8 +113,15 @@ def collect_bloom(spark: SparkSession, path: str, columns: Iterable[str],
                         rows.append((f, c, n_bits, n_hashes, 0,
                                      num_rows, None, False))
                         continue
-                    vals = pf.read(columns=[c]).column(c).to_pandas()
-                    distinct = [v for v in pd.unique(vals.dropna())]
+                    # distincts arrow-side; to_pylist yields PYTHON
+                    # scalars (datetime, float, int, str) so _render
+                    # sees exactly what a probe-side value renders —
+                    # pandas would hand back numpy/datetime64 scalars
+                    # whose str() differs from the probe's rendering
+                    # (false negatives on timestamp columns)
+                    distinct = [v for v in pf.read(columns=[c])
+                                .column(c).unique().to_pylist()
+                                if v is not None]
                     ok = len(distinct) <= cap
                     words = [0] * n_words
                     if ok:

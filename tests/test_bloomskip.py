@@ -215,3 +215,25 @@ def test_skipping_facade_end_to_end(spark, catalog, sf_small):
                        [999_999]).count() == 1
     assert read_between(catalog, "docs", "doc_id", 999_998,
                         1_000_000).count() == 1
+
+
+def test_timestamp_column_probe(spark, tmp_path):
+    """Timestamp values must hash identically on build (arrow
+    scalars) and probe (python datetimes) — the regression here was
+    arrow->pandas datetime64 scalars str()-rendering differently from
+    the probe's fixed-width format (false negatives)."""
+    import datetime as dt
+
+    path = str(tmp_path / "ts")
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+            for i in range(48)]
+    spark.createDataFrame(rows, "k long, ts timestamp_ntz") \
+        .repartition(4, "k").write.parquet(path)
+    bl = collect_bloom(spark, path, ["ts"])
+    probe = dt.datetime(2024, 1, 2, 5, 0, 0)
+    keep = prune_files_bloom(bl, "ts", [probe], path=path)
+    assert read_pruned(spark, path, keep) \
+        .filter(F.col("ts") == F.lit(probe)).count() == 1
+    # and an absent timestamp usually skips everything
+    missing = dt.datetime(2030, 6, 1, 12, 30, 45)
+    assert len(prune_files_bloom(bl, "ts", [missing], path=path)) <= 1
