@@ -644,8 +644,14 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
     ``centroids`` come from :func:`train_kmeans`.
     """
     dim = len(centroids[0])
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    # the pair join broadcasts one side, so the PROBE side's layout is
+    # the entire parallelism of the |cell|^2 cosine work — a single-file
+    # corpus scan would run every pair on one core (the repo's
+    # single-core probe trap); spread it by id before the join
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))
+         .repartition(par, F.col("id"))
          .withColumn("nrm", _norm(F.col("vec"))))
     v = v.withColumn("cell",
                      _centroid_argmin_expr(centroids, F.col("vec"),
