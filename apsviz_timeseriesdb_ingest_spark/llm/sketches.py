@@ -197,7 +197,8 @@ def _mg_compress(counts: DataFrame, keys: list[str], k: int,
           .groupBy(*keys, "__salt")
           .agg(F.sum("__c").alias("__np"), top.alias("__t")))
     p2 = (p1.groupBy(*keys)
-          .agg(F.sum("__np").alias("n_items"),
+          .agg(F.coalesce(F.sum("__np"), F.lit(0)).cast("long")
+               .alias("n_items"),  # global agg over 0 items → 0, not NULL
                F.slice(F.reverse(F.sort_array(
                    F.flatten(F.collect_list("__t")))), 1, k + 1)
                .alias("__l")))
