@@ -729,13 +729,21 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
 
 
 def dedup_keep_representative(df: DataFrame, pairs: DataFrame, *,
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id",
+                              cc_algorithm: str = "star") -> DataFrame:
     """The dedup pipeline's final verb: drop every near-duplicate except
     its cluster representative (smallest id — deterministic, engine-
     independent). Docs in no near-dup pair pass through untouched; the
     cluster map is tiny relative to the corpus (only docs that appear in
-    pairs) so the filtering join broadcasts at any corpus scale."""
-    clusters = neardup_clusters(pairs)
+    pairs) so the filtering join broadcasts at any corpus scale.
+
+    ``cc_algorithm`` forwards to :func:`neardup_clusters` — "star"
+    (default, O(log n) rounds at any component diameter) or "label"
+    (O(diameter) rounds, fewer jobs per round; measured ~2x faster on
+    the small-diameter components similarity thresholds produce, with
+    identical output — the right pick when the caller KNOWS its pair
+    graph is near-clique-shaped)."""
+    clusters = neardup_clusters(pairs, algorithm=cc_algorithm)
     losers = (clusters.filter(F.col("cluster_id") != F.col("doc_id"))
               .select(F.col("doc_id").alias(id_col)))
     return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -675,7 +675,12 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
     )
     from .dedup import dedup_keep_representative
 
-    return dedup_keep_representative(vectors, pairs, id_col=id_col)
+    # within-cell cosine-threshold components are near-cliques (every
+    # member is >= threshold-close to the pivot chain inside ONE cell),
+    # so min-label CC converges in 2-3 rounds — measured ~2x faster
+    # than star here, outputs identical (test_llm_ops)
+    return dedup_keep_representative(vectors, pairs, id_col=id_col,
+                                     cc_algorithm="label")
 
 
 def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
