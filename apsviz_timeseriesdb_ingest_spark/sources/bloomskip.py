@@ -80,15 +80,18 @@ def _positions(value, n_bits: int, n_hashes: int) -> list[int]:
 
 def collect_bloom(spark: SparkSession, path: str, columns: Iterable[str],
                   *, n_bits: int = DEFAULT_N_BITS,
-                  n_hashes: int = DEFAULT_N_HASHES) -> DataFrame:
+                  n_hashes: int = DEFAULT_N_HASHES,
+                  files: list[str] | None = None) -> DataFrame:
     """One (file, column) Bloom row per data file — a distributed,
     column-pruned data pass (each task reads ONLY the probed column of
     its files). Files where the column is missing, un-renderable, or
     too distinct for the geometry's false-positive budget yield
-    ``has_bloom = false`` (kept conservatively at prune time)."""
+    ``has_bloom = false`` (kept conservatively at prune time).
+    ``files`` restricts the pass to a subset (the incremental-build
+    path)."""
     if n_hashes < 1 or n_hashes > 8:
         raise ValueError("n_hashes must be in [1, 8]")
-    files = list_parquet_files(path)
+    files = list_parquet_files(path) if files is None else list(files)
     cols = list(columns)
     if not files:
         return spark.createDataFrame([], BLOOM_SCHEMA)
@@ -149,13 +152,30 @@ def collect_bloom(spark: SparkSession, path: str, columns: Iterable[str],
 
 def build_bloom_skip(catalog, path: str, columns: Iterable[str], *,
                      table: str, n_bits: int = DEFAULT_N_BITS,
-                     n_hashes: int = DEFAULT_N_HASHES) -> int:
+                     n_hashes: int = DEFAULT_N_HASHES,
+                     incremental: bool = False) -> int:
     """Persist :func:`collect_bloom` as a catalog table — the
-    build-once/probe-many form. Returns the file count covered."""
-    bl = collect_bloom(catalog.spark, path, columns,
-                       n_bits=n_bits, n_hashes=n_hashes)
-    catalog.overwrite(bl, table)
-    return catalog.read(table).select("file").distinct().count()
+    build-once/probe-many form. Returns the file count covered.
+
+    ``incremental=True`` collects only files absent from the existing
+    table and retires rows for deleted files (see
+    ``zonemap.build_zonemap``); the geometry must match the existing
+    table's — a mismatch raises rather than plant the mixed-geometry
+    probe error."""
+    from .zonemap import _build_stats
+
+    if incremental and catalog.exists(table):
+        geom = (catalog.read(table).filter("has_bloom")
+                .select("n_bits", "n_hashes").distinct().collect())
+        if geom and (geom[0].n_bits, geom[0].n_hashes) != (n_bits,
+                                                           n_hashes):
+            raise ValueError(
+                f"incremental build geometry ({n_bits}, {n_hashes}) != "
+                f"existing table's ({geom[0].n_bits}, {geom[0].n_hashes})"
+                " — rebuild with incremental=False to change geometry")
+    return _build_stats(catalog, path, columns, table=table,
+                        incremental=incremental, collect=collect_bloom,
+                        n_bits=n_bits, n_hashes=n_hashes)
 
 
 def prune_files_bloom(bloom: DataFrame, column: str, values: Sequence,

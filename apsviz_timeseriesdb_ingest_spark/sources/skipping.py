@@ -35,21 +35,24 @@ def bloom_table(table: str) -> str:
 def build_skipping(catalog, table: str, *,
                    range_cols: Iterable[str] = (),
                    equality_cols: Iterable[str] = (),
+                   incremental: bool = False,
                    **bloom_kw) -> dict[str, int]:
     """Build the zone map over ``range_cols`` and the Bloom index over
     ``equality_cols`` for a Catalog table (either may be empty).
-    Returns ``{stats_table: files_covered}``. Rebuild after compaction
-    or large appends — reads stay CORRECT against stale stats (the
-    pruners get the live path), they just skip less."""
+    Returns ``{stats_table: files_covered}``. Refresh after compaction
+    or appends with ``incremental=True`` (stats passes over new files
+    only, dead rows retired) — reads stay CORRECT against stale stats
+    either way (the pruners get the live path), they just skip less."""
     out: dict[str, int] = {}
     path = catalog.path(table)
     if list(range_cols):
         out[zm_table(table)] = build_zonemap(
-            catalog, path, range_cols, table=zm_table(table))
+            catalog, path, range_cols, table=zm_table(table),
+            incremental=incremental)
     if list(equality_cols):
         out[bloom_table(table)] = build_bloom_skip(
             catalog, path, equality_cols, table=bloom_table(table),
-            **bloom_kw)
+            incremental=incremental, **bloom_kw)
     return out
 
 

@@ -86,14 +86,16 @@ def list_parquet_files(path: str) -> list[str]:
 
 
 def collect_zonemap(spark: SparkSession, path: str,
-                    columns: Iterable[str]) -> DataFrame:
+                    columns: Iterable[str], *,
+                    files: list[str] | None = None) -> DataFrame:
     """One (file, column) stats row per data file — distributed FOOTER
     read: the file list is parallelized and each task opens only the
     parquet metadata (kilobytes per file), never row data. Columns
     whose physical type has no usable ordered stats (or files written
     without statistics) yield ``has_stats = false`` — the pruner keeps
-    those files conservatively."""
-    files = list_parquet_files(path)
+    those files conservatively. ``files`` restricts the pass to a
+    subset (the incremental-build path)."""
+    files = list_parquet_files(path) if files is None else list(files)
     cols = list(columns)
     if not files:
         return spark.createDataFrame([], ZONEMAP_SCHEMA)
@@ -149,13 +151,44 @@ def collect_zonemap(spark: SparkSession, path: str,
 
 
 def build_zonemap(catalog, path: str, columns: Iterable[str], *,
-                  table: str) -> int:
+                  table: str, incremental: bool = False) -> int:
     """Persist :func:`collect_zonemap` stats as a catalog table — the
     build-once/probe-many form (probes then cost a metadata-table read,
-    no footer access at all). Returns the file count covered."""
-    zm = collect_zonemap(catalog.spark, path, columns)
-    catalog.overwrite(zm, table)
-    return catalog.read(table).select("file").distinct().count()
+    no footer access at all). Returns the file count covered.
+
+    ``incremental=True`` refreshes an existing stats table without
+    re-scanning covered files: only files on disk but absent from the
+    table get a stats pass, and rows for files no longer on disk are
+    retired — one tiny metadata-table rewrite brings the table exactly
+    current after appends AND compactions (append-heavy tables pay
+    O(new files), not O(all files))."""
+    return _build_stats(catalog, path, columns, table=table,
+                        incremental=incremental, collect=collect_zonemap)
+
+
+def _build_stats(catalog, path: str, columns: Iterable[str], *,
+                 table: str, incremental: bool, collect, **kw) -> int:
+    """Shared full/incremental build driver for the skipping stats
+    tables (zone map and Bloom — same file/column row shape)."""
+    on_disk = list_parquet_files(path)
+    if not incremental or not catalog.exists(table):
+        catalog.overwrite(collect(catalog.spark, path, columns, **kw),
+                          table)
+        return len(on_disk)
+    old = catalog.read(table)
+    covered = {r.file for r in old.select("file").distinct().collect()}
+    fresh = [f for f in on_disk if f not in covered]
+    # survivors via semi-join (an isin literal would not scale to
+    # 100k-file tables); materialized before the overwrite reads it
+    disk_df = catalog.spark.createDataFrame([(f,) for f in on_disk],
+                                            "file string")
+    keep = (old.join(F.broadcast(disk_df), "file", "left_semi")
+            .localCheckpoint(eager=True))
+    new = collect(catalog.spark, path, columns, files=fresh, **kw) \
+        if fresh else None
+    catalog.overwrite(keep.unionByName(new) if new is not None else keep,
+                      table)
+    return len(on_disk)
 
 
 def prune_files(zonemap: DataFrame, column: str, lo=None, hi=None, *,

@@ -237,3 +237,45 @@ def test_timestamp_column_probe(spark, tmp_path):
     # and an absent timestamp usually skips everything
     missing = dt.datetime(2030, 6, 1, 12, 30, 45)
     assert len(prune_files_bloom(bl, "ts", [missing], path=path)) <= 1
+
+
+def test_incremental_build_covers_new_and_retires_dead(spark, catalog,
+                                                       tmp_path):
+    """incremental=True stats a file exactly once across builds, picks
+    up appended files, retires compaction-deleted rows, and refuses a
+    geometry change."""
+    from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+        build_skipping, read_between, read_equals)
+
+    catalog.overwrite(spark.range(0, 40).select(F.col("id").alias("k"))
+                      .repartition(4, "k"), "t")
+    build_skipping(catalog, "t", range_cols=["k"], equality_cols=["k"])
+    first = {r.file for r in catalog.read("t__bloom")
+             .select("file").collect()}
+
+    # append two files; incremental build must add exactly those
+    catalog.append(spark.range(100, 120).select(F.col("id").alias("k"))
+                   .repartition(2, "k"), "t")
+    build_skipping(catalog, "t", range_cols=["k"], equality_cols=["k"],
+                   incremental=True)
+    bloom = catalog.read("t__bloom")
+    files_now = {r.file for r in bloom.select("file").collect()}
+    assert first < files_now
+    assert len(files_now) == len(list_parquet_files(catalog.path("t")))
+    # probes see both generations
+    assert read_equals(catalog, "t", "k", [5]).count() == 1
+    assert read_equals(catalog, "t", "k", [105]).count() == 1
+    assert read_between(catalog, "t", "k", 100, 119).count() == 20
+
+    # compact: incremental refresh retires every dead row
+    catalog.compact("t", partitions=1)
+    build_skipping(catalog, "t", range_cols=["k"], equality_cols=["k"],
+                   incremental=True)
+    files_now = {r.file for r in catalog.read("t__bloom")
+                 .select("file").collect()}
+    assert files_now == set(list_parquet_files(catalog.path("t")))
+    assert read_equals(catalog, "t", "k", [105]).count() == 1
+
+    with pytest.raises(ValueError, match="geometry"):
+        build_bloom_skip(catalog, catalog.path("t"), ["k"],
+                         table="t__bloom", n_bits=1024, incremental=True)
