@@ -312,3 +312,56 @@ def corpus_stats_row(df: DataFrame, *, text_col: str = "text",
     # keys on the name, so it stays
     hh = heavy_hitters_sketch(df, text_col=text_col, k=mg_k)
     return c.crossJoin(ln).crossJoin(hh)
+
+
+# -- drift report (two-window comparison) ------------------------------
+
+def drift_report(baseline: DataFrame, window: DataFrame,
+                 qs: Sequence[float] = (0.5, 0.9)) -> DataFrame:
+    """ONE drift row comparing two windows of stats rows (e.g. the
+    pinned window a training run consumed vs the latest batches) —
+    computed ENTIRELY from the sketch rows, no corpus access: the
+    monitoring consumer the per-batch stats table exists for.
+
+    Columns per side (``_base`` / ``_win``): ``n_docs``, ``dup_rate``
+    (HLL exact-dup proxy), ``vocab`` estimate, one ``p<q>_`` length
+    quantile per requested rank; plus the cross-window signals
+    ``vocab_ratio`` (win/base), ``p<q>_shift`` (relative length drift
+    at each rank, 0.0 when base is 0), and ``top_token_jaccard``
+    (heavy-hitter item-set overlap — composition churn; 1.0 when both
+    sides report no items). Callers alert on thresholds; this reports
+    measurements only."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        c = sketch_estimates(merge_corpus_sketches(df)).select(
+            F.col("n_docs").alias(f"n_docs_{tag}"),
+            F.when(F.col("n_docs") > 0,
+                   F.col("est_duplicate_docs") / F.col("n_docs"))
+            .otherwise(F.lit(0.0)).alias(f"dup_rate_{tag}"),
+            F.col("vocab_estimate").alias(f"vocab_{tag}"))
+        ln = length_quantiles(merge_length_sketches(df), qs=qs)
+        pcols = [c2 for c2 in ln.columns if c2.startswith("p")]
+        ln = ln.select(*[F.col(p).alias(f"{p}_{tag}") for p in pcols])
+        hh = merge_heavy_hitters(df).select(
+            F.transform("counters", lambda x: x["item"])
+            .alias(f"items_{tag}"))
+        return c.crossJoin(ln).crossJoin(hh)
+
+    both = side(baseline, "base").crossJoin(side(window, "win"))
+    out = both.withColumn(
+        "vocab_ratio",
+        F.when(F.col("vocab_base") > 0,
+               F.col("vocab_win") / F.col("vocab_base"))
+        .otherwise(F.lit(None).cast("double")))
+    for q in qs:
+        p = f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        out = out.withColumn(
+            f"{p}_shift",
+            F.when(F.col(f"{p}_base") > 0,
+                   (F.col(f"{p}_win") - F.col(f"{p}_base"))
+                   / F.col(f"{p}_base")).otherwise(F.lit(0.0)))
+    inter = F.size(F.array_intersect("items_base", "items_win"))
+    union = F.size(F.array_union("items_base", "items_win"))
+    out = out.withColumn(
+        "top_token_jaccard",
+        F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
+    return out.drop("items_base", "items_win")

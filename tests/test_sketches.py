@@ -221,3 +221,35 @@ def test_heavy_hitters_key_col_grouped_and_null(spark):
         {"a.com": 2, "b.com": 1}
     assert {c["item"]: c["count"] for c in by_src["y"].counters} == \
         {"c.com": 1}
+
+
+def test_drift_report_two_windows(spark):
+    """drift_report measures dup-rate rise, length shift, vocab growth,
+    and top-token churn between two windows — from sketch rows only;
+    identical windows report zero drift."""
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        corpus_stats_row, drift_report)
+
+    base_rows = [(i, "alpha beta gamma delta") for i in range(50)]
+    # window: longer docs, a dup flood, and a changed token mix
+    win_rows = [(100 + i, f"epsilon zeta doc{i} " + " ".join(["pad"] * 9))
+                for i in range(30)]
+    win_rows += [(200 + i, "flooded duplicate body") for i in range(20)]
+    base = corpus_stats_row(spark.createDataFrame(
+        base_rows, "doc_id long, text string"))
+    win = corpus_stats_row(spark.createDataFrame(
+        win_rows, "doc_id long, text string"))
+
+    r = drift_report(base, win).collect()[0]
+    assert r.n_docs_base == 50 and r.n_docs_win == 50
+    # base is ONE distinct content (49/50 dups); window floods 19/50
+    assert r.dup_rate_base > 0.9
+    assert 0.3 < r.dup_rate_win < 0.9
+    assert r.p50_shift > 1.0  # 4-token docs -> 12-token docs
+    assert r.top_token_jaccard < 0.5  # token mix replaced
+    assert r.vocab_ratio > 1.0  # 4 tokens -> 6 distinct tokens
+
+    same = drift_report(base, base).collect()[0]
+    assert same.p50_shift == 0.0 and same.p90_shift == 0.0
+    assert same.top_token_jaccard == 1.0
+    assert same.vocab_ratio == 1.0
