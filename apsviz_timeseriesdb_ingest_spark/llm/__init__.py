@@ -157,6 +157,7 @@ from .classifier import (  # noqa: F401
 from .sketches import (  # noqa: F401
     corpus_sketch,
     corpus_stats_row,
+    drift_report,
     heavy_hitters_estimates,
     heavy_hitters_sketch,
     length_quantiles,
