@@ -77,7 +77,10 @@ class DynamicOverwriteMerge(MergeStrategy):
         if not catalog.exists(table):
             deduped = (keep_latest(incoming, keys, order_by).drop(*drop_before_write)
                        .sortWithinPartitions(*keys))
-            catalog.overwrite(deduped, table, partition_by=[TIME_BUCKET])
+            # merge_keep_latest refreshes skipping sidecars once, after
+            # the strategy returns — skip the inner overwrite's hook
+            catalog.overwrite(deduped, table, partition_by=[TIME_BUCKET],
+                              refresh_skipping=False)
             return
         months = [r[0] for r in incoming.select(TIME_BUCKET).distinct().collect()]
         existing = catalog.read(table).filter(F.col(TIME_BUCKET).isin(months))
@@ -172,11 +175,27 @@ class Catalog:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.path(table))
 
+    def refresh_skipping(self, table: str) -> dict[str, int]:
+        """Bring the table's skipping sidecars (``{table}__zm`` /
+        ``{table}__bloom``, see ``sources/skipping.py``) current with
+        its on-disk files. Every mutation verb calls this by default so
+        index staleness never accumulates silently; it costs nothing
+        (two dir checks) for the overwhelming majority of tables that
+        never built a skipping index. Reserved-sidecar names (double
+        underscore — stats tables, commit ledgers, staging dirs) are
+        excluded, which also breaks the recursion of the stats build's
+        own sidecar overwrite."""
+        if "__" in table:
+            return {}
+        from .skipping import refresh_skipping
+        return refresh_skipping(self, table)
+
     def overwrite(self, df: DataFrame, table: str, *,
                   partition_by: Sequence[str] = (),
                   cluster_by: Sequence[str] = (),
                   zorder_by: Sequence[str] = (),
-                  files: int = 32) -> None:
+                  files: int = 32,
+                  refresh_skipping: bool = True) -> None:
         """``cluster_by`` range-shards + sorts on one key set (zone-map
         selectivity on the leading key); ``zorder_by`` Morton-interleaves
         several keys (selectivity on any of them) — see
@@ -189,21 +208,26 @@ class Catalog:
         if cluster_by:
             from .layout import cluster_write
             cluster_write(df, self.path(table), cluster_by, files=files)
-            return
-        if zorder_by:
+        elif zorder_by:
             from .layout import zorder_write
             zorder_write(df, self.path(table), zorder_by, files=files)
-            return
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(self.path(table))
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.path(table))
+        if refresh_skipping:
+            self.refresh_skipping(table)
 
-    def append(self, df: DataFrame, table: str, *, partition_by: Sequence[str] = ()) -> None:
+    def append(self, df: DataFrame, table: str, *,
+               partition_by: Sequence[str] = (),
+               refresh_skipping: bool = True) -> None:
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
+        if refresh_skipping:
+            self.refresh_skipping(table)
 
     def merge_keep_latest(self, table: str, incoming: DataFrame,
                           keys: Sequence[str],
@@ -231,11 +255,13 @@ class Catalog:
         self.merge_strategy.merge(self, table, incoming, keys, order_by,
                                   time_col=time_col,
                                   drop_before_write=drop_before_write)
+        self.refresh_skipping(table)
 
     def update(self, table: str, df: DataFrame) -> None:
         """Full-replace of a small control/ledger table (flag flips)."""
         df = df.localCheckpoint(eager=True)
         df.write.mode("overwrite").parquet(self.path(table))
+        self.refresh_skipping(table)
 
     def drop(self, table: str) -> None:
         """Remove a table directory (idempotent — missing tables are a
@@ -336,6 +362,7 @@ class Catalog:
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev)
+        self.refresh_skipping(table)
 
     def save_bucketed(self, df: DataFrame, table: str, *, bucket_by: Sequence[str],
                       num_buckets: int = 32, sort_by: Sequence[str] = ()) -> None:
@@ -478,6 +505,8 @@ class Catalog:
                     dropped.append(f"{bdir}/{wdir}")
             if not os.listdir(bpath):
                 shutil.rmtree(bpath, ignore_errors=True)
+        if dropped:
+            self.refresh_skipping(table)
         return dropped
 
 

@@ -15,6 +15,7 @@ ledgers)."""
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame
@@ -39,9 +40,11 @@ def build_skipping(catalog, table: str, *,
                    **bloom_kw) -> dict[str, int]:
     """Build the zone map over ``range_cols`` and the Bloom index over
     ``equality_cols`` for a Catalog table (either may be empty).
-    Returns ``{stats_table: files_covered}``. Refresh after compaction
-    or appends with ``incremental=True`` (stats passes over new files
-    only, dead rows retired) — reads stay CORRECT against stale stats
+    Returns ``{stats_table: files_covered}``. ``incremental=True``
+    refreshes without rescanning covered files (stats passes over new
+    files only, dead rows retired). Once built, the Catalog mutation
+    verbs keep the sidecars current automatically via
+    :func:`refresh_skipping`; reads stay CORRECT against stale stats
     either way (the pruners get the live path), they just skip less."""
     out: dict[str, int] = {}
     path = catalog.path(table)
@@ -54,6 +57,57 @@ def build_skipping(catalog, table: str, *,
             catalog, path, equality_cols, table=bloom_table(table),
             incremental=incremental, **bloom_kw)
     return out
+
+
+def skipping_spec(catalog, table: str) -> dict:
+    """What the existing sidecars of ``table`` cover, recovered from the
+    sidecars THEMSELVES (each stats row names its column; Bloom rows
+    carry their geometry) — so maintenance hooks need no record of the
+    original ``build_skipping`` arguments. Keys present only for
+    sidecars that exist AND have rows: ``range_cols``,
+    ``equality_cols``, ``n_bits``, ``n_hashes``. A zero-row sidecar
+    (built while the table was empty) names no columns and cannot be
+    refreshed — reads already degrade safely against it (uncovered
+    files are kept), so it is simply skipped."""
+    spec: dict = {}
+    if catalog.exists(zm_table(table)):
+        cols = sorted(r["column"] for r in catalog.read(zm_table(table))
+                      .select("column").distinct().collect())
+        if cols:
+            spec["range_cols"] = cols
+    if catalog.exists(bloom_table(table)):
+        bl = catalog.read(bloom_table(table))
+        cols = sorted(r["column"] for r in
+                      bl.select("column").distinct().collect())
+        if cols:
+            spec["equality_cols"] = cols
+            geom = (bl.filter("has_bloom")
+                    .select("n_bits", "n_hashes").distinct().collect())
+            if geom:
+                spec["n_bits"] = geom[0]["n_bits"]
+                spec["n_hashes"] = geom[0]["n_hashes"]
+    return spec
+
+
+def refresh_skipping(catalog, table: str) -> dict[str, int]:
+    """Bring whatever skipping sidecars exist for ``table`` exactly
+    current with the table's on-disk files — the maintenance hook
+    :class:`~.catalog.Catalog` mutation verbs call automatically, so
+    index staleness (previously SAFE but silent: reads just skipped
+    less until someone re-ran ``build_skipping``) no longer
+    accumulates. Incremental by construction: appends pay a stats pass
+    over the new files only; compaction/overwrite replaced every file,
+    so the incremental build degenerates to the full rebuild those
+    need. No-op (two dir checks, zero Spark jobs) when the table has
+    no sidecars — which is every table that never opted into skipping."""
+    spec = skipping_spec(catalog, table)
+    if not spec:
+        return {}
+    bloom_kw = {k: spec[k] for k in ("n_bits", "n_hashes") if k in spec}
+    return build_skipping(catalog, table,
+                          range_cols=spec.get("range_cols", ()),
+                          equality_cols=spec.get("equality_cols", ()),
+                          incremental=True, **bloom_kw)
 
 
 def read_between(catalog, table: str, column: str, lo, hi) -> DataFrame:

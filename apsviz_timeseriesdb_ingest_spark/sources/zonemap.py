@@ -138,6 +138,11 @@ def collect_zonemap(spark: SparkSession, path: str,
                                                            x: _parse(dtype, x))
                             mx = hi if mx is None else max(mx, hi, key=lambda
                                                            x: _parse(dtype, x))
+                    if mn is None or mx is None:
+                        # zero row groups (an empty part file) carry no
+                        # ordered stats — has_stats=True with NULL
+                        # bounds would crash the pruner's comparisons
+                        ok = False
                     rows.append((f, c, dtype, mn if ok else None,
                                  mx if ok else None, nulls, md.num_rows, ok))
             yield pd.DataFrame(rows, columns=[
