@@ -137,3 +137,90 @@ def read_equals(catalog, table: str, column: str,
     keep = prune_files_bloom(catalog.read(bloom_table(table)), column,
                              vals, path=path)
     return read_pruned(catalog.spark, path, keep).filter(pred)
+
+
+# -- committed reads composed with file skipping ----------------------
+
+def committed_files(catalog, table: str, ledger: str,
+                    as_of_batch: int | None = None) -> list[str]:
+    """The data files of a stream-owned ``(__batch, __writer)``-
+    partitioned table that belong to COMMITTED batches of ``ledger``
+    (optionally only batches ``<= as_of_batch`` — the snapshot-read
+    bound). Driver-side path arithmetic over the file listing plus the
+    ledger listing — both metadata, no Spark job. Files outside a
+    ``__batch=…/__writer=…`` partition chain are kept (a non-stream
+    table mixes nothing to exclude), matching
+    ``streaming.corpus_stream.committed_corpus``'s semantics."""
+    from .zonemap import list_parquet_files
+
+    committed = {(b, w) for b, w in catalog.committed_batches(ledger)
+                 if as_of_batch is None or b <= int(as_of_batch)}
+    root = catalog.path(table)
+    out = []
+    for f in list_parquet_files(root):
+        rel = os.path.relpath(f, root)
+        batch = writer = None
+        for seg in rel.split(os.sep):
+            if seg.startswith("__batch="):
+                batch = int(seg.split("=", 1)[1])
+            elif seg.startswith("__writer="):
+                writer = seg.split("=", 1)[1]
+        if batch is None or writer is None:
+            out.append(f)
+        elif (batch, writer) in committed:
+            out.append(f)
+    return sorted(out)
+
+
+def _committed_pruned_read(catalog, table: str, index_table: str,
+                           as_of_batch, stats_keep: list[str] | None
+                           ) -> DataFrame:
+    """Intersect a skipping pruner's file list with the committed file
+    set and read via ``basePath`` (partition columns survive the
+    leaf-file read)."""
+    from ..llm.incremental import commits_table
+
+    path = catalog.path(table)
+    keep = committed_files(catalog, table, commits_table(index_table),
+                           as_of_batch)
+    if stats_keep is not None:
+        keep = sorted(set(keep) & set(stats_keep))
+    return read_pruned(catalog.spark, path, keep)
+
+
+def read_committed_between(catalog, table: str, column: str, lo, hi, *,
+                           index_table: str = "minhash_index",
+                           as_of_batch: int | None = None) -> DataFrame:
+    """:func:`read_between` composed with the read-committed view of a
+    stream-owned table (``streaming.corpus_stream.committed_corpus``):
+    ONE call that (a) drops uncommitted/orphan ``(__batch, __writer)``
+    partitions via the index's commit ledger — optionally as-of a
+    snapshot batch — and (b) skips committed files whose zone-map
+    ``[min, max]`` cannot intersect the range. Both prunings are
+    driver-side metadata arithmetic; results equal
+    ``committed_corpus(...).filter(pred)`` exactly (skipping is I/O
+    only, and the real predicate is always applied)."""
+    pred = F.col(column).between(F.lit(lo), F.lit(hi))
+    stats_keep = None
+    if catalog.exists(zm_table(table)):
+        stats_keep = prune_files(catalog.read(zm_table(table)), column,
+                                 lo, hi, path=catalog.path(table))
+    return _committed_pruned_read(catalog, table, index_table,
+                                  as_of_batch, stats_keep).filter(pred)
+
+
+def read_committed_equals(catalog, table: str, column: str,
+                          values: Sequence, *,
+                          index_table: str = "minhash_index",
+                          as_of_batch: int | None = None) -> DataFrame:
+    """:func:`read_equals` composed with the read-committed view —
+    the Bloom twin of :func:`read_committed_between`."""
+    vals = list(values)
+    pred = F.col(column).isin(vals)
+    stats_keep = None
+    if catalog.exists(bloom_table(table)):
+        stats_keep = prune_files_bloom(catalog.read(bloom_table(table)),
+                                       column, vals,
+                                       path=catalog.path(table))
+    return _committed_pruned_read(catalog, table, index_table,
+                                  as_of_batch, stats_keep).filter(pred)

@@ -237,10 +237,16 @@ def read_pruned(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     """Read only ``files`` of the table at ``path``; an empty selection
     returns the empty frame with the table's schema (footer-only read).
     The caller still applies its real filter — zone-map pruning is an
-    I/O optimization, never a semantic one."""
+    I/O optimization, never a semantic one. ``basePath`` anchors
+    partition discovery so Hive-partitioned tables keep their
+    partition COLUMNS (``__batch``/``time_bucket``/…) when read as a
+    leaf-file list."""
     if not files:
         return spark.read.parquet(path).filter(F.lit(False))
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if os.path.isdir(path):
+        reader = reader.option("basePath", path)
+    return reader.parquet(*files)
 
 
 def zonemap_aggregates(zonemap: DataFrame, column: str, *,
