@@ -168,6 +168,11 @@ def length_quantiles(sketches: DataFrame,
 #: default counter budget: error <= n_items/65 per window, ~KBs of state
 DEFAULT_MG_K = 64
 
+def _empty_counters():
+    """Typed empty counter list (for groups that report no items) —
+    built lazily: Column construction needs a live session."""
+    return F.array().cast("array<struct<count:bigint,item:string>>")
+
 
 def _mg_compress(counts: DataFrame, keys: list[str], k: int,
                  n_salt: int = 32) -> DataFrame:
@@ -266,10 +271,18 @@ def merge_heavy_hitters(sketches: DataFrame, *, k: int = DEFAULT_MG_K,
     meta = (sketches.groupBy(*keys)
             .agg(F.sum("n_items").alias("n_items"),
                  F.sum("deficit").alias("__d0")))
-    joined = meta.join(comp, on=keys) if keys else meta.crossJoin(comp)
+    # left: a group whose every input row reported zero counters has no
+    # exploded items, hence no compression row — it must still merge
+    # (to empty counters), not vanish
+    joined = (meta.join(comp, on=keys, how="left") if keys
+              else meta.crossJoin(comp))
     return (joined
-            .select(*keys, "n_items", "counters",
-                    (F.col("__d0") + F.col("__delta")).alias("deficit")))
+            .select(*keys, "n_items",
+                    F.coalesce("counters", _empty_counters())
+                    .alias("counters"),
+                    (F.col("__d0")
+                     + F.coalesce(F.col("__delta"), F.lit(0)))
+                    .alias("deficit")))
 
 
 def heavy_hitters_estimates(sketches: DataFrame) -> DataFrame:
@@ -293,7 +306,8 @@ def heavy_hitters_estimates(sketches: DataFrame) -> DataFrame:
 def corpus_stats_row(df: DataFrame, *, text_col: str = "text",
                      id_col: str = "doc_id", lg_k: int = DEFAULT_LG_K,
                      kll_k: int = DEFAULT_KLL_K,
-                     mg_k: int = DEFAULT_MG_K) -> DataFrame:
+                     mg_k: int = DEFAULT_MG_K,
+                     group_by: Sequence[str] = ()) -> DataFrame:
     """ALL THREE mergeable sketches as one row over ``df`` (one
     increment/micro-batch): HLL distincts (:func:`corpus_sketch`), KLL
     length quantiles (:func:`length_sketch`), and Misra-Gries top
@@ -305,19 +319,39 @@ def corpus_stats_row(df: DataFrame, *, text_col: str = "text",
     (extra columns pass through groupBy untouched).
 
     One row per call — callers guard empty inputs (a global aggregate
-    over zero rows would yield a degenerate row, not zero rows)."""
-    c = corpus_sketch(df, text_col=text_col, id_col=id_col, lg_k=lg_k)
-    ln = length_sketch(df, text_col=text_col, k=kll_k).drop("n_docs")
+    over zero rows would yield a degenerate row, not zero rows).
+
+    ``group_by`` gives one row per group instead (per-source stats —
+    composition monitoring at sketch cost): the three families join on
+    the group keys; a group whose docs have no tokens still gets a row
+    (empty counter list)."""
+    keys = list(group_by)
+    c = corpus_sketch(df, text_col=text_col, id_col=id_col, lg_k=lg_k,
+                      group_by=keys)
+    ln = length_sketch(df, text_col=text_col, k=kll_k,
+                       group_by=keys).drop("n_docs")
     # n_items == n_tokens by construction, but merge_heavy_hitters
     # keys on the name, so it stays
-    hh = heavy_hitters_sketch(df, text_col=text_col, k=mg_k)
-    return c.crossJoin(ln).crossJoin(hh)
+    hh = heavy_hitters_sketch(df, text_col=text_col, k=mg_k,
+                              group_by=keys)
+    if not keys:
+        return c.crossJoin(ln).crossJoin(hh)
+    # all-empty-token groups have no exploded items → no hh row; the
+    # corpus/length groups are authoritative (built over every doc row)
+    out = c.join(ln, on=keys).join(hh, on=keys, how="left")
+    return out.select(
+        *keys, "n_docs", "n_tokens", "vocab_sketch", "content_sketch",
+        "len_sketch",
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("counters", _empty_counters()).alias("counters"),
+        F.coalesce("deficit", F.lit(0)).alias("deficit"))
 
 
 # -- drift report (two-window comparison) ------------------------------
 
 def drift_report(baseline: DataFrame, window: DataFrame,
-                 qs: Sequence[float] = (0.5, 0.9)) -> DataFrame:
+                 qs: Sequence[float] = (0.5, 0.9),
+                 group_by: Sequence[str] = ()) -> DataFrame:
     """ONE drift row comparing two windows of stats rows (e.g. the
     pinned window a training run consumed vs the latest batches) —
     computed ENTIRELY from the sketch rows, no corpus access: the
@@ -330,23 +364,56 @@ def drift_report(baseline: DataFrame, window: DataFrame,
     at each rank, 0.0 when base is 0), and ``top_token_jaccard``
     (heavy-hitter item-set overlap — composition churn; 1.0 when both
     sides report no items). Callers alert on thresholds; this reports
-    measurements only."""
+    measurements only.
+
+    ``group_by`` gives one drift row per group over GROUPED stats rows
+    (``corpus_stats_row(group_by=…)``) — per-source/per-domain drift,
+    still sketch-rows-only. The group join is FULL OUTER: a source
+    present in only one window reports against an empty other side
+    (``n_docs`` 0, ``vocab`` 0, empty item set; quantiles NULL and
+    their shifts 0.0 — absence is composition signal, not an error)."""
+    keys = list(group_by)
+
     def side(df: DataFrame, tag: str) -> DataFrame:
-        c = sketch_estimates(merge_corpus_sketches(df)).select(
+        c = sketch_estimates(
+            merge_corpus_sketches(df, group_by=keys)).select(
+            *keys,
             F.col("n_docs").alias(f"n_docs_{tag}"),
             F.when(F.col("n_docs") > 0,
                    F.col("est_duplicate_docs") / F.col("n_docs"))
             .otherwise(F.lit(0.0)).alias(f"dup_rate_{tag}"),
             F.col("vocab_estimate").alias(f"vocab_{tag}"))
-        ln = length_quantiles(merge_length_sketches(df), qs=qs)
+        ln = length_quantiles(
+            merge_length_sketches(df, group_by=keys), qs=qs)
         pcols = [c2 for c2 in ln.columns if c2.startswith("p")]
-        ln = ln.select(*[F.col(p).alias(f"{p}_{tag}") for p in pcols])
-        hh = merge_heavy_hitters(df).select(
+        ln = ln.select(*keys,
+                       *[F.col(p).alias(f"{p}_{tag}") for p in pcols])
+        hh = merge_heavy_hitters(df, group_by=keys).select(
+            *keys,
             F.transform("counters", lambda x: x["item"])
             .alias(f"items_{tag}"))
-        return c.crossJoin(ln).crossJoin(hh)
+        if not keys:
+            return c.crossJoin(ln).crossJoin(hh)
+        return c.join(ln, on=keys).join(hh, on=keys)
 
-    both = side(baseline, "base").crossJoin(side(window, "win"))
+    base_s, win_s = side(baseline, "base"), side(window, "win")
+    if keys:
+        both = base_s.join(win_s, on=keys, how="full_outer")
+        for tag in ("base", "win"):
+            both = (both
+                    .withColumn(f"n_docs_{tag}",
+                                F.coalesce(f"n_docs_{tag}", F.lit(0)))
+                    .withColumn(f"dup_rate_{tag}",
+                                F.coalesce(f"dup_rate_{tag}",
+                                           F.lit(0.0)))
+                    .withColumn(f"vocab_{tag}",
+                                F.coalesce(f"vocab_{tag}", F.lit(0)))
+                    .withColumn(f"items_{tag}",
+                                F.coalesce(f"items_{tag}",
+                                           F.array().cast(
+                                               "array<string>"))))
+    else:
+        both = base_s.crossJoin(win_s)
     out = both.withColumn(
         "vocab_ratio",
         F.when(F.col("vocab_base") > 0,

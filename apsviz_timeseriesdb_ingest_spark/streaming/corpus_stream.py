@@ -169,6 +169,7 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
                                  id_col: str = "doc_id",
                                  fence_writer: bool = True,
                                  stats_table: str | None = None,
+                                 stats_group_by: tuple = (),
                                  **lsh_kw):
     """Continuous near-dedup ingest: each micro-batch probes the
     PERSISTED MinHash-LSH index (``llm.incremental``), so cross-batch
@@ -195,6 +196,9 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
     (vocabulary growth, dup-rate, length and top-token drift) over any
     batch window by merging kilobyte rows, zero corpus rescans. Read it
     through ``committed_corpus(catalog, stats_table, index_table)``.
+    ``stats_group_by=("source",)`` writes one row per group per batch
+    instead — per-source composition monitoring, consumed by
+    ``llm.sketches.drift_report(group_by=…)``.
 
     ``fence_writer=True`` (default) acquires a
     :class:`~..sources.catalog.WriterLease` on the index at stream
@@ -216,7 +220,8 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
         apply_dedup_increment_txn(
             catalog, batch_df, batch_id, corpus_table=corpus_table,
             index_table=index_table, id_col=id_col, lease=lease,
-            stats_table=stats_table, **lsh_kw)
+            stats_table=stats_table, stats_group_by=stats_group_by,
+            **lsh_kw)
 
     docs = spark.readStream.schema(schema).parquet(input_dir)
     return (docs.writeStream
@@ -232,6 +237,7 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
                               id_col: str = "doc_id",
                               lease=None,
                               stats_table: str | None = None,
+                              stats_group_by: tuple = (),
                               **lsh_kw) -> None:
     """Apply one dedup-ingest micro-batch under the EXCLUSIVE
     COMMIT-LEDGER protocol — the plain-parquet closure of BOTH the
@@ -317,16 +323,19 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
         catalog.overwrite(stamped, index_table,
                           partition_by=["__batch", "__writer"])
     if stats_table is not None and not accepted.isEmpty():
-        # one mergeable sketch row per batch, committed ATOMICALLY with
-        # the batch's corpus/index partitions (same ledger row below) —
-        # read through committed_corpus(catalog, stats_table, index) and
-        # merge any window with the llm.sketches merge_* family: corpus
+        # one mergeable sketch row per batch (per stats_group_by group
+        # — e.g. per source, for the grouped drift_report), committed
+        # ATOMICALLY with the batch's corpus/index partitions (same
+        # ledger row below) — read through
+        # committed_corpus(catalog, stats_table, index) and merge any
+        # window with the llm.sketches merge_* family: corpus
         # monitoring with no rescans, and a crashed write's stats row
         # is invisible exactly like its data
         from ..llm.sketches import corpus_stats_row
 
         catalog.overwrite(
-            corpus_stats_row(accepted, id_col=id_col)
+            corpus_stats_row(accepted, id_col=id_col,
+                             group_by=list(stats_group_by))
             .withColumn("__batch", bid)
             .withColumn("__writer", F.lit(writer)),
             stats_table, partition_by=["__batch", "__writer"])

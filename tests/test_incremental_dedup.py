@@ -562,3 +562,51 @@ def test_txn_stats_rows_commit_with_batches(spark, catalog):
     assert stats.count() == 3
     assert sketch_estimates(merge_corpus_sketches(stats)) \
         .collect()[0].n_docs == n_docs + 1
+
+
+def test_txn_grouped_stats_rows(spark, catalog):
+    """stats_group_by=: one sketch row per SOURCE per committed batch
+    (still under the batch's ledger commit); the committed windows feed
+    drift_report(group_by=) — per-source composition monitoring with
+    zero corpus rescans."""
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        drift_report,
+        merge_corpus_sketches,
+        sketch_estimates,
+    )
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn,
+        committed_corpus,
+    )
+
+    schema = "doc_id long, text string, source string"
+    assert build_dedup_index(catalog, _docs(spark, BASE),
+                             stream_index=True, **LSH) == 3
+    b1 = spark.createDataFrame(
+        [(31, "web words one about corpora", "web"),
+         (32, "book words entirely different here", "books")], schema)
+    b2 = spark.createDataFrame(
+        [(41, "more web words drifting longer than before now", "web"),
+         (42, "yet more web filler text arriving", "web")], schema)
+    apply_dedup_increment_txn(catalog, b1, 1, stats_table="gstats",
+                              stats_group_by=("source",), **LSH)
+    apply_dedup_increment_txn(catalog, b2, 2, stats_table="gstats",
+                              stats_group_by=("source",), **LSH)
+
+    stats = committed_corpus(catalog, "gstats")
+    rows = {(r["__batch"], r.source): r["n_docs"]
+            for r in stats.collect()}
+    assert rows == {(1, "web"): 1, (1, "books"): 1, (2, "web"): 2}
+
+    # grouped merge over the committed window == per-source doc counts
+    est = sketch_estimates(merge_corpus_sketches(stats,
+                                                 group_by=["source"]))
+    assert {(r.source, r.n_docs) for r in est.collect()} == \
+        {("web", 3), ("books", 1)}
+
+    # per-source drift between the two batch windows: books vanished
+    rep = {r.source: r for r in drift_report(
+        stats.filter("__batch = 1"), stats.filter("__batch = 2"),
+        group_by=["source"]).collect()}
+    assert rep["books"].n_docs_win == 0
+    assert rep["web"].n_docs_base == 1 and rep["web"].n_docs_win == 2

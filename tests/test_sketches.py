@@ -253,3 +253,62 @@ def test_drift_report_two_windows(spark):
     assert same.p50_shift == 0.0 and same.p90_shift == 0.0
     assert same.top_token_jaccard == 1.0
     assert same.vocab_ratio == 1.0
+
+
+def test_grouped_stats_row_and_drift(spark):
+    """corpus_stats_row(group_by=) gives one mergeable row per source;
+    drift_report(group_by=) compares windows PER GROUP, full-outer on
+    the group keys so a source present in only one window reports
+    against an empty other side (r6 grouped-drift candidate)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        corpus_stats_row, drift_report, merge_corpus_sketches,
+        sketch_estimates)
+
+    base_rows = ([(i, f"alpha beta gamma doc{i}", "web")
+                  for i in range(40)]
+                 + [(100 + i, "one two three four", "books")
+                    for i in range(10)])
+    # window: web drifts longer + dup-floods; books vanishes; a NEW
+    # source (code) appears; plus a source whose docs have no tokens
+    win_rows = ([(200 + i, "alpha beta gamma delta epsilon zeta",
+                  "web") for i in range(20)]
+                + [(300 + i, "flood flood flood flood flood flood",
+                    "web") for i in range(20)]
+                + [(400 + i, f"def f{i}(): pass", "code")
+                   for i in range(5)]
+                + [(500, "", "empty"), (501, None, "empty")])
+    schema = "doc_id long, text string, source string"
+    base = corpus_stats_row(spark.createDataFrame(base_rows, schema),
+                            group_by=["source"])
+    win = corpus_stats_row(spark.createDataFrame(win_rows, schema),
+                           group_by=["source"])
+    assert base.count() == 2  # web, books
+    assert win.count() == 3   # web, code, empty (no-token group kept)
+
+    # grouped rows still merge per family (the stats-table contract)
+    est = sketch_estimates(merge_corpus_sketches(
+        base.unionByName(win), group_by=["source"]))
+    got = {r.source: r.n_docs for r in est.collect()}
+    assert got == {"web": 80, "books": 10, "code": 5, "empty": 2}
+
+    rep = {r.source: r for r in
+           drift_report(base, win, group_by=["source"]).collect()}
+    assert set(rep) == {"web", "books", "code", "empty"}
+    web = rep["web"]
+    assert web.n_docs_base == 40 and web.n_docs_win == 40
+    assert web.dup_rate_win > web.dup_rate_base  # flood shows up
+    assert web.p50_shift > 0.0                   # 3 -> 6 token docs
+    assert web.top_token_jaccard < 1.0
+    books = rep["books"]  # vanished source: empty window side
+    assert books.n_docs_base == 10 and books.n_docs_win == 0
+    assert books.vocab_win == 0 and books.top_token_jaccard == 0.0
+    code = rep["code"]    # new source: empty baseline side
+    assert code.n_docs_base == 0 and code.n_docs_win == 5
+    assert code.vocab_ratio is None  # no base to ratio against
+    empty = rep["empty"]  # tokenless group: zero-item set, no crash
+    assert empty.n_docs_win == 2 and empty.vocab_win == 0
+
+    # grouped self-comparison: zero drift in every group
+    same = drift_report(base, base, group_by=["source"]).collect()
+    for r in same:
+        assert r.p50_shift == 0.0 and r.top_token_jaccard == 1.0
