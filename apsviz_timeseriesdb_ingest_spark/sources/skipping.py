@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .bloomskip import build_bloom_skip, prune_files_bloom
-from .zonemap import build_zonemap, prune_files, read_pruned
+from .zonemap import (
+    build_zonemap,
+    prune_files,
+    prune_files_in,
+    prune_files_prefix,
+    read_pruned,
+)
 
 
 def zm_table(table: str) -> str:
@@ -127,15 +133,37 @@ def read_between(catalog, table: str, column: str, lo, hi) -> DataFrame:
 def read_equals(catalog, table: str, column: str,
                 values: Sequence) -> DataFrame:
     """``SELECT * FROM table WHERE column IN (values)`` with Bloom
-    file skipping when ``{table}__bloom`` exists (plain filtered read
-    otherwise). The real predicate is always applied."""
+    file skipping when ``{table}__bloom`` exists, zone-map point
+    skipping when only ``{table}__zm`` does (right when the column is
+    CLUSTERED — each point value intersects few file ranges), plain
+    filtered read otherwise. The real predicate is always applied."""
     path = catalog.path(table)
     vals = list(values)
     pred = F.col(column).isin(vals)
-    if not catalog.exists(bloom_table(table)):
+    if catalog.exists(bloom_table(table)):
+        keep = prune_files_bloom(catalog.read(bloom_table(table)),
+                                 column, vals, path=path)
+    elif catalog.exists(zm_table(table)):
+        keep = prune_files_in(catalog.read(zm_table(table)), column,
+                              vals, path=path)
+    else:
         return catalog.read(table).filter(pred)
-    keep = prune_files_bloom(catalog.read(bloom_table(table)), column,
-                             vals, path=path)
+    return read_pruned(catalog.spark, path, keep).filter(pred)
+
+
+def read_prefix(catalog, table: str, column: str,
+                prefix: str) -> DataFrame:
+    """``SELECT * FROM table WHERE column LIKE 'prefix%'`` with
+    zone-map file skipping when ``{table}__zm`` exists — a prefix is
+    the half-open range ``[prefix, prefix_upper_bound)``, so it prunes
+    exactly like a BETWEEN on a clustered string column. The real
+    predicate is always applied."""
+    path = catalog.path(table)
+    pred = F.col(column).startswith(prefix)
+    if not catalog.exists(zm_table(table)):
+        return catalog.read(table).filter(pred)
+    keep = prune_files_prefix(catalog.read(zm_table(table)), column,
+                              prefix, path=path)
     return read_pruned(catalog.spark, path, keep).filter(pred)
 
 

@@ -196,6 +196,29 @@ def _build_stats(catalog, path: str, columns: Iterable[str], *,
     return len(on_disk)
 
 
+def _prune_by(zonemap: DataFrame, column: str, path: str | None,
+              may_match) -> list[str]:
+    """Shared prune driver: keep files without usable stats (and, with
+    ``path``, files on disk but absent from a STALE stats table — a
+    stale zone map must degrade to reading more, never to dropping
+    unseen data; stats rows for files no longer on disk are dropped),
+    plus every file where ``may_match(dtype, min_val, max_val)`` is
+    True. Driver-side arithmetic over the stats frame."""
+    rows = (zonemap.filter(F.col("column") == column)
+            .select("file", "dtype", "min_val", "max_val", "has_stats")
+            .collect())
+    on_disk = set(list_parquet_files(path)) if path is not None else None
+    covered = {r.file for r in rows}
+    keep = ([f for f in on_disk if f not in covered]
+            if on_disk is not None else [])
+    for r in rows:
+        if on_disk is not None and r.file not in on_disk:
+            continue
+        if not r.has_stats or may_match(r.dtype, r.min_val, r.max_val):
+            keep.append(r.file)
+    return sorted(keep)
+
+
 def prune_files(zonemap: DataFrame, column: str, lo=None, hi=None, *,
                 path: str | None = None) -> list[str]:
     """Files whose ``[min, max]`` for ``column`` can intersect
@@ -210,27 +233,71 @@ def prune_files(zonemap: DataFrame, column: str, lo=None, hi=None, *,
     must degrade to reading more, never to dropping unseen data — and
     stats rows for files no longer on disk are dropped (compaction
     replaced them; keeping them would make the read fail)."""
-    rows = (zonemap.filter(F.col("column") == column)
-            .select("file", "dtype", "min_val", "max_val", "has_stats")
-            .collect())
     lo_r, hi_r = _render(lo), _render(hi)
-    on_disk = set(list_parquet_files(path)) if path is not None else None
-    covered = {r.file for r in rows}
-    keep = ([f for f in on_disk if f not in covered]
-            if on_disk is not None else [])
-    for r in rows:
-        if on_disk is not None and r.file not in on_disk:
-            continue
-        if not r.has_stats:
-            keep.append(r.file)
-            continue
-        p = lambda s: _parse(r.dtype, s)  # noqa: E731
-        if lo_r is not None and p(r.max_val) < p(lo_r):
-            continue
-        if hi_r is not None and p(r.min_val) > p(hi_r):
-            continue
-        keep.append(r.file)
-    return sorted(keep)
+
+    def may_match(dtype, mn, mx):
+        p = lambda s: _parse(dtype, s)  # noqa: E731
+        if lo_r is not None and p(mx) < p(lo_r):
+            return False
+        if hi_r is not None and p(mn) > p(hi_r):
+            return False
+        return True
+
+    return _prune_by(zonemap, column, path, may_match)
+
+
+def prune_files_in(zonemap: DataFrame, column: str, values, *,
+                   path: str | None = None) -> list[str]:
+    """Files whose ``[min, max]`` can contain ANY of ``values`` — the
+    IN-list probe on a CLUSTERED column, where each point value
+    intersects at most a few files' ranges (on an unclustered
+    high-cardinality column every file spans the domain and the Bloom
+    index is the right tool — ``bloomskip``). Same staleness contract
+    as :func:`prune_files`. NULL values never match (parquet min/max
+    exclude nulls, matching Spark's ``isin`` semantics)."""
+    rendered = [_render(v) for v in values]
+    rendered = [v for v in rendered if v is not None]
+
+    def may_match(dtype, mn, mx):
+        p = lambda s: _parse(dtype, s)  # noqa: E731
+        lo, hi = p(mn), p(mx)
+        return any(lo <= p(v) <= hi for v in rendered)
+
+    return _prune_by(zonemap, column, path, may_match)
+
+
+def prefix_upper_bound(prefix: str) -> str | None:
+    """The smallest string greater than every string with ``prefix``:
+    increment the rightmost incrementable character and truncate
+    (``"ab"`` → ``"ac"``). None when no such bound exists (all
+    characters at the maximum code point — match everything)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        if ord(prefix[i]) < 0x10FFFF:
+            return prefix[:i] + chr(ord(prefix[i]) + 1)
+    return None
+
+
+def prune_files_prefix(zonemap: DataFrame, column: str, prefix: str, *,
+                       path: str | None = None) -> list[str]:
+    """Files that may contain a STRING starting with ``prefix``
+    (``LIKE 'abc%'``): a string starts with ``prefix`` iff
+    ``prefix <= s < prefix_upper_bound(prefix)``, so the probe is the
+    half-open interval intersection against each file's [min, max] —
+    range-convertible exactly like a BETWEEN. Same staleness contract
+    as :func:`prune_files`. String columns only (the rendered stats of
+    other types do not compare meaningfully against a raw prefix)."""
+    upper = prefix_upper_bound(prefix)
+
+    def may_match(dtype, mn, mx):
+        if not (dtype.startswith("string") or dtype.startswith("byte")):
+            return True  # not a string column: never prune on a prefix
+        if mx < prefix:  # every value < prefix → none can carry it
+            return False
+        if upper is not None and mn >= upper:
+            return False
+        return True
+
+    return _prune_by(zonemap, column, path, may_match)
 
 
 def read_pruned(spark: SparkSession, path: str, files: list[str]) -> DataFrame:

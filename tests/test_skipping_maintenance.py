@@ -167,3 +167,31 @@ def test_zero_row_sidecar_is_skipped_not_crashed(spark, catalog):
     catalog.append(spark.range(5).select(F.col("id").alias("k")), "t")
     # stats stayed empty; reads degrade to keeping uncovered files
     assert read_between(catalog, "t", "k", 0, 4).count() == 5
+
+
+def test_read_equals_zonemap_fallback(spark, catalog):
+    """With only a zone map (no Bloom sidecar), read_equals prunes by
+    point-interval intersection on the clustered column — and read_prefix
+    serves LIKE 'p%' from the same stats."""
+    from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+        read_prefix)
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        prune_files_in)
+
+    names = [f"{c}{i:03d}" for c in "abcd" for i in range(100)]
+    df = spark.createDataFrame(
+        [(i, names[i]) for i in range(len(names))],
+        "k long, name string")
+    catalog.overwrite(df.repartitionByRange(8, "k"), "t",
+                      refresh_skipping=False)
+    build_skipping(catalog, "t", range_cols=["k", "name"])
+
+    zm = catalog.read(zm_table("t"))
+    keep = prune_files_in(zm, "k", [7, 307], path=catalog.path("t"))
+    assert len(keep) == 2
+    got = sorted(r.k for r in
+                 read_equals(catalog, "t", "k", [7, 307]).collect())
+    assert got == [7, 307]
+
+    got = read_prefix(catalog, "t", "name", "b0").count()
+    assert got == sum(1 for n in names if n.startswith("b0")) > 0

@@ -198,3 +198,54 @@ def test_zonemap_aggregates_metadata_only(spark, tmp_path):
     # without path= the (possibly stale) covered-set answer is returned
     assert zonemap_aggregates(zm, "k") == agg_k
     zm.unpersist()
+
+
+def test_prune_files_in_point_values(spark, tmp_path):
+    """IN-list probe on a CLUSTERED column: each point value keeps only
+    the files whose range contains it; results equal the plain isin."""
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        collect_zonemap, prune_files_in)
+
+    path = str(tmp_path / "clustered")
+    (spark.range(1000).select(F.col("id").alias("k"))
+     .repartitionByRange(10, "k").write.parquet(path))
+    zm = collect_zonemap(spark, path, ["k"])
+    keep = prune_files_in(zm, "k", [5, 505], path=path)
+    assert len(keep) == 2  # one owning file per value
+    got = sorted(r.k for r in read_pruned(spark, path, keep)
+                 .filter(F.col("k").isin([5, 505])).collect())
+    assert got == [5, 505]
+    # NULL values never match; absent values keep nothing
+    assert prune_files_in(zm, "k", [None], path=path) == []
+    assert prune_files_in(zm, "k", [10_000], path=path) == []
+
+
+def test_prune_files_prefix(spark, tmp_path):
+    """LIKE 'prefix%' is the half-open range [prefix, upper): prunes on
+    a clustered string column, result-equal to the plain startswith."""
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        collect_zonemap, prefix_upper_bound, prune_files_prefix)
+
+    assert prefix_upper_bound("ab") == "ac"
+    assert prefix_upper_bound("a" + chr(0x10FFFF)) == "b"
+    assert prefix_upper_bound(chr(0x10FFFF)) is None
+
+    path = str(tmp_path / "names")
+    names = [f"{c}{i:03d}" for c in "abcdefgh" for i in range(50)]
+    (spark.createDataFrame([(n,) for n in names], "name string")
+     .repartitionByRange(8, "name").write.parquet(path))
+    zm = collect_zonemap(spark, path, ["name"])
+    keep = prune_files_prefix(zm, "name", "c0", path=path)
+    assert 0 < len(keep) < 8
+    got = (read_pruned(spark, path, keep)
+           .filter(F.col("name").startswith("c0")).count())
+    expect = sum(1 for n in names if n.startswith("c0"))
+    assert got == expect > 0
+    # a prefix past every range keeps nothing
+    assert prune_files_prefix(zm, "name", "zzz", path=path) == []
+    # non-string columns are never pruned on a prefix (conservative)
+    ipath = str(tmp_path / "ints")
+    spark.range(100).select(F.col("id").alias("k")) \
+        .coalesce(2).write.parquet(ipath)
+    zmi = collect_zonemap(spark, ipath, ["k"])
+    assert len(prune_files_prefix(zmi, "k", "9", path=ipath)) == 2
