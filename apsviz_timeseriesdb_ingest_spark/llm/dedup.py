@@ -625,12 +625,55 @@ def _star_components(edges: DataFrame, max_iters: int,
             .distinct())
 
 
+#: "auto" runs connected components driver-side below this many
+#: (undirected) edges: a graph this small is bounded driver state by
+#: construction, and union-find costs milliseconds where every
+#: distributed round costs seconds of job overhead
+LOCAL_CC_MAX_EDGES = 200_000
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a SMALL edge frame (``a``/``b``
+    columns; the caller gates size). Representative = smallest node in
+    the component — identical output to the distributed algorithms.
+    The one deliberate driver-side loop in the dedup family: below
+    :data:`LOCAL_CC_MAX_EDGES` the edge list is planning-metadata-sized,
+    and collapsing O(rounds) Spark jobs to one collect is exactly the
+    hybrid every production CC takes for tiny residual graphs."""
+    rows = edges.select("a", "b").collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {n for r in rows for n in r}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    from pyspark.sql.types import StructField, StructType
+
+    dt = edges.schema["a"].dataType
+    schema = StructType([StructField("node", dt),
+                         StructField("label", dt)])
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
                      algorithm: str = "star",
                      checkpoint_catalog=None,
                      checkpoint_prefix: str = "neardup_cc",
                      checkpoint_every: int = 1,
-                     resume: bool = False) -> DataFrame:
+                     resume: bool = False,
+                     local_max_edges: int = LOCAL_CC_MAX_EDGES
+                     ) -> DataFrame:
     """Connected components over near-duplicate pairs: (node, cluster_id)
     where cluster_id = the smallest doc id in the component.
 
@@ -640,6 +683,14 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
     ``algorithm="label"``: min-label propagation — O(diameter) rounds,
     marginally fewer shuffles per round; fine for the dense near-clique
     components LSH buckets produce (typically 2-3 rounds).
+    ``algorithm="local"``: driver-side union-find — for residual graphs
+    the caller KNOWS are small (every distributed round costs seconds
+    of job overhead; a 400-edge graph costs milliseconds locally).
+    ``algorithm="auto"``: count the materialized edges once, run local
+    union-find at or below ``local_max_edges``, star above — the
+    production hybrid (the LSH/SemDeDup pair stages already bound pair
+    counts, so the residual graph is usually tiny at ANY corpus size).
+    All four produce identical labels (tested).
 
     Both are broadcast-free equi-join + groupBy rounds — no driver-side
     graph; lineage is cut per round so plans stay flat. This is an
@@ -672,8 +723,13 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
 
     cut = LineageCutter(checkpoint_catalog, checkpoint_prefix,
                         checkpoint_every)
-    if algorithm not in ("star", "label"):
+    if algorithm not in ("star", "label", "local", "auto"):
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    if resume and algorithm in ("local", "auto"):
+        raise ValueError(
+            f"resume=True needs a deterministic distributed algorithm "
+            f"('star' or 'label'); {algorithm!r} has no round state to "
+            "resume (local union-find is one shot)")
     state_name = "work" if algorithm == "star" else "labels"
     progress_table = f"{checkpoint_prefix}_progress"
     spark = pairs.sparkSession
@@ -718,6 +774,16 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
                                           F.col("doc_a").alias("b")))
                 .filter(F.col("a") != F.col("b"))
                 .distinct(), "edges")
+    if algorithm == "auto":
+        # the edge frame is materialized (cut), so the count is one
+        # cheap job over the checkpoint, not a recompute of the pair
+        # join; symmetric edges → 2x the undirected count
+        algorithm = ("local" if edges.count() <= 2 * local_max_edges
+                     else "star")
+    if algorithm == "local":
+        labels = _local_components(edges)
+        return labels.select(F.col("node").alias("doc_id"),
+                             F.col("label").alias("cluster_id"))
     if algorithm == "star":
         labels = _star_components(edges, max_iters, cut,
                                   progress_cb=progress_cb)
@@ -738,11 +804,12 @@ def dedup_keep_representative(df: DataFrame, pairs: DataFrame, *,
     pairs) so the filtering join broadcasts at any corpus scale.
 
     ``cc_algorithm`` forwards to :func:`neardup_clusters` — "star"
-    (default, O(log n) rounds at any component diameter) or "label"
-    (O(diameter) rounds, fewer jobs per round; measured ~2x faster on
-    the small-diameter components similarity thresholds produce, with
-    identical output — the right pick when the caller KNOWS its pair
-    graph is near-clique-shaped)."""
+    (default, O(log n) rounds at any component diameter), "label"
+    (O(diameter) rounds, fewer jobs per round — right for near-clique
+    graphs), "local" (driver union-find for graphs the caller KNOWS
+    are small), or "auto" (size-gated local-vs-star — right when the
+    pair stage bounds the residual graph, e.g. SemDeDup). All
+    identical output (tested)."""
     clusters = neardup_clusters(pairs, algorithm=cc_algorithm)
     losers = (clusters.filter(F.col("cluster_id") != F.col("doc_id"))
               .select(F.col("doc_id").alias(id_col)))

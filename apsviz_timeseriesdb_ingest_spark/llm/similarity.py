@@ -675,12 +675,14 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
     )
     from .dedup import dedup_keep_representative
 
-    # within-cell cosine-threshold components are near-cliques (every
-    # member is >= threshold-close to the pivot chain inside ONE cell),
-    # so min-label CC converges in 2-3 rounds — measured ~2x faster
-    # than star here, outputs identical (test_llm_ops)
+    # SemDeDup's pair stage bounds the residual graph (per-cell joins,
+    # max_cell_size cap), so at ANY corpus size the edge count is small
+    # relative to the corpus: "auto" runs driver-side union-find below
+    # the LOCAL_CC_MAX_EDGES gate (milliseconds vs seconds-per-round of
+    # distributed job overhead — the sf0.1 graph is ~400 edges) and
+    # falls back to star CC above it; outputs identical (test_llm_ops)
     return dedup_keep_representative(vectors, pairs, id_col=id_col,
-                                     cc_algorithm="label")
+                                     cc_algorithm="auto")
 
 
 def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",

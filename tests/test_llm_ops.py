@@ -171,6 +171,33 @@ def test_star_cc_matches_label_prop(spark):
         lab = sorted(map(tuple, neardup_clusters(
             df, algorithm="label", max_iters=100).collect()))
         assert star == lab, name
+        # the driver-side union-find fast path: identical labels
+        loc = sorted(map(tuple, neardup_clusters(
+            df, algorithm="local").collect()))
+        assert star == loc, name
+
+
+def test_auto_cc_gates_local_vs_star(spark):
+    """algorithm="auto": union-find at or below local_max_edges,
+    star above — identical labels either way; resume is refused for
+    one-shot algorithms."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.dedup import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "doc_a long, doc_b long")
+    small = sorted(map(tuple, neardup_clusters(
+        chain, algorithm="auto").collect()))
+    # forced over the gate: the distributed star path must agree
+    big = sorted(map(tuple, neardup_clusters(
+        chain, algorithm="auto", local_max_edges=10).collect()))
+    assert small == big
+    assert all(cid == 1 for _n, cid in small)
+    with pytest.raises(ValueError, match="resume"):
+        neardup_clusters(chain, algorithm="auto", resume=True)
+    with pytest.raises(ValueError, match="resume"):
+        neardup_clusters(chain, algorithm="local", resume=True)
 
 
 def test_star_cc_logarithmic_rounds(spark):
