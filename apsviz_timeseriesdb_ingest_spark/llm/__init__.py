@@ -158,6 +158,7 @@ from .sketches import (  # noqa: F401
     corpus_sketch,
     corpus_stats_row,
     drift_report,
+    flag_drift,
     heavy_hitters_estimates,
     heavy_hitters_sketch,
     length_quantiles,

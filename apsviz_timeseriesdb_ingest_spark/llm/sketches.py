@@ -432,3 +432,52 @@ def drift_report(baseline: DataFrame, window: DataFrame,
         "top_token_jaccard",
         F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
     return out.drop("items_base", "items_win")
+
+
+#: default alert rules for :func:`flag_drift` — conservative starting
+#: thresholds a deployment tunes per corpus
+DEFAULT_DRIFT_RULES = {
+    "dup_rate_win": (">", 0.2),        # window dup-flood
+    "vocab_ratio": ("outside", (0.5, 2.0)),  # vocabulary collapse/blowup
+    "p50_shift": ("abs>", 0.5),        # median length moved >50%
+    "top_token_jaccard": ("<", 0.3),   # token mix mostly replaced
+}
+
+
+def flag_drift(report: DataFrame, rules: dict | None = None) -> DataFrame:
+    """Evaluate alert rules over :func:`drift_report` rows (global or
+    grouped): adds one boolean ``flag_<metric>`` column per rule plus
+    ``any_alert``. ``drift_report`` stays measurement-only by design;
+    this is the separate, threshold-owning consumer that closes the
+    monitoring loop — alerting logic is a column expression, so it
+    runs wherever the report does (batch, or per micro-batch on the
+    streaming stats table).
+
+    Rule forms (NULL metrics never alert — e.g. ``vocab_ratio`` with
+    no baseline): ``(">", x)``, ``("<", x)``, ``("abs>", x)`` for
+    symmetric relative shifts, ``("outside", (lo, hi))`` for a band.
+    """
+    rules = DEFAULT_DRIFT_RULES if rules is None else rules
+    out = report
+    flags = []
+    for metric, (op, arg) in rules.items():
+        c = F.col(metric)
+        if op == ">":
+            expr = c > F.lit(arg)
+        elif op == "<":
+            expr = c < F.lit(arg)
+        elif op == "abs>":
+            expr = F.abs(c) > F.lit(arg)
+        elif op == "outside":
+            lo, hi = arg
+            expr = (c < F.lit(lo)) | (c > F.lit(hi))
+        else:
+            raise ValueError(f"unknown drift rule op {op!r} "
+                             f"for {metric!r}")
+        name = f"flag_{metric}"
+        out = out.withColumn(name, F.coalesce(expr, F.lit(False)))
+        flags.append(name)
+    any_alert = F.lit(False)
+    for name in flags:
+        any_alert = any_alert | F.col(name)
+    return out.withColumn("any_alert", any_alert)

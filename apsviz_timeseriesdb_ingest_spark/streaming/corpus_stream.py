@@ -170,6 +170,10 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
                                  fence_writer: bool = True,
                                  stats_table: str | None = None,
                                  stats_group_by: tuple = (),
+                                 alerts_table: str | None = None,
+                                 drift_baseline_batches: int = 5,
+                                 drift_rules: dict | None = None,
+                                 refresh_skipping_every: int = 1,
                                  **lsh_kw):
     """Continuous near-dedup ingest: each micro-batch probes the
     PERSISTED MinHash-LSH index (``llm.incremental``), so cross-batch
@@ -198,7 +202,13 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
     through ``committed_corpus(catalog, stats_table, index_table)``.
     ``stats_group_by=("source",)`` writes one row per group per batch
     instead — per-source composition monitoring, consumed by
-    ``llm.sketches.drift_report(group_by=…)``.
+    ``llm.sketches.drift_report(group_by=…)``. ``alerts_table=``
+    closes the monitoring loop IN the stream: each batch's stats are
+    diffed against the trailing ``drift_baseline_batches`` committed
+    batches (sketch rows only) and evaluated with
+    ``flag_drift(drift_rules)``; the flagged row lands in the batch's
+    partition under the same ledger commit — alerts are exactly-once
+    with the data they describe.
 
     ``fence_writer=True`` (default) acquires a
     :class:`~..sources.catalog.WriterLease` on the index at stream
@@ -216,12 +226,19 @@ def run_incremental_dedup_stream(spark, input_dir: str, catalog, *,
     lease = (WriterLease(catalog, index_table).acquire(spark)
              if fence_writer else None)
 
+    every = int(refresh_skipping_every)
+
     def _apply(batch_df, batch_id):
         apply_dedup_increment_txn(
             catalog, batch_df, batch_id, corpus_table=corpus_table,
             index_table=index_table, id_col=id_col, lease=lease,
             stats_table=stats_table, stats_group_by=stats_group_by,
-            **lsh_kw)
+            alerts_table=alerts_table,
+            drift_baseline_batches=drift_baseline_batches,
+            drift_rules=drift_rules,
+            refresh_skipping=(every == 1), **lsh_kw)
+        if every > 1 and batch_id % every == 0:
+            catalog.refresh_skipping(corpus_table)
 
     docs = spark.readStream.schema(schema).parquet(input_dir)
     return (docs.writeStream
@@ -238,6 +255,10 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
                               lease=None,
                               stats_table: str | None = None,
                               stats_group_by: tuple = (),
+                              alerts_table: str | None = None,
+                              drift_baseline_batches: int = 5,
+                              drift_rules: dict | None = None,
+                              refresh_skipping: bool = True,
                               **lsh_kw) -> None:
     """Apply one dedup-ingest micro-batch under the EXCLUSIVE
     COMMIT-LEDGER protocol — the plain-parquet closure of BOTH the
@@ -294,6 +315,12 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
 
     from ..llm.incremental import commits_table, plan_increment
 
+    if alerts_table is not None and stats_table is None:
+        raise ValueError("alerts_table requires stats_table — the "
+                         "drift comparison reads the committed stats "
+                         "rows as its baseline")
+    if int(drift_baseline_batches) < 1:
+        raise ValueError("drift_baseline_batches must be >= 1")
     if batch_df.isEmpty():
         return
     commits = commits_table(index_table)
@@ -316,12 +343,14 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
         catalog.overwrite(
             accepted.withColumn("__batch", bid)
             .withColumn("__writer", F.lit(writer)),
-            corpus_table, partition_by=["__batch", "__writer"])
+            corpus_table, partition_by=["__batch", "__writer"],
+            refresh_skipping=refresh_skipping)
     stamped = (accepted_buckets.withColumn("__batch", bid)
                .withColumn("__writer", F.lit(writer)))
     if not stamped.isEmpty():
         catalog.overwrite(stamped, index_table,
-                          partition_by=["__batch", "__writer"])
+                          partition_by=["__batch", "__writer"],
+                          refresh_skipping=refresh_skipping)
     if stats_table is not None and not accepted.isEmpty():
         # one mergeable sketch row per batch (per stats_group_by group
         # — e.g. per source, for the grouped drift_report), committed
@@ -333,12 +362,39 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
         # is invisible exactly like its data
         from ..llm.sketches import corpus_stats_row
 
+        stats = corpus_stats_row(accepted, id_col=id_col,
+                                 group_by=list(stats_group_by))
         catalog.overwrite(
-            corpus_stats_row(accepted, id_col=id_col,
-                             group_by=list(stats_group_by))
-            .withColumn("__batch", bid)
+            stats.withColumn("__batch", bid)
             .withColumn("__writer", F.lit(writer)),
             stats_table, partition_by=["__batch", "__writer"])
+        if alerts_table is not None:
+            # drift of THIS batch vs the trailing committed window (the
+            # last drift_baseline_batches committed batches' stats
+            # rows), evaluated with flag_drift and landed in the
+            # batch's own (__batch, __writer) partition — the alert row
+            # commits ATOMICALLY with the data it describes (same
+            # ledger row below) and the whole computation touches
+            # sketch rows only, never the corpus. The first batch has
+            # no committed baseline and writes no alert row.
+            from ..llm.sketches import drift_report, flag_drift
+
+            base_ids = sorted(b for b, _w in
+                              catalog.committed_batches(commits)
+                              )[-int(drift_baseline_batches):]
+            baseline = (committed_corpus(catalog, stats_table,
+                                         index_table)
+                        .filter(F.col("__batch").isin(base_ids))
+                        .drop("__batch", "__writer"))
+            if base_ids and not baseline.isEmpty():
+                flagged = flag_drift(
+                    drift_report(baseline, stats,
+                                 group_by=list(stats_group_by)),
+                    drift_rules)
+                catalog.overwrite(
+                    flagged.withColumn("__batch", bid)
+                    .withColumn("__writer", F.lit(writer)),
+                    alerts_table, partition_by=["__batch", "__writer"])
     catalog.commit_batch(commits, int(batch_id), writer)
 
 

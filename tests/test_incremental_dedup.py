@@ -118,13 +118,15 @@ class _CrashingCatalog:
     def __getattr__(self, name):
         return getattr(self._real, name)
 
-    def overwrite(self, df, table, *, partition_by=()):
+    def overwrite(self, df, table, *, partition_by=(), **kw):
         if self._mode == "partial_index" and "__batch" in df.columns \
                 and "band" in df.columns:
             half = df.filter(F.col("band") < 2)
-            self._real.overwrite(half, table, partition_by=partition_by)
+            self._real.overwrite(half, table, partition_by=partition_by,
+                                 **kw)
             raise RuntimeError("simulated crash mid index write")
-        return self._real.overwrite(df, table, partition_by=partition_by)
+        return self._real.overwrite(df, table, partition_by=partition_by,
+                                    **kw)
 
     def commit_batch(self, ledger, batch_id, writer="-"):
         if self._mode == "before_commit":
@@ -610,3 +612,76 @@ def test_txn_grouped_stats_rows(spark, catalog):
         group_by=["source"]).collect()}
     assert rep["books"].n_docs_win == 0
     assert rep["web"].n_docs_base == 1 and rep["web"].n_docs_win == 2
+
+
+def test_txn_drift_alerts_commit_with_batches(spark, catalog):
+    """alerts_table=: each batch's stats are diffed against the
+    trailing committed baseline window and flag_drift lands in the
+    batch's own partition under the SAME ledger commit — exactly-once
+    alerts, sketch rows only; the first batch (no committed baseline)
+    writes no alert row."""
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn,
+        committed_corpus,
+    )
+
+    assert build_dedup_index(catalog, _docs(spark, BASE),
+                             stream_index=True, **LSH) == 3
+    calm = [(100 + i, f"steady words about topic {i} run") for i in
+            range(6)]
+    flood = [(200 + i, "flood flood flood flood flood flood flood")
+             for i in range(20)]
+    kw = dict(stats_table="stats", alerts_table="alerts",
+              drift_baseline_batches=5, **LSH)
+    apply_dedup_increment_txn(catalog, _docs(spark, calm), 1, **kw)
+    # batch 1 had no committed baseline: no alert row
+    assert not catalog.exists("alerts") or \
+        committed_corpus(catalog, "alerts").count() == 0
+    apply_dedup_increment_txn(catalog, _docs(spark, flood), 2, **kw)
+    alerts = committed_corpus(catalog, "alerts")
+    rows = alerts.collect()
+    assert [r["__batch"] for r in rows] == [2]
+    # the near-dup stage already collapsed the flood to one accepted
+    # doc (so no dup-rate alert — the stream PREVENTED the dups); the
+    # replaced token mix is what survives to fire
+    assert rows[0].flag_top_token_jaccard and rows[0].any_alert
+
+    # replay of a committed batch is a no-op (no duplicate alert rows)
+    apply_dedup_increment_txn(catalog, _docs(spark, flood), 2, **kw)
+    assert committed_corpus(catalog, "alerts").count() == 1
+
+
+def test_txn_refresh_skipping_policy(spark, catalog):
+    """refresh_skipping=False in the txn defers sidecar maintenance
+    (stale = read-safe, skips less); an explicit
+    catalog.refresh_skipping catches the index up — the every-N-batches
+    policy run_incremental_dedup_stream(refresh_skipping_every=N)
+    implements."""
+    from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+        build_skipping, read_between, zm_table)
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        list_parquet_files)
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn)
+
+    assert build_dedup_index(catalog, _docs(spark, BASE),
+                             stream_index=True, **LSH) == 3
+    apply_dedup_increment_txn(
+        catalog, _docs(spark, [(51, "first deferred batch body")]), 1,
+        refresh_skipping=False, **LSH)
+    build_skipping(catalog, "stream_corpus", range_cols=["doc_id"])
+    covered = {r.file for r in catalog.read(zm_table("stream_corpus"))
+               .select("file").collect()}
+    apply_dedup_increment_txn(
+        catalog, _docs(spark, [(52, "second deferred batch body")]), 2,
+        refresh_skipping=False, **LSH)
+    now = {r.file for r in catalog.read(zm_table("stream_corpus"))
+           .select("file").collect()}
+    assert now == covered  # deferred: stats untouched by batch 2
+    # reads stay correct against the stale index
+    assert read_between(catalog, "stream_corpus", "doc_id",
+                        52, 52).count() == 1
+    catalog.refresh_skipping("stream_corpus")  # the every-N catch-up
+    assert {r.file for r in catalog.read(zm_table("stream_corpus"))
+            .select("file").collect()} == \
+        set(list_parquet_files(catalog.path("stream_corpus")))

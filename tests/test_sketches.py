@@ -312,3 +312,43 @@ def test_grouped_stats_row_and_drift(spark):
     same = drift_report(base, base, group_by=["source"]).collect()
     for r in same:
         assert r.p50_shift == 0.0 and r.top_token_jaccard == 1.0
+
+
+def test_flag_drift_rules(spark):
+    """flag_drift evaluates threshold rules over drift rows (global or
+    grouped): one boolean per rule + any_alert; NULL metrics never
+    alert; unknown ops refused."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        corpus_stats_row, drift_report, flag_drift)
+
+    base_rows = [(i, f"alpha beta gamma doc{i}", "web")
+                 for i in range(40)]
+    win_rows = ([(200 + i, "flood flood flood flood flood flood flood "
+                           "flood", "web") for i in range(40)]
+                + [(300 + i, f"steady tokens here doc{i}", "books")
+                   for i in range(10)])
+    schema = "doc_id long, text string, source string"
+    base = corpus_stats_row(spark.createDataFrame(base_rows, schema),
+                            group_by=["source"])
+    win = corpus_stats_row(spark.createDataFrame(win_rows, schema),
+                           group_by=["source"])
+    rep = drift_report(base, win, group_by=["source"])
+    flagged = {r.source: r for r in flag_drift(rep).collect()}
+    web = flagged["web"]  # dup flood + replaced token mix
+    assert web.flag_dup_rate_win and web.flag_top_token_jaccard
+    assert web.any_alert
+    books = flagged["books"]  # new source: vocab_ratio NULL -> no alert
+    assert not books.flag_vocab_ratio
+
+    # identical windows under default rules: no alerts anywhere
+    calm = flag_drift(drift_report(base, base, group_by=["source"]))
+    assert [r.any_alert for r in calm.collect()] == [False]
+
+    # custom rule set + unknown op refusal
+    custom = flag_drift(rep, {"p50_shift": ("abs>", 0.1)}).collect()
+    assert all(set(r.asDict()) >= {"flag_p50_shift", "any_alert"}
+               for r in custom)
+    with pytest.raises(ValueError, match="unknown drift rule"):
+        flag_drift(rep, {"p50_shift": ("~=", 1)}).collect()
