@@ -364,6 +364,24 @@ class Catalog:
                 "spark.sql.sources.partitionOverwriteMode", prev)
         self.refresh_skipping(table)
 
+    def optimize(self, table: str, *, ledger: str | None = None,
+                 partitions: int | None = None) -> dict:
+        """One-verb table maintenance (the ``OPTIMIZE`` role on plain
+        parquet): vacuum uncommitted/orphan partitions (when the table
+        is stream-owned — pass its commit ``ledger``), compact small
+        files preserving the on-disk partition layout, and bring the
+        skipping sidecars current (the compact hook). Returns a summary
+        ``{vacuumed_partitions, files_before, files_after}``."""
+        from .zonemap import list_parquet_files
+
+        dropped = (self.vacuum_uncommitted(table, ledger)
+                   if ledger is not None else [])
+        before = len(list_parquet_files(self.path(table)))
+        self.compact(table, partitions=partitions)
+        after = len(list_parquet_files(self.path(table)))
+        return {"vacuumed_partitions": len(dropped),
+                "files_before": before, "files_after": after}
+
     def save_bucketed(self, df: DataFrame, table: str, *, bucket_by: Sequence[str],
                       num_buckets: int = 32, sort_by: Sequence[str] = ()) -> None:
         """Write as a bucketed (+optionally sorted) session-catalog table.
@@ -476,6 +494,21 @@ class Catalog:
             rows = [r for r in rows if r[0] <= int(as_of)]
         return self.spark.createDataFrame(
             rows, "__batch long, __writer string")
+
+    def read_committed(self, table: str,
+                       index_table: str = "minhash_index",
+                       as_of_batch: int | None = None) -> DataFrame:
+        """The read-committed view of a stream-owned table: uncommitted
+        and orphan ``(__batch, __writer)`` partitions are invisible;
+        ``as_of_batch=N`` is the snapshot read. Sugar over
+        ``streaming.corpus_stream.committed_corpus`` so non-stream
+        callers need no streaming import; for predicate reads that
+        should ALSO skip files, use
+        ``sources.skipping.read_committed_between/_equals``."""
+        from ..streaming.corpus_stream import committed_corpus
+
+        return committed_corpus(self, table, index_table,
+                                as_of_batch=as_of_batch)
 
     def vacuum_uncommitted(self, table: str, ledger: str) -> list[str]:
         """Drop ``__batch=…/__writer=…`` partitions of ``table`` absent

@@ -148,3 +148,38 @@ def test_read_pruned_keeps_partition_columns(spark, catalog):
     out = read_pruned(spark, catalog.path("t"), files[:1])
     assert "p" in out.columns
     assert out.select("p").distinct().count() == 1
+
+
+def test_catalog_read_committed_sugar(catalog, stream_table):
+    # Catalog.read_committed == committed_corpus (incl. snapshots)
+    assert catalog.read_committed(stream_table, IDX).count() == 100
+    assert catalog.read_committed(stream_table, IDX,
+                                  as_of_batch=0).count() == 50
+
+
+def test_compact_preserves_txn_layout_and_committed_reads(
+        spark, catalog, stream_table):
+    """Compaction of a stream-owned table must keep the
+    (__batch, __writer) partition chain (files are replaced WITHIN
+    partitions) — committed reads and the skipping composition stay
+    correct, and the auto-refresh hook re-stats the new files."""
+    from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+        zm_table)
+
+    before = sorted(
+        r.doc_id for r in
+        catalog.read_committed(stream_table, IDX).collect())
+    catalog.compact(stream_table, partitions=1)
+    assert catalog.partition_columns(stream_table) == \
+        ["__batch", "__writer"]
+    after = sorted(
+        r.doc_id for r in
+        catalog.read_committed(stream_table, IDX).collect())
+    assert after == before
+    # sidecars follow the rewrite (compact auto-refreshes)
+    assert {r.file for r in catalog.read(zm_table(stream_table))
+            .select("file").collect()} == \
+        set(list_parquet_files(catalog.path(stream_table)))
+    got = read_committed_between(catalog, stream_table, "doc_id",
+                                 120, 130, index_table=IDX)
+    assert got.count() == 11

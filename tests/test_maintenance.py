@@ -152,3 +152,38 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     cat.compact("flat", partitions=8)
     assert cat.partition_columns("flat") == []
     assert cat.read("flat").count() == 100
+
+
+def test_optimize_one_verb(spark, tmp_path):
+    """Catalog.optimize = vacuum orphans (with a ledger) + compact
+    preserving layout + sidecar refresh, one call."""
+    from apsviz_timeseriesdb_ingest_spark.llm.incremental import (
+        commits_table)
+    from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+        build_skipping, read_between, zm_table)
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        list_parquet_files)
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    ledger = commits_table("idx")
+    for batch, committed in [(0, True), (1, True), (2, False)]:
+        df = spark.range(batch * 10, batch * 10 + 10).select(
+            F.col("id").alias("k"),
+            F.lit(batch).alias("__batch"), F.lit("w").alias("__writer"))
+        catalog.append(df.repartition(4), "t",
+                       partition_by=["__batch", "__writer"])
+        if committed:
+            catalog.commit_batch(ledger, batch, "w")
+    build_skipping(catalog, "t", range_cols=["k"])
+    before = len(list_parquet_files(catalog.path("t")))
+    out = catalog.optimize("t", ledger=ledger, partitions=1)
+    assert out["vacuumed_partitions"] == 1  # batch 2's orphan
+    assert out["files_before"] < before    # vacuum ran first
+    assert out["files_after"] <= out["files_before"]
+    # layout preserved, sidecars current, committed reads correct
+    assert catalog.partition_columns("t") == ["__batch", "__writer"]
+    assert {r.file for r in catalog.read(zm_table("t"))
+            .select("file").collect()} == \
+        set(list_parquet_files(catalog.path("t")))
+    assert catalog.read_committed("t", "idx").count() == 20
+    assert read_between(catalog, "t", "k", 10, 19).count() == 10
