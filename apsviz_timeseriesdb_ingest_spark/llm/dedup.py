@@ -796,20 +796,21 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
 
 def dedup_keep_representative(df: DataFrame, pairs: DataFrame, *,
                               id_col: str = "doc_id",
-                              cc_algorithm: str = "star") -> DataFrame:
+                              cc_algorithm: str = "auto") -> DataFrame:
     """The dedup pipeline's final verb: drop every near-duplicate except
     its cluster representative (smallest id — deterministic, engine-
     independent). Docs in no near-dup pair pass through untouched; the
     cluster map is tiny relative to the corpus (only docs that appear in
     pairs) so the filtering join broadcasts at any corpus scale.
 
-    ``cc_algorithm`` forwards to :func:`neardup_clusters` — "star"
-    (default, O(log n) rounds at any component diameter), "label"
-    (O(diameter) rounds, fewer jobs per round — right for near-clique
-    graphs), "local" (driver union-find for graphs the caller KNOWS
-    are small), or "auto" (size-gated local-vs-star — right when the
-    pair stage bounds the residual graph, e.g. SemDeDup). All
-    identical output (tested)."""
+    ``cc_algorithm`` forwards to :func:`neardup_clusters` — "auto"
+    (default: size-gated local-vs-star over the materialized edge cut;
+    every pair stage here bounds its residual graph, so small graphs
+    pay milliseconds instead of distributed rounds, and big ones get
+    star automatically), "star" (O(log n) rounds at any component
+    diameter), "label" (O(diameter) rounds — right for near-clique
+    graphs), or "local" (driver union-find for graphs the caller KNOWS
+    are small). All identical output (tested)."""
     clusters = neardup_clusters(pairs, algorithm=cc_algorithm)
     losers = (clusters.filter(F.col("cluster_id") != F.col("doc_id"))
               .select(F.col("doc_id").alias(id_col)))

@@ -367,7 +367,10 @@ def prepare_training_corpus(
                               bands=bands, fast=fast,
                               max_bucket_size=max_bucket_size)
     near_losers = _persist(
-        neardup_clusters(pairs)
+        # auto: driver union-find below the edge gate (the LSH cap
+        # bounds pair counts), distributed star above — see
+        # llm.dedup.neardup_clusters
+        neardup_clusters(pairs, algorithm="auto")
         .filter(F.col("cluster_id") != F.col("doc_id"))
         .select(F.col("doc_id").alias(id_col))
         .withColumn("r_near", F.lit(True)),

@@ -345,3 +345,56 @@ def test_hostile_embedding_stream_survives(spark, tmp_path):
     _run("ck2")
     rows = catalog.read("ann_corpus").collect()
     assert {r.vec_id for r in rows} == {1, 3, 4} and len(rows) == 3
+
+
+def test_drift_report_empty_windows(spark):
+    """drift_report/flag_drift over empty or one-sided stats windows:
+    no crash, NULL metrics never alert; grouped full-outer fills hold
+    when one side has zero rows."""
+    from apsviz_timeseriesdb_ingest_spark.llm.sketches import (
+        corpus_stats_row, drift_report, flag_drift)
+
+    schema = "doc_id long, text string, source string"
+    full = corpus_stats_row(
+        spark.createDataFrame([(1, "alpha beta", "web")], schema),
+        group_by=["source"])
+    empty = full.filter("n_docs < 0")  # zero stats rows, same schema
+
+    rep = drift_report(empty, full, group_by=["source"]).collect()
+    assert len(rep) == 1 and rep[0].n_docs_base == 0 \
+        and rep[0].n_docs_win == 1
+    flagged = flag_drift(drift_report(empty, full,
+                                      group_by=["source"])).collect()[0]
+    assert not flagged.flag_vocab_ratio  # NULL ratio: no alert
+    other = drift_report(full, empty, group_by=["source"]).collect()[0]
+    assert other.n_docs_win == 0 and other.top_token_jaccard == 0.0
+
+
+def test_skipping_probes_hostile_values(spark, tmp_path):
+    """Empty IN-lists, all-NULL probe lists, and empty prefixes through
+    the zone-map probes: correct (empty/full) results, never a crash."""
+    import pyspark.sql.functions as F
+
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+        build_skipping, read_equals, read_prefix)
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        prune_files_in, prune_files_prefix)
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    catalog.overwrite(spark.range(20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id")).alias("name")), "t",
+        refresh_skipping=False)
+    build_skipping(catalog, "t", range_cols=["k", "name"])
+    zm = catalog.read("t__zm")
+    assert prune_files_in(zm, "k", [], path=catalog.path("t")) == []
+    assert prune_files_in(zm, "k", [None], path=catalog.path("t")) == []
+    assert read_equals(catalog, "t", "k", []).count() == 0
+    # the empty prefix matches everything: no file can be pruned
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        list_parquet_files)
+    assert set(prune_files_prefix(zm, "name", "",
+                                  path=catalog.path("t"))) == \
+        set(list_parquet_files(catalog.path("t")))
+    assert read_prefix(catalog, "t", "name", "").count() == 20
