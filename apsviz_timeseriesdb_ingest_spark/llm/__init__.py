@@ -78,6 +78,7 @@ from .similarity import (  # noqa: F401
     kmeans_assign,
     probe_cells_for,
     semantic_dedup,
+    semantic_k,
     train_kmeans,
 )
 from .multimodal import (  # noqa: F401

@@ -619,6 +619,14 @@ def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
     return v.select(F.col("id").alias(id_col), cid.alias("centroid_id"))
 
 
+def semantic_k(n_vectors: int, target_cell: int = 500) -> int:
+    """The cluster count that holds SemDeDup's expected cell occupancy
+    at ``target_cell`` vectors — pass to :func:`train_kmeans` so the
+    within-cell |cell|^2 pair work stays ~linear in the corpus
+    (measured: tools/soak_neardup.py semantic_dedup legs)."""
+    return max(4, int(n_vectors) // max(1, int(target_cell)))
+
+
 def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.95,
@@ -637,6 +645,13 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
     clustering first) → expanded-codegen cosine verify → connected
     components → broadcast anti-join of the losers. Cross-cluster
     duplicates are missed BY DESIGN (the paper's trade; k tunes it).
+
+    **Scale the CLUSTER COUNT with the corpus** (:func:`semantic_k`):
+    |cell|^2 work means a fixed k is quadratic in n — measured 10x
+    vectors at fixed k=4 cost 957 s while k=n/500 cost 90 s with far
+    less transitive chaining (tools/soak_neardup.py) — the paper's
+    regime (k grows with the corpus, cell occupancy stays constant),
+    and the same lesson as the fixed-plane LSH family's cliff.
 
     ``max_cell_size`` guards a degenerate clustering (everything in one
     cell → quadratic pair join): cells above it are skipped for pair

@@ -555,3 +555,12 @@ def test_decontaminate_fractional_overlap(spark):
     import pytest
     with pytest.raises(ValueError):
         decontaminate(docs, bench, min_overlap_frac=1.5)
+
+
+def test_semantic_k_scales_cluster_count():
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import semantic_k
+
+    assert semantic_k(2_000) == 4
+    assert semantic_k(20_000) == 40
+    assert semantic_k(10_000_000) == 20_000
+    assert semantic_k(10, target_cell=0) >= 4  # degenerate guard

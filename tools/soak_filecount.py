@@ -17,6 +17,9 @@ Measured per file count:
   rebuild;
 - ``zm_prune_s`` / ``bloom_probe_s``: driver/Spark arithmetic over
   the stats table for a ~0.1%-selective range / 5-id IN-list;
+- ``committed_files_s``: the composed committed-read's driver-side
+  file arithmetic over a half-committed ``(__batch, __writer)``
+  layout at the same file count;
 - ``zm_kept`` / ``bloom_kept``: files surviving the prune (the
   selectivity sanity check: pruned read == full filtered read is
   asserted, result-equality first as always).
@@ -118,6 +121,27 @@ def main() -> None:
             got = read_equals(catalog, "bt", "k", ids).count()
             assert got == len(set(ids)), got
 
+            # committed-read composition at file-count scale: commit
+            # half the batches of a (__batch, __writer) layout and time
+            # the driver-side committed-file arithmetic over ALL files
+            from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+                committed_files)
+
+            n_batches = 50
+            (base.withColumn("__batch", (F.col("k")
+                                         % n_batches).cast("long"))
+             .withColumn("__writer", F.lit("w"))
+             .repartition(max(1, n_files // n_batches), "k")
+             .write.partitionBy("__batch", "__writer")
+             .parquet(catalog.path("ct")))
+            for b in range(0, n_batches, 2):
+                catalog.commit_batch("ct_commits", b, "w")
+            t0 = time.time()
+            cfiles = committed_files(catalog, "ct", "ct_commits")
+            committed_s = time.time() - t0
+            all_ct = len(list_parquet_files(catalog.path("ct")))
+            assert 0 < len(cfiles) < all_ct
+
             # incremental refresh paid per APPEND (the auto-hook path):
             # a stats pass over the new files + the survivor semi-join
             extra = spark.range(n_rows, n_rows
@@ -140,6 +164,9 @@ def main() -> None:
                 "bloom_kept": len(bkept),
                 "zm_incr_append_s": round(zm_incr_s, 2),
                 "appended_files": args.append,
+                "committed_files_s": round(committed_s, 3),
+                "committed_kept": len(cfiles),
+                "committed_total": all_ct,
             }), flush=True)
 
     spark.stop()

@@ -216,6 +216,36 @@ def main():
             "verified_pairs": pairs, "wall_sec": round(dt, 1)}),
             flush=True)
         emb.unpersist()
+
+    # SemDeDup end-to-end (cells -> within-cell pairs -> auto CC ->
+    # keep-representative), k-means centroids trained on the ORIGINAL
+    # vectors at both scales. TWO cluster-count policies per scale:
+    # k fixed at the gate's 4 (per-cell occupancy grows with n, so the
+    # within-cell pair join is quadratic-per-cell — the same cliff the
+    # fixed-plane LSH family had) and k scaled to hold ~500 vectors
+    # per cell (the SemDeDup paper's regime: cluster count grows with
+    # the corpus, candidate volume stays ~linear). The r6 "auto" CC
+    # runs the residual graph locally when small, star when not.
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        semantic_dedup, train_kmeans)
+
+    for label, n in (("sf0.1", 1), ("sf1", REPLICAS)):
+        emb = replicate_embeddings(spark, n).cache()
+        n_vec = emb.count()
+        from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+            semantic_k)
+
+        for policy, k in (("fixed", 4), ("scaled", semantic_k(n_vec))):
+            cents = train_kmeans(emb, k=k, iters=5)
+            t0 = time.time()
+            kept = semantic_dedup(emb, cents, threshold=0.4).count()
+            dt = time.time() - t0
+            print(json.dumps({
+                "op": "semantic_dedup", "scale": label, "k": k,
+                "policy": policy, "vectors": n_vec, "kept": kept,
+                "dropped": n_vec - kept,
+                "wall_sec": round(dt, 1)}), flush=True)
+        emb.unpersist()
     spark.stop()
 
 
