@@ -543,6 +543,27 @@ class Catalog:
         return dropped
 
 
+def maintain_tables(catalog: Catalog, families: dict,
+                    *, partitions: int | None = None) -> list[dict]:
+    """Run :meth:`Catalog.optimize` over a set of tables in one call —
+    the periodic-maintenance driver's body. ``families`` maps each
+    table to its commit ledger (stream-owned tables get orphan
+    vacuuming) or ``None`` (plain tables compact only). Returns one
+    summary dict per table, ``table`` key added; tables absent on disk
+    are skipped with ``{"skipped": True}`` so a fleet-wide maintenance
+    pass survives tables that haven't been created yet."""
+    out = []
+    for table, ledger in families.items():
+        if not catalog.exists(table):
+            out.append({"table": table, "skipped": True})
+            continue
+        res = catalog.optimize(table, ledger=ledger,
+                               partitions=partitions)
+        res["table"] = table
+        out.append(res)
+    return out
+
+
 class ConcurrentWriterError(RuntimeError):
     """Another writer has taken over a single-writer table family (or
     lost a commit race) — this writer is FENCED and must stop (see

@@ -430,6 +430,31 @@ def committed_corpus(catalog, corpus_table: str,
     return df
 
 
+def committed_alerts(catalog, alerts_table: str = "alerts",
+                     index_table: str = "minhash_index", *,
+                     since_batch: int | None = None,
+                     only_alerting: bool = True):
+    """The committed drift-alert rows a monitoring consumer polls —
+    the read side of ``apply_dedup_increment_txn(alerts_table=)``:
+    exactly-once with the batches they describe (uncommitted rows
+    invisible), ``since_batch=N`` restricts to batches after the last
+    one already consumed (the poll cursor), ``only_alerting`` keeps
+    rows where any rule fired. An absent alerts table (no batch has
+    alerted behind a baseline yet) is the empty answer, not an error —
+    callers poll unconditionally."""
+    from pyspark.sql import functions as F
+
+    if not catalog.exists(alerts_table):
+        return catalog.spark.createDataFrame(
+            [], "__batch long, __writer string, any_alert boolean")
+    df = committed_corpus(catalog, alerts_table, index_table)
+    if since_batch is not None:
+        df = df.filter(F.col("__batch") > int(since_batch))
+    if only_alerting:
+        df = df.filter(F.col("any_alert"))
+    return df
+
+
 def run_incremental_embedding_stream(
         spark, input_dir: str, catalog, centroids: list[list[float]], *,
         checkpoint_dir: str, corpus_table: str = "ann_corpus",

@@ -187,3 +187,56 @@ def test_optimize_one_verb(spark, tmp_path):
         set(list_parquet_files(catalog.path("t")))
     assert catalog.read_committed("t", "idx").count() == 20
     assert read_between(catalog, "t", "k", 10, 19).count() == 10
+
+
+def test_maintain_tables_and_committed_alerts(spark, tmp_path):
+    """maintain_tables runs optimize over a family map (missing tables
+    skipped); committed_alerts is the poll side of the in-stream drift
+    alerts, empty-not-error before any alert exists and cursored by
+    since_batch."""
+    from apsviz_timeseriesdb_ingest_spark.llm.incremental import (
+        build_dedup_index, commits_table)
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import (
+        Catalog, maintain_tables)
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        apply_dedup_increment_txn, committed_alerts)
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    # polling before anything exists: empty, not an error
+    assert committed_alerts(catalog).count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "seed words for the base corpus right here")],
+        "doc_id long, text string")
+    lsh = dict(k=2, num_hashes=8, bands=4)
+    assert build_dedup_index(catalog, docs, stream_index=True,
+                             **lsh) == 1
+    kw = dict(stats_table="stats", alerts_table="alerts", **lsh)
+    apply_dedup_increment_txn(catalog, spark.createDataFrame(
+        [(2, "calm steady batch of ordinary words")],
+        "doc_id long, text string"), 1, **kw)
+    apply_dedup_increment_txn(catalog, spark.createDataFrame(
+        [(3, "zap zap zap zap zap zap zap zap")],
+        "doc_id long, text string"), 2, **kw)
+    alerts = committed_alerts(catalog)
+    assert alerts.count() == 1
+    batch = alerts.collect()[0]["__batch"]
+    assert batch == 2
+    # cursor past the consumed batch: nothing pending
+    assert committed_alerts(catalog, since_batch=batch).count() == 0
+    # only_alerting=False returns every committed alert row
+    assert committed_alerts(catalog, only_alerting=False).count() == 1
+
+    got = maintain_tables(catalog, {
+        "stream_corpus": commits_table("minhash_index"),
+        "stats": commits_table("minhash_index"),
+        "not_created_yet": None,
+    })
+    by = {r["table"]: r for r in got}
+    assert by["not_created_yet"] == {"table": "not_created_yet",
+                                     "skipped": True}
+    assert by["stream_corpus"]["files_after"] <= \
+        by["stream_corpus"]["files_before"]
+    # the corpora still answer committed reads after maintenance
+    assert catalog.read_committed("stream_corpus",
+                                  "minhash_index").count() == 2
