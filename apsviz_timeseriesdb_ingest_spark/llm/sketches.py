@@ -456,11 +456,19 @@ def flag_drift(report: DataFrame, rules: dict | None = None) -> DataFrame:
     Rule forms (NULL metrics never alert — e.g. ``vocab_ratio`` with
     no baseline): ``(">", x)``, ``("<", x)``, ``("abs>", x)`` for
     symmetric relative shifts, ``("outside", (lo, hi))`` for a band.
+
+    Rules whose metric column is ABSENT from the report are skipped
+    (no ``flag_`` column emitted): :data:`DEFAULT_DRIFT_RULES` names
+    ``p50_shift``, but a report built with ``qs`` omitting 0.5 simply
+    has no such column — defaults must not crash narrower reports
+    (ADVICE r6). Alert coverage follows the report you built.
     """
     rules = DEFAULT_DRIFT_RULES if rules is None else rules
     out = report
     flags = []
     for metric, (op, arg) in rules.items():
+        if metric not in report.columns:
+            continue
         c = F.col(metric)
         if op == ">":
             expr = c > F.lit(arg)

@@ -331,7 +331,8 @@ class Catalog:
         Single-writer, like every plain-parquet mutation here."""
         return StagedRebuild(self, tables)
 
-    def compact(self, table: str, *, partitions: int | None = None) -> None:
+    def compact(self, table: str, *, partitions: int | None = None,
+                committed_ledger: str | None = None) -> None:
         """Rewrite a table to heal the small-file problem incremental
         merges accumulate (many micro-batches → many tiny parquet files).
 
@@ -342,10 +343,35 @@ class Catalog:
         into a flattened table (r4). A static full overwrite replaces
         every partition in one job; partitioned tables re-cluster on
         their partition columns so each partition dir collapses to ~one
-        file."""
-        df = self.read(table)
+        file.
+
+        ``committed_ledger``: for a stream-owned ``(__batch, __writer)``
+        table, compact only the partitions COMMITTED in that ledger,
+        via dynamic partition overwrite — an in-flight writer's
+        not-yet-committed partition is never read or replaced (ADVICE
+        r6: the static full overwrite raced a live writer's
+        pre-commit window and could drop its partition). Uncommitted
+        orphans are also left in place (``vacuum_uncommitted`` owns
+        reclaiming them)."""
         part_cols = self.partition_columns(table)
         n = partitions or self.spark.sparkContext.defaultParallelism
+        if committed_ledger is not None and part_cols[:2] == ["__batch",
+                                                             "__writer"]:
+            from .skipping import committed_files
+            from .zonemap import read_pruned
+
+            keep = committed_files(self, table, committed_ledger)
+            if not keep:
+                return
+            df = read_pruned(self.spark, self.path(table), keep)
+            df = df.localCheckpoint(eager=True)
+            # dynamic: only the committed partitions present in the
+            # frame are replaced; in-flight/orphan partitions untouched
+            (df.repartition(n, *part_cols).write.mode("overwrite")
+             .partitionBy(*part_cols).parquet(self.path(table)))
+            self.refresh_skipping(table)
+            return
+        df = self.read(table)
         df = df.localCheckpoint(eager=True)
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         # static: the whole table is being rewritten, including
@@ -365,19 +391,51 @@ class Catalog:
         self.refresh_skipping(table)
 
     def optimize(self, table: str, *, ledger: str | None = None,
-                 partitions: int | None = None) -> dict:
+                 partitions: int | None = None, fence: bool = True,
+                 grace_seconds: float = 0.0) -> dict:
         """One-verb table maintenance (the ``OPTIMIZE`` role on plain
         parquet): vacuum uncommitted/orphan partitions (when the table
         is stream-owned — pass its commit ``ledger``), compact small
         files preserving the on-disk partition layout, and bring the
         skipping sidecars current (the compact hook). Returns a summary
-        ``{vacuumed_partitions, files_before, files_after}``."""
+        ``{vacuumed_partitions, files_before, files_after}``.
+
+        Concurrent-writer safety (ADVICE r6) when ``ledger`` is given:
+
+        - ``fence=True`` (default) acquires the index family's
+          :class:`WriterLease` first (family = ledger name minus its
+          ``_commits`` suffix) — a live stream writer is FENCED and
+          raises :class:`ConcurrentWriterError` at its next lease
+          check, which :func:`~streaming.corpus_stream.
+          apply_dedup_increment_txn` performs both before its mutation
+          AND immediately before its ledger commit, so a writer caught
+          mid-batch cannot commit a batch whose partition maintenance
+          may have rewritten. Restart the stream after maintenance (it
+          re-acquires on start).
+        - compaction touches only COMMITTED partitions (dynamic
+          overwrite — see :meth:`compact` ``committed_ledger``), never
+          an in-flight writer's pre-commit partition.
+        - ``grace_seconds``: additionally skip vacuuming uncommitted
+          partitions newer than this many seconds — belt-and-braces
+          for writers that take no lease (writer id ``"-"``), whose
+          pre-commit window fencing cannot close.
+
+        Without ``ledger`` the table is plain/single-writer and the
+        caller owns exclusion, as with every plain-parquet mutation."""
         from .zonemap import list_parquet_files
 
-        dropped = (self.vacuum_uncommitted(table, ledger)
-                   if ledger is not None else [])
+        dropped = []
+        if ledger is not None:
+            if fence:
+                family = (ledger[: -len("_commits")]
+                          if ledger.endswith("_commits") else ledger)
+                WriterLease(self, family,
+                            writer_id=f"maintenance-{table}").acquire()
+            dropped = self.vacuum_uncommitted(
+                table, ledger, grace_seconds=grace_seconds)
         before = len(list_parquet_files(self.path(table)))
-        self.compact(table, partitions=partitions)
+        self.compact(table, partitions=partitions,
+                     committed_ledger=ledger)
         after = len(list_parquet_files(self.path(table)))
         return {"vacuumed_partitions": len(dropped),
                 "files_before": before, "files_after": after}
@@ -460,6 +518,20 @@ class Catalog:
         return os.path.isfile(
             os.path.join(self.path(ledger), f"b{int(batch_id)}.json"))
 
+    def _pair_committed(self, ledger: str, batch_id: int,
+                        writer: str) -> bool:
+        """True if exactly ``(batch_id, writer)`` is the committed pair
+        — the vacuum's pre-removal re-check (a batch id committed by a
+        DIFFERENT writer leaves this writer's partition an orphan)."""
+        import json
+
+        f = os.path.join(self.path(ledger), f"b{int(batch_id)}.json")
+        try:
+            with open(f) as fh:
+                return str(json.load(fh).get("__writer")) == writer
+        except (OSError, ValueError):
+            return False
+
     def committed_batches(self, ledger: str) -> list[tuple[int, str]]:
         """All committed ``(batch_id, writer)`` pairs, batch-ordered.
         Ledger size is O(#batches) — driver listing by design."""
@@ -510,19 +582,44 @@ class Catalog:
         return committed_corpus(self, table, index_table,
                                 as_of_batch=as_of_batch)
 
-    def vacuum_uncommitted(self, table: str, ledger: str) -> list[str]:
+    def vacuum_uncommitted(self, table: str, ledger: str, *,
+                           grace_seconds: float = 0.0) -> list[str]:
         """Drop ``__batch=…/__writer=…`` partitions of ``table`` absent
         from ``ledger`` — the GC for orphans left by crashed or fenced
         writers (their partitions are already invisible to committed
         probes; this reclaims the bytes). Returns the dropped partition
-        dirs. Safe concurrently with readers of COMMITTED data only."""
+        dirs. Safe concurrently with readers of COMMITTED data only;
+        against a LIVE writer, fence it first (see :meth:`optimize`
+        ``fence=``) — its pre-commit lease check then guarantees a
+        partition this vacuum reclaims can never become committed.
+        ``grace_seconds`` skips uncommitted partitions whose newest
+        file is younger than that — protection for a writer's
+        pre-commit window when no lease fences it. Each partition's
+        commit file is re-checked immediately before removal (a commit
+        landing between the ledger snapshot and the rmtree wins)."""
         import shutil
+        import time
 
         committed = set(self.committed_batches(ledger))
         root = self.path(table)
         dropped: list[str] = []
         if not os.path.isdir(root):
             return dropped
+        now = time.time()
+
+        def _young(p: str) -> bool:
+            if grace_seconds <= 0:
+                return False
+            newest = os.path.getmtime(p)
+            for d, _, names in os.walk(p):
+                for nm in names:
+                    try:
+                        newest = max(newest,
+                                     os.path.getmtime(os.path.join(d, nm)))
+                    except OSError:
+                        pass
+            return (now - newest) < grace_seconds
+
         for bdir in sorted(os.listdir(root)):
             if not bdir.startswith("__batch="):
                 continue
@@ -532,9 +629,12 @@ class Catalog:
                 if not wdir.startswith("__writer="):
                     continue
                 writer = wdir.split("=", 1)[1]
-                if (batch, writer) not in committed:
-                    shutil.rmtree(os.path.join(bpath, wdir),
-                                  ignore_errors=True)
+                wpath = os.path.join(bpath, wdir)
+                if ((batch, writer) not in committed
+                        and not _young(wpath)
+                        and not self._pair_committed(ledger, batch,
+                                                     writer)):
+                    shutil.rmtree(wpath, ignore_errors=True)
                     dropped.append(f"{bdir}/{wdir}")
             if not os.listdir(bpath):
                 shutil.rmtree(bpath, ignore_errors=True)
@@ -544,21 +644,30 @@ class Catalog:
 
 
 def maintain_tables(catalog: Catalog, families: dict,
-                    *, partitions: int | None = None) -> list[dict]:
+                    *, partitions: int | None = None,
+                    fence: bool = True,
+                    grace_seconds: float = 0.0) -> list[dict]:
     """Run :meth:`Catalog.optimize` over a set of tables in one call —
     the periodic-maintenance driver's body. ``families`` maps each
     table to its commit ledger (stream-owned tables get orphan
     vacuuming) or ``None`` (plain tables compact only). Returns one
     summary dict per table, ``table`` key added; tables absent on disk
     are skipped with ``{"skipped": True}`` so a fleet-wide maintenance
-    pass survives tables that haven't been created yet."""
+    pass survives tables that haven't been created yet.
+
+    ``fence``/``grace_seconds`` forward to :meth:`Catalog.optimize` —
+    with the default ``fence=True``, live stream writers of the listed
+    ledger families are fenced (they stop loudly at their next lease
+    check and must restart after maintenance); plain-``None`` tables
+    still require the caller not to write them concurrently."""
     out = []
     for table, ledger in families.items():
         if not catalog.exists(table):
             out.append({"table": table, "skipped": True})
             continue
         res = catalog.optimize(table, ledger=ledger,
-                               partitions=partitions)
+                               partitions=partitions, fence=fence,
+                               grace_seconds=grace_seconds)
         res["table"] = table
         out.append(res)
     return out

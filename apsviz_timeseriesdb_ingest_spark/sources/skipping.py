@@ -178,14 +178,20 @@ def committed_files(catalog, table: str, ledger: str,
     ledger listing — both metadata, no Spark job. Files outside a
     ``__batch=…/__writer=…`` partition chain are kept (a non-stream
     table mixes nothing to exclude), matching
-    ``streaming.corpus_stream.committed_corpus``'s semantics."""
+    ``streaming.corpus_stream.committed_corpus``'s semantics —
+    including its error: ``as_of_batch`` on a table with files but NO
+    stream layout raises :class:`ValueError`, exactly like
+    ``committed_corpus`` (ADVICE r6: silently ignoring the snapshot
+    bound diverged from the results-equal docstring contract)."""
     from .zonemap import list_parquet_files
 
     committed = {(b, w) for b, w in catalog.committed_batches(ledger)
                  if as_of_batch is None or b <= int(as_of_batch)}
     root = catalog.path(table)
     out = []
-    for f in list_parquet_files(root):
+    saw_stream_layout = False
+    files = list_parquet_files(root)
+    for f in files:
         rel = os.path.relpath(f, root)
         batch = writer = None
         for seg in rel.split(os.sep):
@@ -195,8 +201,14 @@ def committed_files(catalog, table: str, ledger: str,
                 writer = seg.split("=", 1)[1]
         if batch is None or writer is None:
             out.append(f)
-        elif (batch, writer) in committed:
-            out.append(f)
+        else:
+            saw_stream_layout = True
+            if (batch, writer) in committed:
+                out.append(f)
+    if as_of_batch is not None and files and not saw_stream_layout:
+        raise ValueError(
+            f"corpus '{table}' has no (__batch, __writer) layout — "
+            "snapshot reads need the stream-owned partitioning")
     return sorted(out)
 
 

@@ -395,6 +395,14 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
                     flagged.withColumn("__batch", bid)
                     .withColumn("__writer", F.lit(writer)),
                     alerts_table, partition_by=["__batch", "__writer"])
+    if lease is not None:
+        # second check, immediately before the commit point: a writer
+        # fenced MID-BATCH (e.g. by Catalog.optimize's maintenance
+        # lease, ADVICE r6) must not commit a batch whose partition
+        # maintenance may have vacuumed/rewritten — it fails here, the
+        # batch stays uncommitted, and the post-maintenance restart
+        # replays it cleanly (crash matrix case "between (4) and (5)")
+        lease.check()
     catalog.commit_batch(commits, int(batch_id), writer)
 
 
@@ -433,7 +441,9 @@ def committed_corpus(catalog, corpus_table: str,
 def committed_alerts(catalog, alerts_table: str = "alerts",
                      index_table: str = "minhash_index", *,
                      since_batch: int | None = None,
-                     only_alerting: bool = True):
+                     only_alerting: bool = True,
+                     stats_group_by: tuple = (),
+                     drift_rules: dict | None = None):
     """The committed drift-alert rows a monitoring consumer polls —
     the read side of ``apply_dedup_increment_txn(alerts_table=)``:
     exactly-once with the batches they describe (uncommitted rows
@@ -441,12 +451,29 @@ def committed_alerts(catalog, alerts_table: str = "alerts",
     one already consumed (the poll cursor), ``only_alerting`` keeps
     rows where any rule fired. An absent alerts table (no batch has
     alerted behind a baseline yet) is the empty answer, not an error —
-    callers poll unconditionally."""
+    callers poll unconditionally, with the FULL alert schema either
+    way (ADVICE r6: a poller selecting ``flag_dup_rate_win`` must work
+    on a fresh deployment too). The empty-path schema is built by
+    construction — ``flag_drift(drift_report(stats, stats))`` over
+    zero-row stats frames — so pass the same ``stats_group_by`` /
+    ``drift_rules`` the stream writes with when they differ from the
+    defaults (group keys are typed string on the empty path)."""
     from pyspark.sql import functions as F
 
     if not catalog.exists(alerts_table):
-        return catalog.spark.createDataFrame(
-            [], "__batch long, __writer string, any_alert boolean")
+        from ..llm.sketches import corpus_stats_row, drift_report, flag_drift
+
+        keys = list(stats_group_by)
+        docs_schema = "doc_id long, text string" + "".join(
+            f", {k} string" for k in keys)
+        stats = corpus_stats_row(
+            catalog.spark.createDataFrame([], docs_schema), group_by=keys)
+        flagged = flag_drift(drift_report(stats, stats, group_by=keys),
+                             drift_rules)
+        full = (flagged.withColumn("__batch", F.lit(0).cast("long"))
+                .withColumn("__writer", F.lit("-")))
+        # schema only — zero rows, zero jobs
+        return catalog.spark.createDataFrame([], full.schema)
     df = committed_corpus(catalog, alerts_table, index_table)
     if since_batch is not None:
         df = df.filter(F.col("__batch") > int(since_batch))

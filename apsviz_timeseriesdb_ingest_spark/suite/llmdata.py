@@ -1194,3 +1194,77 @@ def wet_parse(spark, sf_dir):
         .alias("warc_date"),
         F.length("text").cast("long").alias("n_chars"),
         F.md5("text").alias("text_md5"))
+
+
+# r7 displaced-oracle rotation (r6 verdict task 6): canonical-URL dedup
+# and the corpus manifest gain their own DuckDB oracle rows without
+# touching the 50-row gate. The documents table has no url column, so
+# the URL query synthesizes urls from doc_id with the SAME deterministic
+# expression it feeds the operator — six variants per collision group
+# that exercise every canonicalization rule (scheme case, www. prefix,
+# scheme-default port, tracking params, param order, trailing slash,
+# unparseable loners). The oracle derives each variant's canonical form
+# independently from the rules.
+
+@query("llm_url_dedup", gate=False, sql="""
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 5 THEN NULL
+                    WHEN doc_id % 6 IN (3, 4)
+                      THEN 'https://example.com/p/' || (doc_id % 40)
+                           || '?a=1&b=2'
+                    ELSE 'https://example.com/p/' || (doc_id % 40)
+               END AS canonical_url
+        FROM documents)
+    SELECT canonical_url, min(doc_id) AS kept_id,
+           count(*) AS n_copies
+    FROM u WHERE canonical_url IS NOT NULL GROUP BY 1
+    UNION ALL
+    SELECT NULL AS canonical_url, doc_id AS kept_id,
+           1::BIGINT AS n_copies
+    FROM u WHERE canonical_url IS NULL
+""")
+def llm_url_dedup(spark, sf_dir):
+    """URL-grain exact dedup (``llm.text.url_dedup``): recrawls and
+    tracking-tagged links collapse on :func:`llm.text.canonical_url`
+    before any content hashing — the crawl pipeline's cheapest first
+    pass. Map-side expression + one hash-groupBy; unparseable URLs
+    keep themselves."""
+    from ..llm.text import url_dedup
+
+    d = tables(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 40).cast("string")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.example.com/p/"), g))
+        .when(v == 1, F.concat(F.lit("HTTPS://example.com:443/p/"), g,
+                               F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://example.com/p/"), g,
+                               F.lit("?utm_source=x&fbclid=y")))
+        .when(v == 3, F.concat(F.lit("https://example.com/p/"), g,
+                               F.lit("?b=2&a=1")))
+        .when(v == 4, F.concat(F.lit("https://example.com/p/"), g,
+                               F.lit("?a=1&b=2")))
+        .otherwise(F.lit("not a url")))
+    return url_dedup(d.select("doc_id", url.alias("url")))
+
+
+@query("llm_corpus_manifest", gate=False, sql=f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT doc_id) AS n_distinct_ids,
+           sum(length(text))::BIGINT AS n_chars_measured,
+           sum(len({SQL_TOKS}))::BIGINT AS n_tokens,
+           bit_xor({_md5int_sql("doc_id::VARCHAR || '|' || text")})
+             AS corpus_checksum
+    FROM documents
+""")
+def llm_corpus_manifest(spark, sf_dir):
+    """Corpus manifest (``llm.text.corpus_manifest``): doc/char/token
+    totals plus the order-independent ``bit_xor``-of-md5 content
+    checksum — the reproducibility receipt exactly-once pipelines
+    write next to the corpus (reshuffle-invariance pytest in
+    ``test_llm_pipeline``; this row pins the VALUES against DuckDB)."""
+    from ..llm.text import corpus_manifest
+
+    d = tables(spark, sf_dir, "documents")
+    return corpus_manifest(d)

@@ -92,14 +92,29 @@ def p3_in_list(spark, sf_dir):
     )
 
 
-# p4_time_range left the gate in r4 (driver 50-query cap): the temporal
-# range-predicate class stays gated through q6_revenue_change (two-sided
-# l_shipdate range) and p1_equality_filter (>= bound); the freed row
-# gates the asof join. p5_interval_overlap was REPLACED by its strict
-# generalization p5_overlap_join below (same P5 operator id — the fixed
-# query window is the single-right-row special case of the interval
-# overlap JOIN, and `functions/predicates.interval_overlaps` is executed
-# on the gate path either way).
+# p4_time_range left the gate in r4 (driver 50-query cap) and was
+# restored r7 as a displaced entry (r6 verdict task 2): the temporal
+# range-predicate class still rides q6_revenue_change on the gate, and
+# the query keeps its own oracle row in tests/test_displaced_oracles.py.
+# p5_interval_overlap was REPLACED by its strict generalization
+# p5_overlap_join below (same P5 operator id — the fixed query window is
+# the single-right-row special case of the interval overlap JOIN, and
+# `functions/predicates.interval_overlaps` is executed on the gate path
+# either way).
+
+@query("p4_time_range", gate=False, sql="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-10 00:00:00'
+""")
+def p4_time_range(spark, sf_dir):
+    """P4: event-time range predicate (``run/ingestObsTasks.py:51``).
+    At scale this is partition pruning on a time-bucketed fact table."""
+    ev = tables(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-10 00:00:00"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
 
 
 @query("p5_overlap_join", sql="""
@@ -300,10 +315,18 @@ def a2_count_distinct(spark, sf_dir):
     return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
 
 
-# a3_distinct left the gate in r4 (driver 50-query cap): the DISTINCT
-# expansion class stays gated through a2_count_distinct (the same
-# two-stage distinct aggregation) and llm_exact_dedup (hash-groupBy
-# dedup); the freed row gates llm_kmeans_assign.
+# a3_distinct left the gate in r4 (driver 50-query cap) and was restored
+# r7 as a displaced entry (r6 verdict task 2): the DISTINCT class still
+# rides a2_count_distinct on the gate, and the query keeps its own
+# oracle row in tests/test_displaced_oracles.py.
+
+@query("a3_distinct", gate=False, sql="""
+    SELECT DISTINCT lang, source FROM documents
+""")
+def a3_distinct(spark, sf_dir):
+    """A3: DISTINCT set projection (``run/createIngestApsVizStationData.py:41-46``)."""
+    d = tables(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct()
 
 
 @query("j10_asof_join", sql="""
@@ -456,20 +479,63 @@ def x5_kv_pivot(spark, sf_dir):
     )
 
 
-# x6_sanitized_pivot_labels left the gate in r4 (driver 50-query cap):
-# the X6 label-sanitization class stays gated through x2_allparms_pivot,
-# whose dot-carrying 'view.nowcast' category exercises the same
-# `functions/strings.sanitize_label` path into the 'viewnowcast' output
-# column; crosstab_timeseries itself stays on the gate via x2. The
-# freed row gates llm_pagerank.
+# x6_sanitized_pivot_labels left the gate in r4 (driver 50-query cap)
+# and was restored r7 as a displaced entry (r6 verdict task 2): the X6
+# label-sanitization class still rides x2_allparms_pivot's dot-carrying
+# 'view.nowcast' category on the gate, and the query keeps its own
+# oracle row in tests/test_displaced_oracles.py.
+
+@query("x6_sanitized_pivot_labels", gate=False, sql="""
+    WITH agg AS (
+        SELECT lang, source, count(*) AS cnt
+        FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1, 2
+    )
+    SELECT lang,
+           max(cnt) FILTER (WHERE source = 'src0') AS srccount0,
+           max(cnt) FILTER (WHERE source = 'src1') AS srccount1
+    FROM agg GROUP BY lang
+""")
+def x6_sanitized_pivot_labels(spark, sf_dir):
+    """X1+X6: pivot via the engine's crosstab operator with label
+    sanitization (dots stripped per
+    ``scripts/get_forecast_timeseries_station_data.sql:32``)."""
+    d = tables(spark, sf_dir, "documents")
+    pre = (
+        d.filter(F.col("source").isin("src0", "src1"))
+        .withColumn("src", F.concat(F.lit("src.count."),
+                                    F.regexp_extract("source", r"(\d+)$", 1)))
+        .groupBy("lang", "src").agg(F.count("*").alias("cnt"))
+    )
+    return crosstab_timeseries(
+        pre, row_key="lang", pivot_col="src",
+        categories=["src.count.0", "src.count.1"], value=F.col("cnt"),
+    )
 
 
 # --- O: sorts / set ops --------------------------------------------------
 
-# o3_union left the gate in r4 (driver 50-query cap): unionByName
-# executes ON the gate path inside j10_asof_join (its stage 1 is the
-# two-sided tagged union) and keeps direct pytest + golden coverage in
-# the pipelines; the freed row gates llm_perplexity_ngram.
+# o3_union left the gate in r4 (driver 50-query cap) and was restored
+# r7 as a displaced entry (r6 verdict task 2): unionByName still
+# executes ON the gate path inside j10_asof_join's stage-1 tagged
+# union, and the query keeps its own oracle row in
+# tests/test_displaced_oracles.py.
+
+@query("o3_union", gate=False, sql="""
+    SELECT o_orderkey, o_orderpriority, 'urgent' AS bucket
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'low' AS bucket
+    FROM orders WHERE o_orderpriority = '5-LOW'
+""")
+def o3_union(spark, sf_dir):
+    """O3: vertical union (``pd.concat``,
+    ``run/createIngestApsVizStationData.py:310``) via unionByName."""
+    o = tables(spark, sf_dir, "orders")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_orderpriority", F.lit("urgent").alias("bucket")))
+    low = (o.filter(F.col("o_orderpriority") == "5-LOW")
+           .select("o_orderkey", "o_orderpriority", F.lit("low").alias("bucket")))
+    return urgent.unionByName(low)
 
 # O4/A7 (min_by/max_by first/last-of-group) is exercised inside
 # a1_minmax_per_group — the driver caps the per-round query list at 50,

@@ -63,15 +63,30 @@ def main() -> None:
     warm = run_all()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    # totals LAST: the driver records a bounded TAIL of stdout, so when
+    # the line outgrows the clip it's the per-query maps that lose their
+    # head, never the headline totals
+    record = {
         "metric": "headline_suite_total",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "warm_total": round(sum(warm.values()), 3),
-        "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "value": round(sum(timings.values()), 3),
+    }
+    line = json.dumps(record)
+    # the driver keeps only a bounded tail of stdout; BENCH_r06's record
+    # lost its cold totals to that clip (r6 verdict task 3). Persist the
+    # complete record to a file too, so every round's bench is fully
+    # machine-readable regardless of how stdout is captured.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":
