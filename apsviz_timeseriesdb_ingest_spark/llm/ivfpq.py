@@ -104,7 +104,8 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
                       codebooks: list[list[list[float]]], *,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       cell_col: str = "centroid_id",
-                      residual: bool = False) -> DataFrame:
+                      residual: bool = False,
+                      index: "CentroidIndex | None" = None) -> DataFrame:
     """(id, cell, codes) — the stored index frame, built in ONE
     zero-exchange projection (cell argmin + PQ encode fused; both are
     literal-centroid expressions over the same vector column, so
@@ -114,12 +115,32 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
     :func:`residuals` of the same corpus, and probe with the matching
     ``residual=True``).
 
+    ``index=`` (a ``similarity.CentroidIndex`` over the same
+    centroids) switches the cell argmin to the two-level table-backed
+    assignment for the large-k regime (r6 verdict task 1): the plan
+    stays one projection + one broadcast of centroid DATA — no k x dim
+    codegen literals — and the residual path binds the row's centroid
+    via a broadcast-map lookup instead of the literal matrix. The PQ
+    codebooks stay literal either way (m x codes x sub_dim is small
+    and fixed — it does not grow with k).
+
     Write it ``Catalog.overwrite(..., partition_by=(cell_col,))`` and
     the original vectors never need to be co-scanned at query time.
     """
     v = (vectors.select(F.col(id_col),
                         F.col(vec_col).cast("array<double>").alias("__vec"))
          .withColumn("__nrm", _norm(F.col("__vec"))))
+    if index is not None:
+        from .similarity import with_centroid_cell
+
+        v = with_centroid_cell(v, index, vec_col="__vec", nrm_col="__nrm",
+                               out_col="__cell",
+                               cent_col="__cent" if residual else None)
+        codes = F.array(*_argmin_codes(
+            codebooks, F.col("__vec"),
+            F.col("__cent") if residual else None))
+        return v.select(F.col(id_col), F.col("__cell").alias(cell_col),
+                        codes.alias("codes"))
     cell = _centroid_argmin_expr(centroids, F.col("__vec"), F.col("__nrm"))
     if residual:
         # bind the row's centroid once in its own projection so the

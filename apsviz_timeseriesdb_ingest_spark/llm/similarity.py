@@ -599,22 +599,174 @@ def probe_cells_expr(centroids: list[list[float]], vec: Column,
     return F.transform(top, lambda s: (-s["negid"]).cast("int"))
 
 
+class CentroidIndex:
+    """Two-level centroid index for LARGE-k nearest-centroid assignment
+    (r6 verdict task 1 — the literal-centroid k ceiling).
+
+    :func:`_centroid_argmin_expr` inlines all k centroids as codegen
+    literals — exactly right up to a few hundred centroids, but
+    ``semantic_k(n) = n/500`` grows k WITH the corpus (10 M docs →
+    k = 20,000) and a 20,000 x 64 literal projection cannot be built,
+    compiled, or shipped per task. This is the standard IVF
+    coarse-quantizer shape instead, all DATA, no literals:
+
+    - **coarse** level: ~sqrt(k) centroids obtained by driver-side
+      spherical k-means OVER the k fine centroids (numpy, k x dim —
+      trivial next to one corpus pass). Small enough to stay a literal
+      argmin expression.
+    - **fine** level: a one-row broadcast frame carrying
+      ``map<coarse_cell -> array<struct(cid, cvec, cnrm)>>``. Each row
+      probes its ``nprobe`` nearest coarse cells (map-side expression),
+      flattens those cells' fine-centroid structs, and folds an argmin
+      over them — a pure projection over broadcast DATA: per-row cost
+      is O(nprobe * k/coarse_k * dim) regardless of total k, plan size
+      is CONSTANT in k, and the stage keeps the zero-exchange property
+      (one broadcast, no shuffle, no groupBy).
+
+    Exactness: two-level assignment is exact whenever the true nearest
+    fine centroid lives in one of the probed coarse cells — the
+    standard IVF trade. ``nprobe=len(index.coarse)`` probes everything
+    and reproduces the flat literal argmin BIT-FOR-BIT (same fold
+    order, same tie-break, same zero-norm convention; pytest-pinned).
+    Zero-norm vectors fall to centroid 0 exactly like the literal path.
+    """
+
+    def __init__(self, centroids: list[list[float]], *,
+                 coarse_k: int | None = None, nprobe: int = 8,
+                 iters: int = 10):
+        import math
+
+        k = len(centroids)
+        dim = len(centroids[0])
+        coarse_k = min(coarse_k or max(1, math.isqrt(k - 1) + 1), k)
+        coarse, assign = _cluster_centroids(centroids, coarse_k, iters)
+        groups: dict[int, list] = {}
+        for cid, coarse_id in enumerate(assign):
+            cn = math.sqrt(sum(x * x for x in centroids[cid])) or 1.0
+            groups.setdefault(int(coarse_id), []).append(
+                (cid, [float(x) for x in centroids[cid]], cn))
+        # drop empty coarse cells and re-index so probe ids are dense
+        live = sorted(groups)
+        self.coarse = [coarse[g] for g in live]
+        self.groups = {i: groups[g] for i, g in enumerate(live)}
+        self.centroids = centroids
+        self.nprobe = min(int(nprobe), len(self.coarse))
+        self.k, self.dim = k, dim
+
+    def frame(self, spark) -> DataFrame:
+        """The broadcastable one-row frame: ``__cmap`` (coarse cell →
+        fine-centroid structs) and ``__cvecs`` (fine cid → vector, for
+        residual encoders that need the row's centroid)."""
+        cvecs = {cid: vec for cells in self.groups.values()
+                 for cid, vec, _ in cells}
+        return spark.createDataFrame(
+            [(self.groups, cvecs)],
+            "__cmap map<int, array<struct<cid:int, cvec:array<double>, "
+            "cnrm:double>>>, __cvecs map<int, array<double>>")
+
+
+def _cluster_centroids(centroids: list[list[float]], coarse_k: int,
+                       iters: int) -> tuple[list[list[float]], list[int]]:
+    """Driver-side deterministic spherical k-means over the k fine
+    centroids (numpy; init = evenly-spaced fine centroids). Returns
+    (coarse centroid rows, fine→coarse assignment). k x dim work —
+    milliseconds even at k=20,000."""
+    import numpy as np
+
+    M = np.asarray(centroids, dtype=np.float64)
+    k = len(centroids)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    U = M / norms[:, None]
+    idx = np.unique(np.round(np.linspace(0, k - 1, coarse_k)).astype(int))
+    C = U[idx].copy()
+    assign = None
+    for _ in range(max(1, iters)):
+        # argmax ties break to the SMALLEST coarse id (np.argmax takes
+        # the first maximum) — deterministic on any platform
+        assign = np.argmax(U @ C.T, axis=1)
+        for g in range(len(C)):
+            members = U[assign == g]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[g] = m / n
+    assign = np.argmax(U @ C.T, axis=1)
+    return [[float(x) for x in row] for row in C], [int(a) for a in assign]
+
+
+def _indexed_argmin_expr(index: CentroidIndex, vec: Column,
+                         nrm: Column) -> Column:
+    """Two-level nearest-centroid id over a :class:`CentroidIndex` —
+    requires the index ``frame()`` columns (``__cmap``) on the row (see
+    :func:`with_centroid_cell`). Same cosine, same fold order, same
+    smallest-id tie-break and zero-norm convention as
+    :func:`_centroid_argmin_expr`."""
+    probe = probe_cells_expr(index.coarse, vec, nrm, nprobe=index.nprobe)
+    empty = F.array().cast(
+        "array<struct<cid:int, cvec:array<double>, cnrm:double>>")
+    cands = F.flatten(F.transform(
+        probe, lambda p: F.coalesce(F.try_element_at(F.col("__cmap"), p),
+                                    empty)))
+    sim_of = lambda s: F.nanvl(  # noqa: E731
+        F.when(nrm != 0, _dot(vec, s["cvec"]) / (nrm * s["cnrm"]))
+        .otherwise(F.lit(-2.0)), F.lit(-2.0))
+    scored = F.transform(cands, lambda s: F.struct(
+        sim_of(s).alias("sim"), (-s["cid"]).alias("negid")))
+    best = (-F.array_max(scored)["negid"]).cast("int")
+    # zero-norm rows fall deterministically to centroid 0 on the
+    # literal path (every sim floors to -2.0, max negid wins) — pin the
+    # same here, since the probed candidate set need not contain cid 0
+    return F.when(nrm == 0, F.lit(0)).otherwise(F.coalesce(best, F.lit(0)))
+
+
+def with_centroid_cell(df: DataFrame, index: CentroidIndex, *,
+                       vec_col: str = "vec", nrm_col: str = "nrm",
+                       out_col: str = "cell",
+                       cent_col: str | None = None) -> DataFrame:
+    """Add the two-level nearest-centroid assignment ``out_col`` to
+    ``df`` (which must already carry ``vec_col``/``nrm_col``): one
+    broadcast of the index frame, then a pure projection — the
+    drop-in large-k replacement for a `_centroid_argmin_expr` column.
+    ``cent_col`` additionally binds the assigned centroid's VECTOR
+    (residual encoders) via a map lookup instead of a k x dim literal
+    matrix."""
+    out = (df.crossJoin(F.broadcast(index.frame(df.sparkSession)))
+           .withColumn(out_col, _indexed_argmin_expr(
+               index, F.col(vec_col), F.col(nrm_col))))
+    if cent_col is not None:
+        out = out.withColumn(
+            cent_col, F.try_element_at(F.col("__cvecs"), F.col(out_col)))
+    return out.drop("__cmap", "__cvecs")
+
+
 def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
                   id_col: str = "vec_id", vec_col: str = "embedding",
+                  index: CentroidIndex | None = None,
                   ) -> DataFrame:
     """(id, centroid_id) for TRAINED centroids (:func:`train_kmeans`).
 
     Unlike :func:`ivf_assign` (broadcast join + shuffled argmin
-    aggregation — the right shape when k is large), this inlines the k
-    centroids as literals so assignment is a pure projection: zero
-    exchanges, pipelineable into the partitioned-layout write. Use for
-    the common IVF regime (k*dim up to a few tens of thousands — codegen
-    expression size is the bound, documented not guessed: 256x64 works;
-    far beyond that, fall back to ivf_assign with trained centroid rows).
-    """
+    aggregation), this inlines the k centroids as literals so
+    assignment is a pure projection: zero exchanges, pipelineable into
+    the partitioned-layout write. Use for the common IVF regime (k*dim
+    up to a few tens of thousands — codegen expression size is the
+    bound, documented not guessed: 256x64 works).
+
+    ``index=`` (a :class:`CentroidIndex` built over the same
+    centroids) switches to the two-level table-backed assignment for
+    the LARGE-k regime ``semantic_k`` steers into at corpus scale:
+    plan size constant in k, per-row cost O(nprobe·k/coarse_k·dim),
+    still one projection + one broadcast, zero shuffles. Exact when
+    the probed coarse cells contain the true argmin (probe everything
+    for bit-parity with the literal path)."""
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))
          .withColumn("nrm", _norm(F.col("vec"))))
+    if index is not None:
+        return (with_centroid_cell(v, index, out_col="centroid_id")
+                .select(F.col("id").alias(id_col), "centroid_id"))
     cid = _centroid_argmin_expr(centroids, F.col("vec"), F.col("nrm"))
     return v.select(F.col("id").alias(id_col), cid.alias("centroid_id"))
 
@@ -630,7 +782,8 @@ def semantic_k(n_vectors: int, target_cell: int = 500) -> int:
 def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.95,
-                   max_cell_size: int | None = None) -> DataFrame:
+                   max_cell_size: int | None = None,
+                   index: CentroidIndex | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic
     deduplication", 2023 — public paper): k-means-cluster the embedding
@@ -657,6 +810,13 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
     cell → quadratic pair join): cells above it are skipped for pair
     generation with the same caveat as ``lsh_pairs_from_buckets``.
     ``centroids`` come from :func:`train_kmeans`.
+
+    ``index=`` (a :class:`CentroidIndex` over the same centroids)
+    switches the cell assignment to the two-level table-backed form —
+    REQUIRED in the large-k regime :func:`semantic_k` produces at
+    corpus scale (k grows with n; the literal projection does not).
+    The pair stage is unchanged: duplicates are defined within the
+    ASSIGNED cell either way.
     """
     dim = len(centroids[0])
     par = vectors.sparkSession.sparkContext.defaultParallelism
@@ -668,9 +828,12 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
                         F.col(vec_col).cast("array<double>").alias("vec"))
          .repartition(par, F.col("id"))
          .withColumn("nrm", _norm(F.col("vec"))))
-    v = v.withColumn("cell",
-                     _centroid_argmin_expr(centroids, F.col("vec"),
-                                           F.col("nrm")))
+    if index is not None:
+        v = with_centroid_cell(v, index)
+    else:
+        v = v.withColumn("cell",
+                         _centroid_argmin_expr(centroids, F.col("vec"),
+                                               F.col("nrm")))
     if max_cell_size is not None:
         sizes = v.groupBy("cell").agg(F.count("*").alias("n"))
         v_pairs = v.join(F.broadcast(
@@ -702,7 +865,9 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
 
 def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 8, iters: int = 10,
-                 tol: float = 1e-9) -> list[list[float]]:
+                 tol: float = 1e-9,
+                 two_level_from: int | None = 512,
+                 index_kw: dict | None = None) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd's) for IVF centroid training.
 
     Deterministic init: the k smallest-id vectors. Each iteration is one
@@ -721,6 +886,18 @@ def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
 
     Training commonly runs on a :meth:`DataFrame.sample` of the corpus;
     pass the sample in — this function does not subsample.
+
+    ``two_level_from``: at or above this k, each iteration's
+    assignment switches from the literal argmin projection (whose plan
+    is O(k·dim) codegen — the r6 scale ceiling) to the table-backed
+    two-level :class:`CentroidIndex` built per iteration from the
+    CURRENT centroids (driver-side numpy over k x dim — trivial next
+    to the corpus pass). The per-iteration plan is then constant-size
+    in k. Two-level assignment is the standard IVF approximation, so
+    huge-k training is approximate Lloyd's (each step still reduces
+    within-probe distortion); pass ``None`` to force the exact literal
+    path at any k, or tune ``index_kw`` (coarse_k/nprobe). Below the
+    threshold the two paths are the same algorithm.
     """
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))
@@ -735,10 +912,17 @@ def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
         n = math.sqrt(sum(x * x for x in c)) or 1.0
         return [x / n for x in c]
 
+    two_level = two_level_from is not None and k >= int(two_level_from)
     centroids = [_unit(list(r.vec)) for r in seed_rows]
     for _ in range(iters):
-        cid = _centroid_argmin_expr(centroids, F.col("vec"), F.col("nrm"))
-        stats = (v.withColumn("cid", cid)
+        if two_level:
+            idx = CentroidIndex(centroids, **(index_kw or {}))
+            assigned = with_centroid_cell(v, idx, out_col="cid")
+        else:
+            cid = _centroid_argmin_expr(centroids, F.col("vec"),
+                                        F.col("nrm"))
+            assigned = v.withColumn("cid", cid)
+        stats = (assigned
                  .groupBy("cid")
                  .agg(F.count("*").alias("n"),
                       *[F.sum(F.col("vec")[j]).alias(f"s{j}")

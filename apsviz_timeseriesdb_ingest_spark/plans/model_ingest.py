@@ -220,7 +220,15 @@ class ModelIngest:
         if not meta_files:
             return 0
         ledger = self.catalog.read("apsviz_station_file_meta", APSVIZ_STATION_FILE_META)
-        seen = {r.file_name for r in ledger.select("file_name").collect()}
+        # per-RUN ledger probe (reference parity:
+        # run/runModelIngest.py:90-94 queries the meta table by its
+        # instance/run identifiers): the driver set stays O(run), never
+        # O(history) — years of accumulated runs cost this collect
+        # nothing (r6 verdict task 4; the filter also prunes at the
+        # parquet scan)
+        seen = {r.file_name for r in
+                ledger.filter(F.col("model_run_id") == model_run_id)
+                .select("file_name").collect()}
 
         by_type = {}
         for path in meta_files:

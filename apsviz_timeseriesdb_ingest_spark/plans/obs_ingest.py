@@ -225,24 +225,35 @@ class ObsIngest:
         source_meta = self.catalog.read("source_obs_meta").collect()
         ledger = self.catalog.read("retain_obs_station_file_meta",
                                    RETAIN_OBS_STATION_FILE_META)
-        seen = {r.file_name for r in ledger.select("file_name").collect()}
 
-        pending = []  # (meta file name, paired data file name, timemark, source cfg)
+        candidates = []  # (meta file name, paired data file name, timemark, source cfg)
         for m in source_meta:
             meta_prefix = m.filename_prefix.replace("stationdata", "stationdata_meta")
             if meta_prefix == m.filename_prefix:
                 continue
             for path in sorted(glob(os.path.join(self.harvest_dir, meta_prefix + "*.csv"))):
-                name = os.path.basename(path)
-                if name in seen:
-                    continue
-                match = _TIMEMARK_RE.search(name)
-                if not match:
-                    continue
-                data_name = "_".join(name.split("_meta_"))
-                if not os.path.exists(os.path.join(self.harvest_dir, data_name)):
-                    continue  # paired data file not harvested (yet)
-                pending.append((name, data_name, _parse_timemark(match), m))
+                candidates.append((os.path.basename(path), m))
+        # ledger probe bounded to THIS pass's candidate names (an IN
+        # filter the scan prunes on), so the driver set is O(harvest
+        # dir), never O(ledger history) — the model-side lesson of r6
+        # verdict task 4 applied to the retain-obs ledger
+        seen = ({r.file_name for r in
+                 ledger.filter(F.col("file_name").isin(
+                     [n for n, _ in candidates]))
+                 .select("file_name").collect()}
+                if candidates else set())
+
+        pending = []
+        for name, m in candidates:
+            if name in seen:
+                continue
+            match = _TIMEMARK_RE.search(name)
+            if not match:
+                continue
+            data_name = "_".join(name.split("_meta_"))
+            if not os.path.exists(os.path.join(self.harvest_dir, data_name)):
+                continue  # paired data file not harvested (yet)
+            pending.append((name, data_name, _parse_timemark(match), m))
         if not pending:
             return 0
 
