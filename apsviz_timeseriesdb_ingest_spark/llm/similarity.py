@@ -599,6 +599,35 @@ def probe_cells_expr(centroids: list[list[float]], vec: Column,
     return F.transform(top, lambda s: (-s["negid"]).cast("int"))
 
 
+def probe_cells_expr_indexed(index: CentroidIndex, vec: Column,
+                             nrm: Column, *, nprobe: int = 2) -> Column:
+    """:func:`probe_cells_expr` through a :class:`CentroidIndex` — the
+    large-k form of the per-row probe list (the streaming embedding
+    stream's plan otherwise inlines ALL k centroids as literals, the
+    same r6 ceiling as assignment). Requires the index ``frame()``
+    columns on the row (``with_centroid_cell``'s crossJoin, or attach
+    ``index.frame(spark)`` yourself). Ranks the fine centroids of the
+    row's ``index.nprobe`` nearest coarse cells and returns the
+    ``nprobe`` best fine cell ids (cosine, smallest-id tie-break) —
+    exact whenever the true top-``nprobe`` fine centroids live in the
+    probed coarse cells (probe everything for guaranteed equality with
+    the literal expression)."""
+    coarse = probe_cells_expr(index.coarse, vec, nrm,
+                              nprobe=index.nprobe)
+    empty = F.array().cast(
+        "array<struct<cid:int, cvec:array<double>, cnrm:double>>")
+    cands = F.flatten(F.transform(
+        coarse, lambda p: F.coalesce(F.try_element_at(F.col("__cmap"), p),
+                                     empty)))
+    sim_of = lambda s: F.nanvl(  # noqa: E731
+        F.when(nrm != 0, _dot(vec, s["cvec"]) / (nrm * s["cnrm"]))
+        .otherwise(F.lit(-2.0)), F.lit(-2.0))
+    scored = F.transform(cands, lambda s: F.struct(
+        sim_of(s).alias("sim"), (-s["cid"]).alias("negid")))
+    top = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
+    return F.transform(top, lambda s: (-s["negid"]).cast("int"))
+
+
 class CentroidIndex:
     """Two-level centroid index for LARGE-k nearest-centroid assignment
     (r6 verdict task 1 — the literal-centroid k ceiling).
@@ -638,7 +667,14 @@ class CentroidIndex:
 
         k = len(centroids)
         dim = len(centroids[0])
-        coarse_k = min(coarse_k or max(1, math.isqrt(k - 1) + 1), k)
+        if coarse_k is None:
+            # balance the two stages: coarse literal argmin costs
+            # O(coarse_k·dim)/row, fine fold O(nprobe·k/coarse_k·dim),
+            # so coarse_k* = sqrt(nprobe·k); capped where the literal
+            # expression stays comfortably buildable
+            eff = max(1, min(int(nprobe), k))
+            coarse_k = min(1024, math.isqrt(max(eff * k - 1, 0)) + 1)
+        coarse_k = max(1, min(coarse_k, k))
         coarse, assign = _cluster_centroids(centroids, coarse_k, iters)
         groups: dict[int, list] = {}
         for cid, coarse_id in enumerate(assign):

@@ -219,16 +219,25 @@ class ModelIngest:
         meta_files = sorted(glob(os.path.join(run_dir, "meta_FORECAST_*.csv")))
         if not meta_files:
             return 0
-        ledger = self.catalog.read("apsviz_station_file_meta", APSVIZ_STATION_FILE_META)
         # per-RUN ledger probe (reference parity:
         # run/runModelIngest.py:90-94 queries the meta table by its
         # instance/run identifiers): the driver set stays O(run), never
         # O(history) — years of accumulated runs cost this collect
-        # nothing (r6 verdict task 4; the filter also prunes at the
-        # parquet scan)
-        seen = {r.file_name for r in
-                ledger.filter(F.col("model_run_id") == model_run_id)
-                .select("file_name").collect()}
+        # nothing (r6 verdict task 4). read_equals adds Bloom/zone-map
+        # FILE skipping whenever the deployment built a sidecar on
+        # model_run_id (build_skipping(equality_cols=["model_run_id"]))
+        # and degrades to the plain filtered read otherwise (r6 verdict
+        # task 7: the skipping layer serves the ledger probe too).
+        if self.catalog.exists("apsviz_station_file_meta"):
+            from ..sources.skipping import read_equals
+
+            probe = read_equals(self.catalog, "apsviz_station_file_meta",
+                                "model_run_id", [model_run_id])
+        else:
+            probe = self.catalog.read("apsviz_station_file_meta",
+                                      APSVIZ_STATION_FILE_META).filter(
+                F.col("model_run_id") == model_run_id)
+        seen = {r.file_name for r in probe.select("file_name").collect()}
 
         by_type = {}
         for path in meta_files:

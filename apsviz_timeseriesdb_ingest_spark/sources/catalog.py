@@ -332,7 +332,8 @@ class Catalog:
         return StagedRebuild(self, tables)
 
     def compact(self, table: str, *, partitions: int | None = None,
-                committed_ledger: str | None = None) -> None:
+                committed_ledger: str | None = None,
+                min_files: int = 2) -> None:
         """Rewrite a table to heal the small-file problem incremental
         merges accumulate (many micro-batches → many tiny parquet files).
 
@@ -340,51 +341,67 @@ class Catalog:
         just ``time_bucket``: the ``__batch``/``term_bucket`` layouts
         the commit-ledger indexes rely on must survive compaction, or
         the next transactional append would mix a partitioned write
-        into a flattened table (r4). A static full overwrite replaces
-        every partition in one job; partitioned tables re-cluster on
+        into a flattened table (r4). Partitioned tables re-cluster on
         their partition columns so each partition dir collapses to ~one
         file.
 
+        INCREMENTAL for partitioned tables (r7): only leaf partitions
+        holding at least ``min_files`` data files are rewritten, via
+        dynamic partition overwrite — already-compacted partitions are
+        not read, not rewritten, and a table with no crowded partition
+        is a metadata-only NO-OP. That turns periodic maintenance from
+        O(table) per pass into O(small-file buildup since the last
+        pass), which is the difference between OPTIMIZE being free and
+        being a nightly full rewrite at 100 TB (Delta/Iceberg OPTIMIZE
+        has the same file-count gating). Flat (unpartitioned) tables
+        keep the full coalesce rewrite, skipped when the table already
+        holds fewer than ``min_files`` files.
+
         ``committed_ledger``: for a stream-owned ``(__batch, __writer)``
-        table, compact only the partitions COMMITTED in that ledger,
-        via dynamic partition overwrite — an in-flight writer's
-        not-yet-committed partition is never read or replaced (ADVICE
-        r6: the static full overwrite raced a live writer's
-        pre-commit window and could drop its partition). Uncommitted
-        orphans are also left in place (``vacuum_uncommitted`` owns
-        reclaiming them)."""
+        table, compact only the partitions COMMITTED in that ledger —
+        an in-flight writer's not-yet-committed partition is never read
+        or replaced (ADVICE r6: the old static full overwrite raced a
+        live writer's pre-commit window and could drop its partition).
+        Uncommitted orphans are also left in place
+        (``vacuum_uncommitted`` owns reclaiming them)."""
+        from .zonemap import list_parquet_files, read_pruned
+
         part_cols = self.partition_columns(table)
         n = partitions or self.spark.sparkContext.defaultParallelism
-        if committed_ledger is not None and part_cols[:2] == ["__batch",
-                                                             "__writer"]:
-            from .skipping import committed_files
-            from .zonemap import read_pruned
+        min_files = max(2, int(min_files))
+        if part_cols:
+            files = list_parquet_files(self.path(table))
+            if committed_ledger is not None and part_cols[:2] == [
+                    "__batch", "__writer"]:
+                from .skipping import committed_files
 
-            keep = committed_files(self, table, committed_ledger)
-            if not keep:
-                return
-            df = read_pruned(self.spark, self.path(table), keep)
+                files = committed_files(self, table, committed_ledger)
+            by_part: dict[str, list[str]] = {}
+            for f in files:
+                by_part.setdefault(os.path.dirname(f), []).append(f)
+            crowded = [f for fs in by_part.values()
+                       if len(fs) >= min_files for f in fs]
+            if not crowded:
+                return  # nothing to heal — zero jobs
+            df = read_pruned(self.spark, self.path(table), crowded)
             df = df.localCheckpoint(eager=True)
-            # dynamic: only the committed partitions present in the
-            # frame are replaced; in-flight/orphan partitions untouched
+            # dynamic: only the crowded partitions present in the frame
+            # are replaced; everything else untouched
             (df.repartition(n, *part_cols).write.mode("overwrite")
              .partitionBy(*part_cols).parquet(self.path(table)))
             self.refresh_skipping(table)
             return
+        if len(list_parquet_files(self.path(table))) < min_files:
+            return
         df = self.read(table)
         df = df.localCheckpoint(eager=True)
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        # static: the whole table is being rewritten, including
-        # partitions a dynamic overwrite would leave half-compacted
+        # static: the whole (flat) table is being rewritten
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                             "static")
         try:
-            if part_cols:
-                (df.repartition(n, *part_cols).write.mode("overwrite")
-                 .partitionBy(*part_cols).parquet(self.path(table)))
-            else:
-                (df.coalesce(max(1, n // 8)).write.mode("overwrite")
-                 .parquet(self.path(table)))
+            (df.coalesce(max(1, n // 8)).write.mode("overwrite")
+             .parquet(self.path(table)))
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev)

@@ -488,7 +488,8 @@ def run_incremental_embedding_stream(
         threshold: float = 0.9, nprobe: int = 2, dim: int | None = None,
         planes: int = 8, bands: int = 4,
         schema: str = "vec_id long, embedding array<float>",
-        id_col: str = "vec_id", vec_col: str = "embedding"):
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        index=None):
     """Continuous embedding-level near-dedup: each micro-batch probes the
     PARTITIONED ANN corpus (``Catalog`` table partitioned by IVF cell,
     the layout :func:`llm.similarity.kmeans_assign` writes) — the
@@ -519,11 +520,19 @@ def run_incremental_embedding_stream(
 
     ``centroids`` come from :func:`llm.similarity.train_kmeans` (train
     once on a sample, reuse across batches — retraining would reshuffle
-    the layout). Returns the StreamingQuery.
+    the layout). ``index=`` (a :class:`llm.similarity.CentroidIndex`
+    over the same centroids) switches the per-row cell assignment AND
+    probe-list expressions to the two-level table-backed form for the
+    large-k regime — plan constant-size in k, the r6 literal-centroid
+    ceiling closed on the streaming path too. Returns the
+    StreamingQuery.
     """
     from ..llm.dedup import dedup_keep_representative
-    from ..llm.similarity import (_centroid_argmin_expr, _dot, _norm,
-                                  embedding_neardup_pairs, probe_cells_expr)
+    from ..llm.similarity import (_centroid_argmin_expr,
+                                  _indexed_argmin_expr, _dot, _norm,
+                                  embedding_neardup_pairs,
+                                  probe_cells_expr,
+                                  probe_cells_expr_indexed)
 
     vec_dim = dim or len(centroids[0])
 
@@ -533,14 +542,27 @@ def run_incremental_embedding_stream(
             return
         v = (batch_df
              .withColumn("__vec", F.col(vec_col).cast("array<double>"))
-             .withColumn("__nrm", _norm(F.col("__vec")))
-             .withColumn("centroid_id",
-                         _centroid_argmin_expr(centroids, F.col("__vec"),
-                                               F.col("__nrm")))
-             .withColumn("__probes",
-                         probe_cells_expr(centroids, F.col("__vec"),
-                                          F.col("__nrm"), nprobe=nprobe))
-             .localCheckpoint(eager=True))
+             .withColumn("__nrm", _norm(F.col("__vec"))))
+        if index is not None:
+            v = (v.crossJoin(F.broadcast(index.frame(spark)))
+                 .withColumn("centroid_id",
+                             _indexed_argmin_expr(index, F.col("__vec"),
+                                                  F.col("__nrm")))
+                 .withColumn("__probes",
+                             probe_cells_expr_indexed(
+                                 index, F.col("__vec"), F.col("__nrm"),
+                                 nprobe=nprobe))
+                 .drop("__cmap", "__cvecs"))
+        else:
+            v = (v.withColumn("centroid_id",
+                              _centroid_argmin_expr(centroids,
+                                                    F.col("__vec"),
+                                                    F.col("__nrm")))
+                 .withColumn("__probes",
+                             probe_cells_expr(centroids, F.col("__vec"),
+                                              F.col("__nrm"),
+                                              nprobe=nprobe)))
+        v = v.localCheckpoint(eager=True)
         fresh = v
         if catalog.exists(corpus_table):
             # literal cell filter -> partition pruning on the corpus scan

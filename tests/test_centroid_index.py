@@ -139,3 +139,78 @@ def test_train_kmeans_two_level_probe_all_matches_exact(spark):
     two = train_kmeans(df, k=6, iters=4, two_level_from=1,
                        index_kw={"nprobe": 10**6})
     assert np.allclose(np.array(exact), np.array(two), atol=0.0)
+
+
+def test_probe_expr_indexed_probe_all_matches_literal(spark):
+    """probe_cells_expr_indexed with probe-everything returns the same
+    nprobe fine-cell lists as the literal probe_cells_expr for nonzero
+    vectors (same sims, same tie-break)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        _norm,
+        probe_cells_expr,
+        probe_cells_expr_indexed,
+    )
+
+    df = _vectors(spark, n=100, dim=8, k_blobs=10, with_zero=False)
+    cents = _centroids(spark, df, k=10)
+    idx = CentroidIndex(cents, nprobe=10**6)
+    v = (df.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("vec"))
+         .withColumn("nrm", _norm(F.col("vec"))))
+    lit_probe = {r.vec_id: list(r.p) for r in v.select(
+        "vec_id", probe_cells_expr(cents, F.col("vec"), F.col("nrm"),
+                                   nprobe=3).alias("p")).collect()}
+    via = (v.crossJoin(F.broadcast(idx.frame(spark)))
+           .select("vec_id", probe_cells_expr_indexed(
+               idx, F.col("vec"), F.col("nrm"), nprobe=3).alias("p")))
+    idx_probe = {r.vec_id: list(r.p) for r in via.collect()}
+    assert idx_probe == lit_probe
+
+
+def test_embedding_stream_with_index(spark, tmp_path):
+    """run_incremental_embedding_stream(index=) keeps the exact batch
+    semantics of the literal path: cross-batch dup rejected via the
+    corpus probe, in-batch pair resolved, replay idempotent."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_embedding_stream,
+    )
+
+    dim = 8
+    centroids = [[1.0 if i == a else 0.0 for i in range(dim)]
+                 for a in range(4)]
+    idx = CentroidIndex(centroids, nprobe=10**6)
+    src = str(tmp_path / "in")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    SCH = "vec_id long, embedding array<float>"
+
+    def _write(rows):
+        spark.createDataFrame(rows, SCH).write.mode("append").parquet(src)
+
+    def _run(ck):
+        q = run_incremental_embedding_stream(
+            spark, src, catalog, centroids,
+            checkpoint_dir=str(tmp_path / ck),
+            threshold=0.95, nprobe=2, dim=dim, index=idx)
+        assert q.awaitTermination(120)
+
+    def axis(a, scale=1.0):
+        # scalar multiples keep every sign-LSH bit identical (additive
+        # jitter on exact zeros flips bits at dot≈0 and breaks
+        # candidate generation — the original stream test's lesson)
+        return [scale if i == a else 0.0 for i in range(dim)]
+
+    _write([(1, axis(0)), (2, axis(1))])
+    _run("ck")
+    assert {r.vec_id for r in catalog.read("ann_corpus").collect()} == {1, 2}
+    # 12 duplicates 1 (cross-batch, corpus probe), 13/14 in-batch pair,
+    # 15 new
+    _write([(12, axis(0, 1.002)), (13, axis(2)),
+            (14, axis(2, 1.001)), (15, axis(3))])
+    _run("ck")
+    got = {r.vec_id for r in catalog.read("ann_corpus").collect()}
+    assert got == {1, 2, 13, 15}
+    # fresh-checkpoint replay: everything self-matches, corpus no-op
+    _run("ck2")
+    rows = catalog.read("ann_corpus").collect()
+    assert {r.vec_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4

@@ -209,3 +209,40 @@ def test_snapshot_read_requires_stream_layout(spark, tmp_path):
     # nothing to exclude)
     assert read_committed_between(catalog, "t", "k", 1, 5,
                                   index_table="idx").count() == 5
+
+
+def test_compact_is_incremental_per_partition(spark, tmp_path):
+    """r7: compact rewrites ONLY partitions with small-file buildup —
+    single-file partitions are not read or touched (their file paths
+    survive byte-identical), and a table with no crowded partition is
+    a zero-job no-op. Periodic maintenance cost is O(buildup since the
+    last pass), not O(table)."""
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        list_parquet_files,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    for month in ("2024-01", "2024-02"):
+        df = spark.range(10).select(
+            F.col("id").alias("k"), F.lit(month).alias("time_bucket"))
+        catalog.append(df.coalesce(1), "t", partition_by=["time_bucket"])
+    before = list_parquet_files(catalog.path("t"))
+    assert len(before) == 2
+    catalog.compact("t")  # nothing crowded: metadata-only no-op
+    assert list_parquet_files(catalog.path("t")) == before
+
+    # crowd ONE partition; the other's file must survive untouched
+    extra = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("2024-01").alias("time_bucket"))
+    catalog.append(extra.coalesce(1), "t", partition_by=["time_bucket"])
+    jan_files = [f for f in list_parquet_files(catalog.path("t"))
+                 if "time_bucket=2024-01" in f]
+    feb_files = [f for f in list_parquet_files(catalog.path("t"))
+                 if "time_bucket=2024-02" in f]
+    assert len(jan_files) == 2 and len(feb_files) == 1
+    catalog.compact("t", partitions=1)
+    after = list_parquet_files(catalog.path("t"))
+    assert [f for f in after if "time_bucket=2024-02" in f] == feb_files
+    assert len([f for f in after if "time_bucket=2024-01" in f]) == 1
+    got = sorted(r.k for r in catalog.read("t").collect())
+    assert got == sorted(list(range(10)) * 2 + list(range(10, 20)))

@@ -174,6 +174,24 @@ def test_station_ledger_probe_is_per_run(env, spark):
                 .select("file_name").collect())
     assert len(run_rows) == before
 
+    # with a Bloom sidecar on model_run_id the probe also FILE-skips
+    # (read_equals path) and behavior is unchanged
+    from apsviz_timeseriesdb_ingest_spark.sources.skipping import (
+        build_skipping, read_equals)
+    from apsviz_timeseriesdb_ingest_spark.sources.zonemap import (
+        list_parquet_files)
+
+    build_skipping(catalog, "apsviz_station_file_meta",
+                   equality_cols=["model_run_id"])
+    probe = read_equals(catalog, "apsviz_station_file_meta",
+                        "model_run_id", [RUN_ID])
+    assert {r.file_name for r in probe.select("file_name").collect()} == \
+        {r.file_name for r in run_rows}
+    assert len(probe.inputFiles()) < len(
+        list_parquet_files(catalog.path("apsviz_station_file_meta")))
+    out2 = pipe.ingest_run(RUN_ID, env["config"])
+    assert out2["station_files"] == 0
+
 
 def test_x3_forecast_pivot(env):
     df = get_forecast_timeseries_station_data(
