@@ -899,6 +899,33 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
                                      cc_algorithm="auto")
 
 
+def semantic_dedup_auto(vectors: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95, target_cell: int = 500,
+                        iters: int = 10,
+                        max_cell_size: int | None = None,
+                        index_from: int = 512,
+                        index_kw: dict | None = None) -> DataFrame:
+    """One-verb SemDeDup with the scale knobs set from the corpus:
+    k = :func:`semantic_k` (cell occupancy ~``target_cell``, keeping
+    the within-cell pair work linear in n), spherical k-means trained
+    on the corpus, and the two-level :class:`CentroidIndex` engaged
+    automatically once k reaches ``index_from`` (the literal argmin's
+    comfortable ceiling). Equivalent to composing
+    :func:`train_kmeans` → :func:`CentroidIndex` →
+    :func:`semantic_dedup` by hand; exists so the at-scale defaults
+    are one call instead of three decisions."""
+    n = vectors.count()
+    k = min(semantic_k(n, target_cell), max(1, n))
+    cents = train_kmeans(vectors, id_col=id_col, vec_col=vec_col, k=k,
+                         iters=iters)
+    idx = (CentroidIndex(cents, **(index_kw or {}))
+           if k >= int(index_from) else None)
+    return semantic_dedup(vectors, cents, id_col=id_col, vec_col=vec_col,
+                          threshold=threshold,
+                          max_cell_size=max_cell_size, index=idx)
+
+
 def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 8, iters: int = 10,
                  tol: float = 1e-9,

@@ -214,3 +214,28 @@ def test_embedding_stream_with_index(spark, tmp_path):
     _run("ck2")
     rows = catalog.read("ann_corpus").collect()
     assert {r.vec_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4
+
+
+def test_semantic_dedup_auto_one_verb(spark):
+    """semantic_dedup_auto = train_kmeans(semantic_k) + optional index +
+    semantic_dedup, in one call; with index_from forcing the indexed
+    path (probe-all) it returns the hand-composed literal result."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        semantic_dedup_auto,
+        semantic_k,
+    )
+
+    df = _vectors(spark, n=200, k_blobs=12, with_zero=False)
+    dups = df.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    corpus = df.unionByName(dups)
+    n = corpus.count()
+    k = semantic_k(n, 20)
+    hand = sorted(r.vec_id for r in semantic_dedup(
+        corpus, train_kmeans(corpus, k=k, iters=10),
+        threshold=0.99).collect())
+    auto = sorted(r.vec_id for r in semantic_dedup_auto(
+        corpus, threshold=0.99, target_cell=20,
+        index_from=1, index_kw={"nprobe": 10**6}).collect())
+    assert auto == hand
+    assert len(auto) < n
