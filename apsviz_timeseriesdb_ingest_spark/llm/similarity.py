@@ -692,7 +692,17 @@ class CentroidIndex:
     def frame(self, spark) -> DataFrame:
         """The broadcastable one-row frame: ``__cmap`` (coarse cell →
         fine-centroid structs) and ``__cvecs`` (fine cid → vector, for
-        residual encoders that need the row's centroid)."""
+        residual encoders that need the row's centroid).
+
+        Cost/ceiling: building it is ONE driver-side serialization of
+        the k x dim matrix (~seconds at k=10,000 x 64; reuse the frame
+        across batches — the streams materialize it once at setup),
+        and broadcasting holds ~2·k·dim·8 bytes per executor. Past the
+        broadcast comfort zone (k·dim ≳ tens of millions — e.g.
+        k=100,000 x 1024-dim ≈ 1.6 GB) assignment should switch to
+        :func:`ivf_assign`'s joined centroid TABLE (shuffled argmin:
+        one exchange, no broadcast bound) — the next rung of the same
+        ladder."""
         cvecs = {cid: vec for cells in self.groups.values()
                  for cid, vec, _ in cells}
         return spark.createDataFrame(

@@ -535,6 +535,10 @@ def run_incremental_embedding_stream(
                                   probe_cells_expr_indexed)
 
     vec_dim = dim or len(centroids[0])
+    # the index frame is one k x dim serialization from the driver —
+    # build and materialize it ONCE at stream setup, not per micro-batch
+    idx_frame = (index.frame(spark).localCheckpoint(eager=True)
+                 if index is not None else None)
 
     def _apply(batch_df, _batch_id):
         batch_df = batch_df.filter(F.col(vec_col).isNotNull())
@@ -544,7 +548,7 @@ def run_incremental_embedding_stream(
              .withColumn("__vec", F.col(vec_col).cast("array<double>"))
              .withColumn("__nrm", _norm(F.col("__vec"))))
         if index is not None:
-            v = (v.crossJoin(F.broadcast(index.frame(spark)))
+            v = (v.crossJoin(F.broadcast(idx_frame))
                  .withColumn("centroid_id",
                              _indexed_argmin_expr(index, F.col("__vec"),
                                                   F.col("__nrm")))
