@@ -627,7 +627,10 @@ class Catalog:
         def _young(p: str) -> bool:
             if grace_seconds <= 0:
                 return False
-            newest = os.path.getmtime(p)
+            try:
+                newest = os.path.getmtime(p)
+            except OSError:
+                return True  # vanished underneath us — skip this pass
             for d, _, names in os.walk(p):
                 for nm in names:
                     try:

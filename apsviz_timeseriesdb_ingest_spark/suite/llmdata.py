@@ -1268,3 +1268,89 @@ def llm_corpus_manifest(spark, sf_dir):
 
     d = tables(spark, sf_dir, "documents")
     return corpus_manifest(d)
+
+
+# r7 second displaced rotation: the C4 line filter and the URL/domain
+# profile operators gain their own DuckDB oracle rows (previously
+# pytest-only; gate stays at 50). Docs carry no url column and mostly
+# single-line text, so both synthesize their inputs with the SAME
+# deterministic expression on both engines.
+
+@query("llm_c4_line_filter", gate=False, sql="""
+    WITH src AS (
+        SELECT doc_id,
+               text || chr(10) || 'Home About Contact' || chr(10)
+                    || 'A proper sentence with enough words here.'
+                    || chr(10) || 'tiny' AS t
+        FROM documents),
+    l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM src),
+    k AS (SELECT doc_id, lines,
+                 list_filter(lines, ln ->
+                     len(list_filter(string_split_regex(trim(ln), '\\s+'),
+                                     w -> w <> '')) >= 3
+                     AND regexp_matches(trim(ln), '[.!?"”]$')) AS keep
+          FROM l)
+    SELECT doc_id,
+           array_to_string(keep, chr(10)) AS filtered_text,
+           len(lines)::INT AS n_lines,
+           (len(lines) - len(keep))::INT AS n_removed
+    FROM k
+""")
+def llm_c4_line_filter(spark, sf_dir):
+    """C4 line-grain cleanup (``llm/text.c4_line_filter``, Raffel et
+    al. 2020): keep lines with >= 3 words ending in terminal
+    punctuation — nav bars and cookie banners drop, survivors rejoin.
+    Input synthesizes a 4-line doc (original text + a nav line + a
+    proper sentence + a fragment) so every rule fires."""
+    from ..llm.text import c4_line_filter
+
+    d = tables(spark, sf_dir, "documents")
+    txt = F.concat_ws(
+        "\n", F.col("text"), F.lit("Home About Contact"),
+        F.lit("A proper sentence with enough words here."), F.lit("tiny"))
+    return c4_line_filter(d.select("doc_id", txt.alias("text")))
+
+
+@query("llm_domain_stats", gate=False, sql="""
+    SELECT CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE 'h' || (doc_id % 7) || '.example.com' END AS host,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+""")
+def llm_domain_stats(spark, sf_dir):
+    """Crawl composition profile (``llm/text.domain_stats``): docs per
+    normalized host (lower-cased, www. stripped, NULL groups the
+    unparseable URLs). The synthesized urls cycle 7 hosts, half with a
+    www. prefix, one in five unparseable."""
+    from ..llm.text import domain_stats
+
+    d = tables(spark, sf_dir, "documents")
+    d7 = (F.col("doc_id") % 7).cast("string")
+    www = F.when(F.col("doc_id") % 2 == 0,
+                 F.lit("www.")).otherwise(F.lit(""))
+    url = F.when(F.col("doc_id") % 5 == 4, F.lit("nope")).otherwise(
+        F.concat(F.lit("https://"), www, F.lit("h"), d7,
+                 F.lit(".example.com/p")))
+    return domain_stats(d.select(url.alias("url")))
+
+
+@query("llm_domain_matches", gate=False, sql="""
+    SELECT doc_id FROM documents
+    WHERE doc_id % 5 = 2 AND doc_id % 11 <> 0
+""")
+def llm_domain_matches(spark, sf_dir):
+    """Domain blocklist matching (``llm/text.domain_matches``): hosts
+    explode into dot-suffixes and equi-join the broadcast list, so
+    'b2.example.com' also covers 'a0.b2.example.com' — matching at the
+    SUFFIX grain, case-insensitively, with unparseable hosts matching
+    nothing."""
+    from ..llm.text import domain_matches
+
+    d = tables(spark, sf_dir, "documents")
+    d3 = (F.col("doc_id") % 3).cast("string")
+    d5 = (F.col("doc_id") % 5).cast("string")
+    url = F.when(F.col("doc_id") % 11 == 0, F.lit("::::")).otherwise(
+        F.concat(F.lit("https://a"), d3, F.lit(".b"), d5,
+                 F.lit(".example.com/x")))
+    domains = spark.createDataFrame([("B2.example.com",)], "domain string")
+    return domain_matches(d.select("doc_id", url.alias("url")), domains)
