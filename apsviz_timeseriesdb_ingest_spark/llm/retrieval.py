@@ -343,12 +343,10 @@ def append_bm25_increment_txn(catalog, docs: DataFrame, batch_id: int, *,
         catalog.overwrite(
             stats.withColumn("__batch", bid).withColumn("__writer", wid),
             f"{table}_stats", partition_by=["__batch", "__writer"])
-    if lease is not None:
-        # pre-commit re-check: a writer fenced mid-batch (maintenance
-        # took the lease, ADVICE r6) must not commit partitions that
-        # maintenance may have vacuumed — fail here, replay after
-        lease.check()
-    catalog.commit_batch(commits, int(batch_id), writer)
+    # the commit point re-checks the lease around the put-if-absent
+    # link (rollback if fenced mid-link): a writer fenced mid-batch by
+    # maintenance cannot commit partitions that may have been vacuumed
+    catalog.commit_batch(commits, int(batch_id), writer, lease=lease)
 
 
 def bm25_topk_from_index(catalog, queries: DataFrame, *,

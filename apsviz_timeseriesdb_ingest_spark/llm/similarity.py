@@ -612,18 +612,7 @@ def probe_cells_expr_indexed(index: CentroidIndex, vec: Column,
     exact whenever the true top-``nprobe`` fine centroids live in the
     probed coarse cells (probe everything for guaranteed equality with
     the literal expression)."""
-    coarse = probe_cells_expr(index.coarse, vec, nrm,
-                              nprobe=index.nprobe)
-    empty = F.array().cast(
-        "array<struct<cid:int, cvec:array<double>, cnrm:double>>")
-    cands = F.flatten(F.transform(
-        coarse, lambda p: F.coalesce(F.try_element_at(F.col("__cmap"), p),
-                                     empty)))
-    sim_of = lambda s: F.nanvl(  # noqa: E731
-        F.when(nrm != 0, _dot(vec, s["cvec"]) / (nrm * s["cnrm"]))
-        .otherwise(F.lit(-2.0)), F.lit(-2.0))
-    scored = F.transform(cands, lambda s: F.struct(
-        sim_of(s).alias("sim"), (-s["cid"]).alias("negid")))
+    scored = _indexed_scored_candidates(index, vec, nrm)
     top = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
     return F.transform(top, lambda s: (-s["negid"]).cast("int"))
 
@@ -742,13 +731,16 @@ def _cluster_centroids(centroids: list[list[float]], coarse_k: int,
     return [[float(x) for x in row] for row in C], [int(a) for a in assign]
 
 
-def _indexed_argmin_expr(index: CentroidIndex, vec: Column,
-                         nrm: Column) -> Column:
-    """Two-level nearest-centroid id over a :class:`CentroidIndex` —
-    requires the index ``frame()`` columns (``__cmap``) on the row (see
-    :func:`with_centroid_cell`). Same cosine, same fold order, same
-    smallest-id tie-break and zero-norm convention as
-    :func:`_centroid_argmin_expr`."""
+def _indexed_scored_candidates(index: CentroidIndex, vec: Column,
+                               nrm: Column) -> Column:
+    """The shared two-level candidate scorer: probe the row's
+    ``index.nprobe`` nearest coarse cells, flatten their fine-centroid
+    structs out of the broadcast ``__cmap`` column, and score each as
+    ``struct(sim, -cid)`` — same cosine, same fold order, same
+    smallest-id tie-break and zero-norm floor as the literal
+    expressions. Both the argmin (:func:`_indexed_argmin_expr`) and the
+    top-nprobe probe list (:func:`probe_cells_expr_indexed`) derive
+    from THIS column so the two paths can never diverge."""
     probe = probe_cells_expr(index.coarse, vec, nrm, nprobe=index.nprobe)
     empty = F.array().cast(
         "array<struct<cid:int, cvec:array<double>, cnrm:double>>")
@@ -758,8 +750,18 @@ def _indexed_argmin_expr(index: CentroidIndex, vec: Column,
     sim_of = lambda s: F.nanvl(  # noqa: E731
         F.when(nrm != 0, _dot(vec, s["cvec"]) / (nrm * s["cnrm"]))
         .otherwise(F.lit(-2.0)), F.lit(-2.0))
-    scored = F.transform(cands, lambda s: F.struct(
+    return F.transform(cands, lambda s: F.struct(
         sim_of(s).alias("sim"), (-s["cid"]).alias("negid")))
+
+
+def _indexed_argmin_expr(index: CentroidIndex, vec: Column,
+                         nrm: Column) -> Column:
+    """Two-level nearest-centroid id over a :class:`CentroidIndex` —
+    requires the index ``frame()`` columns (``__cmap``) on the row (see
+    :func:`with_centroid_cell`). Same cosine, same fold order, same
+    smallest-id tie-break and zero-norm convention as
+    :func:`_centroid_argmin_expr`."""
+    scored = _indexed_scored_candidates(index, vec, nrm)
     best = (-F.array_max(scored)["negid"]).cast("int")
     # zero-norm rows fall deterministically to centroid 0 on the
     # literal path (every sim floors to -2.0, max negid wins) — pin the
@@ -924,11 +926,14 @@ def semantic_dedup_auto(vectors: DataFrame, *, id_col: str = "vec_id",
     comfortable ceiling). Equivalent to composing
     :func:`train_kmeans` → :func:`CentroidIndex` →
     :func:`semantic_dedup` by hand; exists so the at-scale defaults
-    are one call instead of three decisions."""
+    are one call instead of three decisions. An empty corpus returns
+    the empty frame (fresh deployments poll unconditionally)."""
     n = vectors.count()
-    k = min(semantic_k(n, target_cell), max(1, n))
+    if n == 0:
+        return vectors
+    k = min(semantic_k(n, target_cell), n)
     cents = train_kmeans(vectors, id_col=id_col, vec_col=vec_col, k=k,
-                         iters=iters)
+                         iters=iters, two_level_from=int(index_from))
     idx = (CentroidIndex(cents, **(index_kw or {}))
            if k >= int(index_from) else None)
     return semantic_dedup(vectors, cents, id_col=id_col, vec_col=vec_col,
@@ -939,7 +944,7 @@ def semantic_dedup_auto(vectors: DataFrame, *, id_col: str = "vec_id",
 def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 8, iters: int = 10,
                  tol: float = 1e-9,
-                 two_level_from: int | None = 512,
+                 two_level_from: int | None = None,
                  index_kw: dict | None = None) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd's) for IVF centroid training.
 
@@ -968,9 +973,13 @@ def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
     to the corpus pass). The per-iteration plan is then constant-size
     in k. Two-level assignment is the standard IVF approximation, so
     huge-k training is approximate Lloyd's (each step still reduces
-    within-probe distortion); pass ``None`` to force the exact literal
-    path at any k, or tune ``index_kw`` (coarse_k/nprobe). Below the
-    threshold the two paths are the same algorithm.
+    within-probe distortion). The default is ``None`` — exact Lloyd's
+    at any k, so existing trained centroids stay bit-reproducible;
+    large-k callers OPT IN (``semantic_dedup_auto`` passes its
+    ``index_from``, 512 — around where the literal plan stops being
+    buildable in reasonable time). ``index_kw`` tunes
+    coarse_k/nprobe. Below the threshold the two paths are the same
+    algorithm.
     """
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))

@@ -233,15 +233,21 @@ class ObsIngest:
                 continue
             for path in sorted(glob(os.path.join(self.harvest_dir, meta_prefix + "*.csv"))):
                 candidates.append((os.path.basename(path), m))
-        # ledger probe bounded to THIS pass's candidate names (an IN
-        # filter the scan prunes on), so the driver set is O(harvest
-        # dir), never O(ledger history) — the model-side lesson of r6
-        # verdict task 4 applied to the retain-obs ledger
-        seen = ({r.file_name for r in
-                 ledger.filter(F.col("file_name").isin(
-                     [n for n, _ in candidates]))
-                 .select("file_name").collect()}
-                if candidates else set())
+        # ledger probe bounded to THIS pass's candidate names via a
+        # broadcast semi-join (NOT an isin literal list: thousands of
+        # pending files would bloat the plan — the zonemap stats-build
+        # lesson), so the driver set is O(harvest dir), never O(ledger
+        # history) — the model-side r6 verdict task 4 applied to the
+        # retain-obs ledger
+        if candidates:
+            names = self.spark.createDataFrame(
+                [(n,) for n, _ in candidates], "file_name string")
+            seen = {r.file_name for r in
+                    ledger.join(F.broadcast(names), "file_name",
+                                "left_semi")
+                    .select("file_name").collect()}
+        else:
+            seen = set()
 
         pending = []
         for name, m in candidates:

@@ -385,10 +385,21 @@ class Catalog:
                 return  # nothing to heal — zero jobs
             df = read_pruned(self.spark, self.path(table), crowded)
             df = df.localCheckpoint(eager=True)
-            # dynamic: only the crowded partitions present in the frame
-            # are replaced; everything else untouched
-            (df.repartition(n, *part_cols).write.mode("overwrite")
-             .partitionBy(*part_cols).parquet(self.path(table)))
+            # PIN dynamic mode around the write rather than trusting
+            # the session conf: under 'static' this overwrite would
+            # delete EVERY partition and rewrite only the crowded ones
+            # (r7 review). Only the crowded partitions present in the
+            # frame are replaced; everything else untouched.
+            prev = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode")
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (df.repartition(n, *part_cols).write.mode("overwrite")
+                 .partitionBy(*part_cols).parquet(self.path(table)))
+            finally:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
             self.refresh_skipping(table)
             return
         if len(list_parquet_files(self.path(table))) < min_files:
@@ -423,10 +434,11 @@ class Catalog:
           :class:`WriterLease` first (family = ledger name minus its
           ``_commits`` suffix) — a live stream writer is FENCED and
           raises :class:`ConcurrentWriterError` at its next lease
-          check, which :func:`~streaming.corpus_stream.
-          apply_dedup_increment_txn` performs both before its mutation
-          AND immediately before its ledger commit, so a writer caught
-          mid-batch cannot commit a batch whose partition maintenance
+          check: before its mutation, and at the commit point itself,
+          which checks the lease on both sides of the put-if-absent
+          link and withdraws a commit made while fenced
+          (:meth:`commit_batch` ``lease=``). A writer caught mid-batch
+          therefore cannot commit a batch whose partition maintenance
           may have rewritten. Restart the stream after maintenance (it
           re-acquires on start).
         - compaction touches only COMMITTED partitions (dynamic
@@ -492,12 +504,26 @@ class Catalog:
     # exactly like a table (it is dropped/renamed as a directory).
 
     def commit_batch(self, ledger: str, batch_id: int,
-                     writer: str = "-") -> None:
+                     writer: str = "-", *, lease=None) -> None:
         """Atomically commit ``batch_id`` to ``ledger`` (put-if-absent).
         Raises :class:`ConcurrentWriterError` if the batch is already
         committed — the loser of a two-writer race fails here, BEFORE
         its data becomes visible (probes read committed
-        (batch, writer) pairs only)."""
+        (batch, writer) pairs only).
+
+        ``lease=`` (the writer's :class:`WriterLease`) closes the
+        fence-to-commit race against maintenance (r7): the lease is
+        checked immediately BEFORE the commit file is created
+        (fast-fail) and immediately AFTER — a writer fenced DURING the
+        link (maintenance acquired the family and may have vacuumed
+        this batch's partition) rolls its own commit back (unlink) and
+        raises, so a reclaimed partition cannot surface as a committed
+        batch. Residual window: a crash between the link and the
+        rollback unlink (one file read apart) can leave a fenced
+        writer's commit in place — microseconds, and only reachable
+        when maintenance runs concurrently; lease-less writers
+        (``writer='-'``) have no fence and rely on maintenance
+        ``grace_seconds`` instead."""
         import json
         import uuid
 
@@ -505,6 +531,8 @@ class Catalog:
         os.makedirs(d, exist_ok=True)
         final = os.path.join(d, f"b{int(batch_id)}.json")
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        if lease is not None:
+            lease.check()  # fast-fail before the commit file exists
         with open(tmp, "w") as f:
             json.dump({"__batch": int(batch_id), "__writer": writer}, f)
             f.flush()
@@ -522,6 +550,18 @@ class Catalog:
                 "probes read committed (batch, writer) pairs only)")
         finally:
             os.unlink(tmp)
+        if lease is not None:
+            try:
+                lease.check()
+            except ConcurrentWriterError:
+                # fenced between the pre-check and the link: the
+                # partition this batch wrote may already be vacuumed —
+                # withdraw the commit before anyone treats it as real
+                try:
+                    os.unlink(final)
+                except OSError:
+                    pass
+                raise
         try:  # durability of the directory entry itself
             dfd = os.open(d, os.O_RDONLY)
             os.fsync(dfd)
@@ -607,8 +647,11 @@ class Catalog:
         probes; this reclaims the bytes). Returns the dropped partition
         dirs. Safe concurrently with readers of COMMITTED data only;
         against a LIVE writer, fence it first (see :meth:`optimize`
-        ``fence=``) — its pre-commit lease check then guarantees a
-        partition this vacuum reclaims can never become committed.
+        ``fence=``) — the writer's commit point checks its lease on
+        both sides of the put-if-absent link and withdraws a commit
+        made while fenced (:meth:`commit_batch` ``lease=``), so a
+        partition this vacuum reclaims only surfaces as committed if
+        the writer crashes inside its one-file-read rollback window.
         ``grace_seconds`` skips uncommitted partitions whose newest
         file is younger than that — protection for a writer's
         pre-commit window when no lease fences it. Each partition's

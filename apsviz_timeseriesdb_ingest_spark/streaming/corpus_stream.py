@@ -395,15 +395,13 @@ def apply_dedup_increment_txn(catalog, batch_df, batch_id: int, *,
                     flagged.withColumn("__batch", bid)
                     .withColumn("__writer", F.lit(writer)),
                     alerts_table, partition_by=["__batch", "__writer"])
-    if lease is not None:
-        # second check, immediately before the commit point: a writer
-        # fenced MID-BATCH (e.g. by Catalog.optimize's maintenance
-        # lease, ADVICE r6) must not commit a batch whose partition
-        # maintenance may have vacuumed/rewritten — it fails here, the
-        # batch stays uncommitted, and the post-maintenance restart
-        # replays it cleanly (crash matrix case "between (4) and (5)")
-        lease.check()
-    catalog.commit_batch(commits, int(batch_id), writer)
+    # the commit point itself re-checks the lease on BOTH sides of the
+    # put-if-absent link (and rolls the commit back if fenced during
+    # it): a writer fenced MID-BATCH by Catalog.optimize's maintenance
+    # lease (ADVICE r6/r7) cannot commit a batch whose partition
+    # maintenance may have vacuumed — the batch stays uncommitted and
+    # the post-maintenance restart replays it cleanly
+    catalog.commit_batch(commits, int(batch_id), writer, lease=lease)
 
 
 def committed_corpus(catalog, corpus_table: str,
@@ -536,9 +534,15 @@ def run_incremental_embedding_stream(
 
     vec_dim = dim or len(centroids[0])
     # the index frame is one k x dim serialization from the driver —
-    # build and materialize it ONCE at stream setup, not per micro-batch
-    idx_frame = (index.frame(spark).localCheckpoint(eager=True)
-                 if index is not None else None)
+    # build it ONCE at stream setup, not per micro-batch. persist, NOT
+    # localCheckpoint: a checkpointed block is non-replicated
+    # executor storage with truncated lineage, so one lost executor
+    # would break every later micro-batch; a persisted createDataFrame
+    # recomputes from the driver-held rows (r7 review)
+    idx_frame = None
+    if index is not None:
+        idx_frame = index.frame(spark).persist()
+        idx_frame.count()
 
     def _apply(batch_df, _batch_id):
         batch_df = batch_df.filter(F.col(vec_col).isNotNull())

@@ -128,10 +128,11 @@ class _CrashingCatalog:
         return self._real.overwrite(df, table, partition_by=partition_by,
                                     **kw)
 
-    def commit_batch(self, ledger, batch_id, writer="-"):
+    def commit_batch(self, ledger, batch_id, writer="-", *, lease=None):
         if self._mode == "before_commit":
             raise RuntimeError("simulated crash before ledger commit")
-        return self._real.commit_batch(ledger, batch_id, writer)
+        return self._real.commit_batch(ledger, batch_id, writer,
+                                       lease=lease)
 
 
 @pytest.mark.parametrize("mode", ["partial_index", "before_commit"])

@@ -246,3 +246,23 @@ def test_compact_is_incremental_per_partition(spark, tmp_path):
     assert len([f for f in after if "time_bucket=2024-01" in f]) == 1
     got = sorted(r.k for r in catalog.read("t").collect())
     assert got == sorted(list(range(10)) * 2 + list(range(10, 20)))
+
+
+def test_commit_point_lease_rollback(spark, tmp_path):
+    """commit_batch(lease=) checks the lease on both sides of the
+    put-if-absent link: a writer fenced before the commit fails with NO
+    commit file left behind; an unfenced writer commits normally."""
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    lease = WriterLease(catalog, "idx").acquire()
+    catalog.commit_batch("idx_commits", 0, lease.writer_id, lease=lease)
+    assert catalog.batch_committed("idx_commits", 0)
+
+    WriterLease(catalog, "idx", writer_id="maintenance").acquire()
+    with pytest.raises(ConcurrentWriterError, match="fenced"):
+        catalog.commit_batch("idx_commits", 1, lease.writer_id,
+                             lease=lease)
+    assert not catalog.batch_committed("idx_commits", 1)
+    # the fenced writer's batch can be re-committed by its successor
+    lease2 = WriterLease(catalog, "idx").acquire()
+    catalog.commit_batch("idx_commits", 1, lease2.writer_id, lease=lease2)
+    assert catalog.batch_committed("idx_commits", 1)
