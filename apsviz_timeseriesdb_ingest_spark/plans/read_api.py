@@ -245,11 +245,18 @@ def get_model_vs_obs_asof(catalog: Catalog, station_name: str,
     that stopped reporting should not be carried forward for days)."""
     from ..operators.asof import asof_join
 
-    model = (_time_range(model_view(catalog), start_date, end_date)
+    # both fact scans go THROUGH the zone-map skipping layer with the
+    # query's own bounds (r7 verdict task 7 — this read used to be the
+    # one API path reading facts unpruned)
+    model = (_time_range(model_view(catalog,
+                                    time_range=(start_date, end_date)),
+                         start_date, end_date)
              .filter(F.col("station_name") == station_name)
              .select("station_name", "data_source", "time",
                      F.col("water_level").alias("model_water_level")))
-    obs = (_time_range(obs_view(catalog), start_date, end_date)
+    obs = (_time_range(obs_view(catalog,
+                                time_range=(start_date, end_date)),
+                       start_date, end_date)
            .filter(F.col("station_name") == station_name)
            .select("station_name", "time", "water_level"))
     return asof_join(model, obs, on=["station_name"], left_ts="time",

@@ -35,6 +35,12 @@ from ..operators.dedup import keep_latest
 #: partition column derived from event time for fact tables
 TIME_BUCKET = "time_bucket"
 
+#: default vacuum grace window: an uncommitted partition younger than
+#: this is NEVER reclaimed by default — the only protection a
+#: lease-less writer (``__writer=-``) has for its write-to-commit
+#: window (ADVICE r7). 0.0 is an explicit per-call opt-in.
+VACUUM_GRACE_SECONDS = 600.0
+
 
 def time_bucket(col: str = "time") -> Column:
     return F.date_format(col, "yyyy-MM").alias(TIME_BUCKET)
@@ -420,13 +426,15 @@ class Catalog:
 
     def optimize(self, table: str, *, ledger: str | None = None,
                  partitions: int | None = None, fence: bool = True,
-                 grace_seconds: float = 0.0) -> dict:
+                 grace_seconds: float = VACUUM_GRACE_SECONDS) -> dict:
         """One-verb table maintenance (the ``OPTIMIZE`` role on plain
         parquet): vacuum uncommitted/orphan partitions (when the table
         is stream-owned — pass its commit ``ledger``), compact small
         files preserving the on-disk partition layout, and bring the
         skipping sidecars current (the compact hook). Returns a summary
-        ``{vacuumed_partitions, files_before, files_after}``.
+        ``{vacuumed_partitions, files_before, files_after}``
+        (``files_before`` counted BEFORE the vacuum step, so the delta
+        attributes vacuum-reclaimed files too — ADVICE r7).
 
         Concurrent-writer safety (ADVICE r6) when ``ledger`` is given:
 
@@ -445,14 +453,21 @@ class Catalog:
           overwrite — see :meth:`compact` ``committed_ledger``), never
           an in-flight writer's pre-commit partition.
         - ``grace_seconds``: additionally skip vacuuming uncommitted
-          partitions newer than this many seconds — belt-and-braces
-          for writers that take no lease (writer id ``"-"``), whose
-          pre-commit window fencing cannot close.
+          partitions newer than this many seconds — the ONLY
+          protection for writers that take no lease (writer id
+          ``"-"``), whose pre-commit window fencing cannot close.
+          Defaults to :data:`VACUUM_GRACE_SECONDS` (10 min — longer
+          than any sane write-to-commit window); ``0.0`` is an
+          explicit opt-in for "I know no lease-less writer is live"
+          (ADVICE r7: the old 0.0 default let a maintenance pass
+          rmtree a live lease-less writer's pre-commit partition,
+          which then committed anyway).
 
         Without ``ledger`` the table is plain/single-writer and the
         caller owns exclusion, as with every plain-parquet mutation."""
         from .zonemap import list_parquet_files
 
+        before = len(list_parquet_files(self.path(table)))
         dropped = []
         if ledger is not None:
             if fence:
@@ -462,7 +477,6 @@ class Catalog:
                             writer_id=f"maintenance-{table}").acquire()
             dropped = self.vacuum_uncommitted(
                 table, ledger, grace_seconds=grace_seconds)
-        before = len(list_parquet_files(self.path(table)))
         self.compact(table, partitions=partitions,
                      committed_ledger=ledger)
         after = len(list_parquet_files(self.path(table)))
@@ -640,7 +654,8 @@ class Catalog:
                                 as_of_batch=as_of_batch)
 
     def vacuum_uncommitted(self, table: str, ledger: str, *,
-                           grace_seconds: float = 0.0) -> list[str]:
+                           grace_seconds: float = VACUUM_GRACE_SECONDS,
+                           ) -> list[str]:
         """Drop ``__batch=…/__writer=…`` partitions of ``table`` absent
         from ``ledger`` — the GC for orphans left by crashed or fenced
         writers (their partitions are already invisible to committed
@@ -654,7 +669,10 @@ class Catalog:
         the writer crashes inside its one-file-read rollback window.
         ``grace_seconds`` skips uncommitted partitions whose newest
         file is younger than that — protection for a writer's
-        pre-commit window when no lease fences it. Each partition's
+        pre-commit window when no lease fences it, and therefore ON
+        BY DEFAULT (:data:`VACUUM_GRACE_SECONDS`; pass ``0.0``
+        explicitly only when no lease-less writer can be live —
+        ADVICE r7). Each partition's
         commit file is re-checked immediately before removal (a commit
         landing between the ledger snapshot and the rmtree wins)."""
         import shutil
@@ -709,7 +727,8 @@ class Catalog:
 def maintain_tables(catalog: Catalog, families: dict,
                     *, partitions: int | None = None,
                     fence: bool = True,
-                    grace_seconds: float = 0.0) -> list[dict]:
+                    grace_seconds: float = VACUUM_GRACE_SECONDS,
+                    ) -> list[dict]:
     """Run :meth:`Catalog.optimize` over a set of tables in one call —
     the periodic-maintenance driver's body. ``families`` maps each
     table to its commit ledger (stream-owned tables get orphan

@@ -611,8 +611,45 @@ def run_incremental_embedding_stream(
         catalog.append(accepted, corpus_table, partition_by=["centroid_id"])
 
     vecs = spark.readStream.schema(schema).parquet(input_dir)
-    return (vecs.writeStream
-            .foreachBatch(_apply)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())
+    query = (vecs.writeStream
+             .foreachBatch(_apply)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    if idx_frame is not None:
+        _unpersist_on_terminate(spark, query, idx_frame)
+        query._graft_index_frame = idx_frame  # release-inspection hook
+    return query
+
+
+def _unpersist_on_terminate(spark, query, frame) -> None:
+    """Release a stream-lifetime cached frame when its StreamingQuery
+    terminates (ADVICE r7: ``run_incremental_embedding_stream``
+    persisted the CentroidIndex frame at setup and never unpersisted
+    it, leaking executor storage across stream restarts in a
+    long-lived session). A :class:`StreamingQueryListener` keyed on
+    the query id unpersists exactly once and removes itself — callers
+    that restart the stream get a fresh persist from the new setup."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _Release(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) != qid:
+                return
+            try:
+                frame.unpersist()
+            finally:
+                spark.streams.removeListener(self)
+
+    spark.streams.addListener(_Release())

@@ -63,9 +63,6 @@ def main() -> None:
     warm = run_all()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # totals LAST: the driver records a bounded TAIL of stdout, so when
-    # the line outgrows the clip it's the per-query maps that lose their
-    # head, never the headline totals
     record = {
         "metric": "headline_suite_total",
         "unit": "sec",
@@ -75,18 +72,20 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "value": round(sum(timings.values()), 3),
     }
-    line = json.dumps(record)
-    # the driver keeps only a bounded tail of stdout; BENCH_r06's record
-    # lost its cold totals to that clip (r6 verdict task 3). Persist the
-    # complete record to a file too, so every round's bench is fully
-    # machine-readable regardless of how stdout is captured.
+    # the driver keeps only a ~2000-char tail of stdout, and the full
+    # two-map record outgrew it (r7 verdict task 6: BENCH_r07's json was
+    # head-clipped → unparseable). Persist the COMPLETE record to
+    # BENCH_LAST.json, and print a line that is itself a complete,
+    # parseable record — cold per-query map + both totals (~1.1 KB at
+    # 38 queries) — so BENCH_r{N}.json stands alone.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LAST.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(record) + "\n")
     except OSError:
         pass
-    print(line)
+    printed = {k: v for k, v in record.items() if k != "queries_warm"}
+    print(json.dumps(printed))
 
 
 if __name__ == "__main__":

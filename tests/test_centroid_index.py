@@ -193,6 +193,17 @@ def test_embedding_stream_with_index(spark, tmp_path):
             checkpoint_dir=str(tmp_path / ck),
             threshold=0.95, nprobe=2, dim=dim, index=idx)
         assert q.awaitTermination(120)
+        # ADVICE r7: the stream-lifetime index frame is unpersisted on
+        # query termination (listener keyed on query id) — no executor
+        # storage leak across restarts. Listener delivery is async.
+        import time
+        frame = q._graft_index_frame
+        assert frame is not None
+        for _ in range(200):
+            if not frame.storageLevel.useMemory:
+                break
+            time.sleep(0.1)
+        assert not frame.storageLevel.useMemory
 
     def axis(a, scale=1.0):
         # scalar multiples keep every sign-LSH bit identical (additive

@@ -258,7 +258,7 @@ def test_stream_index_rebuild_replaces_stale_batches(spark, catalog):
     # reset ledger: invisible to the committed view above, reclaimed by
     # vacuum — after which even a raw read matches
     dropped = catalog.vacuum_uncommitted(
-        "stream_corpus", commits_table("minhash_index"))
+        "stream_corpus", commits_table("minhash_index"), grace_seconds=0.0)
     assert dropped == ["__batch=7/__writer=-"]
     got_raw = sorted(r.doc_id for r in
                      catalog.read("stream_corpus").collect())
@@ -443,7 +443,8 @@ def test_exclusive_commit_and_orphan_invisibility(spark, catalog):
 
     # (c) vacuum drops exactly the uncommitted partition
     dropped = catalog.vacuum_uncommitted("minhash_index",
-                                         "minhash_index_commits")
+                                         "minhash_index_commits",
+                                         grace_seconds=0.0)
     assert dropped == ["__batch=6/__writer=writer-b"]
     assert catalog.read("minhash_index").filter(
         F.col("__batch") == 6).count() == 0

@@ -176,10 +176,14 @@ def test_optimize_one_verb(spark, tmp_path):
             catalog.commit_batch(ledger, batch, "w")
     build_skipping(catalog, "t", range_cols=["k"])
     before = len(list_parquet_files(catalog.path("t")))
-    out = catalog.optimize("t", ledger=ledger, partitions=1)
+    out = catalog.optimize("t", ledger=ledger, partitions=1,
+                            grace_seconds=0.0)
     assert out["vacuumed_partitions"] == 1  # batch 2's orphan
-    assert out["files_before"] < before    # vacuum ran first
-    assert out["files_after"] <= out["files_before"]
+    # files_before is the PRE-vacuum count (ADVICE r7: counting after
+    # the vacuum understated reclaimed files), so the before→after
+    # delta attributes both the vacuumed orphan files and compaction
+    assert out["files_before"] == before
+    assert out["files_after"] < out["files_before"]
     # layout preserved, sidecars current, committed reads correct
     assert catalog.partition_columns("t") == ["__batch", "__writer"]
     assert {r.file for r in catalog.read(zm_table("t"))

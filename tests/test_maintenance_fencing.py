@@ -125,10 +125,11 @@ def test_vacuum_grace_and_pair_recheck(spark, tmp_path):
     # young orphan protected by the grace window
     assert catalog.vacuum_uncommitted("t", ledger,
                                       grace_seconds=3600) == []
-    # without grace: the loser's partition goes even though batch 0 IS
-    # committed (by the winner) — the re-check is on the (batch, writer)
-    # pair
-    dropped = catalog.vacuum_uncommitted("t", ledger)
+    # grace explicitly waived (the default now protects young
+    # lease-less orphans — ADVICE r7): the loser's partition goes even
+    # though batch 0 IS committed (by the winner) — the re-check is on
+    # the (batch, writer) pair
+    dropped = catalog.vacuum_uncommitted("t", ledger, grace_seconds=0.0)
     assert dropped == ["__batch=0/__writer=loser"]
     assert catalog.read_committed("t", "idx").count() == 5
 
@@ -266,3 +267,32 @@ def test_commit_point_lease_rollback(spark, tmp_path):
     lease2 = WriterLease(catalog, "idx").acquire()
     catalog.commit_batch("idx_commits", 1, lease2.writer_id, lease=lease2)
     assert catalog.batch_committed("idx_commits", 1)
+
+
+def test_vacuum_grace_default_protects_leaseless_writer(spark, tmp_path):
+    """ADVICE r7 (medium): the DEFAULT grace window now protects a
+    lease-less writer's (__writer=-) freshly-written pre-commit
+    partition — vacuum_uncommitted / optimize / maintain_tables no
+    longer reclaim it unless the caller explicitly opts into
+    grace_seconds=0.0."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import (
+        VACUUM_GRACE_SECONDS, maintain_tables)
+
+    assert VACUUM_GRACE_SECONDS > 0
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    ledger = commits_table("idx")
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(0).alias("__batch"),
+        F.lit("-").alias("__writer"))
+    catalog.append(df.coalesce(1), "t",
+                   partition_by=["__batch", "__writer"])
+    catalog.commit_batch(ledger, 1, "other")  # ledger exists; batch 0 not
+    # all three maintenance defaults leave the young orphan alone
+    assert catalog.vacuum_uncommitted("t", ledger) == []
+    assert catalog.optimize("t", ledger=ledger)["vacuumed_partitions"] == 0
+    out = maintain_tables(catalog, {"t": ledger})
+    assert out[0]["vacuumed_partitions"] == 0
+    assert catalog.read("t").count() == 5
+    # explicit opt-in reclaims it
+    dropped = catalog.vacuum_uncommitted("t", ledger, grace_seconds=0.0)
+    assert dropped == ["__batch=0/__writer=-"]
