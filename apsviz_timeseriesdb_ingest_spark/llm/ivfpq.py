@@ -105,7 +105,8 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       cell_col: str = "centroid_id",
                       residual: bool = False,
-                      index: "CentroidIndex | None" = None) -> DataFrame:
+                      index: "CentroidIndex | CentroidTable | None" = None,
+                      ) -> DataFrame:
     """(id, cell, codes) — the stored index frame, built in ONE
     zero-exchange projection (cell argmin + PQ encode fused; both are
     literal-centroid expressions over the same vector column, so
@@ -135,7 +136,8 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
 
         v = with_centroid_cell(v, index, vec_col="__vec", nrm_col="__nrm",
                                out_col="__cell",
-                               cent_col="__cent" if residual else None)
+                               cent_col="__cent" if residual else None,
+                               id_col=id_col)
         codes = F.array(*_argmin_codes(
             codebooks, F.col("__vec"),
             F.col("__cent") if residual else None))

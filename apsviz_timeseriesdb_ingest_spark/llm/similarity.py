@@ -688,10 +688,11 @@ class CentroidIndex:
         across batches — the streams materialize it once at setup),
         and broadcasting holds ~2·k·dim·8 bytes per executor. Past the
         broadcast comfort zone (k·dim ≳ tens of millions — e.g.
-        k=100,000 x 1024-dim ≈ 1.6 GB) assignment should switch to
-        :func:`ivf_assign`'s joined centroid TABLE (shuffled argmin:
-        one exchange, no broadcast bound) — the next rung of the same
-        ladder."""
+        k=100,000 x 1024-dim ≈ 1.6 GB) assignment switches to the
+        :class:`CentroidTable` (shuffled argmin: one exchange, no
+        broadcast bound) — the next rung of the same ladder, engaged
+        automatically past :data:`TABLE_FROM_KDIM` by
+        ``train_kmeans``/``semantic_dedup_auto``."""
         cvecs = {cid: vec for cells in self.groups.values()
                  for cid, vec, _ in cells}
         return spark.createDataFrame(
@@ -769,17 +770,32 @@ def _indexed_argmin_expr(index: CentroidIndex, vec: Column,
     return F.when(nrm == 0, F.lit(0)).otherwise(F.coalesce(best, F.lit(0)))
 
 
-def with_centroid_cell(df: DataFrame, index: CentroidIndex, *,
-                       vec_col: str = "vec", nrm_col: str = "nrm",
+def with_centroid_cell(df: DataFrame, index: "CentroidIndex | CentroidTable",
+                       *, vec_col: str = "vec", nrm_col: str = "nrm",
                        out_col: str = "cell",
-                       cent_col: str | None = None) -> DataFrame:
+                       cent_col: str | None = None,
+                       id_col: str | None = None) -> DataFrame:
     """Add the two-level nearest-centroid assignment ``out_col`` to
     ``df`` (which must already carry ``vec_col``/``nrm_col``): one
     broadcast of the index frame, then a pure projection — the
     drop-in large-k replacement for a `_centroid_argmin_expr` column.
     ``cent_col`` additionally binds the assigned centroid's VECTOR
     (residual encoders) via a map lookup instead of a k x dim literal
-    matrix."""
+    matrix.
+
+    ``index`` may also be a :class:`CentroidTable` (the shuffled
+    centroid-TABLE rung past the broadcast bound — r7 verdict task 1),
+    in which case ``id_col`` is REQUIRED (the table path aggregates
+    scored candidates per row and joins the winner back by id; a
+    projection cannot express a shuffled argmin)."""
+    if isinstance(index, CentroidTable):
+        if id_col is None:
+            raise ValueError(
+                "CentroidTable assignment needs id_col= (the shuffled "
+                "argmin joins the winning cell back by row id)")
+        return index.assign(df, id_col=id_col, vec_col=vec_col,
+                            nrm_col=nrm_col, out_col=out_col,
+                            cent_col=cent_col)
     out = (df.crossJoin(F.broadcast(index.frame(df.sparkSession)))
            .withColumn(out_col, _indexed_argmin_expr(
                index, F.col(vec_col), F.col(nrm_col))))
@@ -789,9 +805,171 @@ def with_centroid_cell(df: DataFrame, index: CentroidIndex, *,
     return out.drop("__cmap", "__cvecs")
 
 
+#: k·dim above which the one-row CentroidIndex broadcast frame stops
+#: being comfortable (~2·k·dim·8 bytes per executor: 4M ≈ 64 MB — the
+#: classic broadcast-join comfort bound) and the auto paths switch to
+#: the shuffled :class:`CentroidTable`. The CentroidIndex docstring's
+#: "tens of millions" ceiling is where broadcast FAILS; this default
+#: switches earlier, where it merely degrades.
+TABLE_FROM_KDIM = 4_000_000
+
+#: coarse-centroid count up to which the per-row coarse probe stays a
+#: literal expression (the measured literal comfort zone — above it the
+#: probe itself goes through a small CentroidIndex over the coarse
+#: level, tools/soak_centroid_k.py crossover k≈200)
+COARSE_LIT_MAX = 150
+
+
+class CentroidTable:
+    """Nearest-centroid assignment against a centroid TABLE — the last
+    rung of the assignment ladder (r7 verdict task 1; the rung
+    :class:`CentroidIndex`'s own docstring names).
+
+    Ladder recap: literal argmin (k ≲ 200; plan is O(k·dim) codegen) →
+    broadcast two-level :class:`CentroidIndex` (plan constant in k,
+    but every executor holds the k x dim map frame — dies past
+    k·dim ≈ tens of millions) → THIS: the centroids live in a regular
+    multi-row DataFrame ``(__ccell, __cid, __cvec, __cnrm)`` grouped by
+    the same driver-side coarse clustering, and assignment is an
+    EXCHANGE, not a broadcast:
+
+    1. map-side: each vector row computes its ``nprobe`` nearest
+       coarse cells (literal probe up to :data:`COARSE_LIT_MAX` coarse
+       centroids, else through a small CentroidIndex over the ~sqrt(k)
+       coarse level — that index is sqrt(k)·dim, comfortably
+       broadcastable even when k·dim is not) and EXPLODES to
+       (row, coarse_cell);
+    2. a SHUFFLED hash equi-join on ``__ccell`` against the centroid
+       table (``shuffle_hash`` hint — never a broadcast of the index
+       side, that bound is the reason this rung exists) scores each
+       candidate fine centroid;
+    3. ``max_by(cid, struct(sim, -cid))`` with map-side partial
+       aggregation collapses the n·nprobe·(k/coarse_k) scored rows to
+       one winner per row id — the :func:`ivf_assign` argmin shape
+       generalized to TRAINED centroids not drawn from the corpus.
+
+    Per-row cost matches the CentroidIndex (same probe, same candidate
+    count); cluster cost adds one shuffle of the probe side (n·nprobe
+    rows carrying the vector) + the argmin exchange — the price of
+    unbounded k. Exactness is the same IVF trade: exact whenever the
+    true argmin's coarse cell is probed; ``nprobe=len(coarse)`` probes
+    everything and reproduces the literal argmin BIT-FOR-BIT (same
+    cosine expression, driver-side ``math.sqrt`` norms, same
+    struct(sim, -cid) total order — max over rows is fold-order-free —
+    same zero-norm→0 pin; pytest-pinned in test_centroid_table).
+    """
+
+    def __init__(self, centroids: list[list[float]], *,
+                 coarse_k: int | None = None, nprobe: int = 8,
+                 iters: int = 10):
+        import math
+
+        k = len(centroids)
+        dim = len(centroids[0])
+        if coarse_k is None:
+            eff = max(1, min(int(nprobe), k))
+            coarse_k = min(1024, math.isqrt(max(eff * k - 1, 0)) + 1)
+        coarse_k = max(1, min(coarse_k, k))
+        coarse, assign = _cluster_centroids(centroids, coarse_k, iters)
+        groups: dict[int, list] = {}
+        for cid, coarse_id in enumerate(assign):
+            cn = math.sqrt(sum(x * x for x in centroids[cid])) or 1.0
+            groups.setdefault(int(coarse_id), []).append(
+                (cid, [float(x) for x in centroids[cid]], cn))
+        live = sorted(groups)
+        self.coarse = [coarse[g] for g in live]
+        self.rows = [(ccell, cid, vec, cn)
+                     for ccell, g in enumerate(live)
+                     for cid, vec, cn in groups[g]]
+        self.centroids = centroids
+        self.nprobe = min(int(nprobe), len(self.coarse))
+        self.k, self.dim = k, dim
+        self._frame = None
+        self._coarse_index = None
+
+    def frame(self, spark) -> DataFrame:
+        """The centroid TABLE: k rows ``(__ccell, __cid, __cvec,
+        __cnrm)``. Unlike :meth:`CentroidIndex.frame` this is never
+        broadcast — it is one join SIDE. Cached per instance (the
+        driver holds k x dim either way; a genuinely
+        distributed-trained centroid set would land here as a real
+        table read instead, same schema, same plan)."""
+        if self._frame is None:
+            self._frame = spark.createDataFrame(
+                self.rows,
+                "__ccell int, __cid int, __cvec array<double>, "
+                "__cnrm double")
+        return self._frame
+
+    def _probe_expr(self, spark, df: DataFrame,
+                    vec: Column, nrm: Column) -> tuple[DataFrame, Column]:
+        """(df ready for the probe, nprobe-coarse-cells array column).
+        Literal probe while the coarse level is literal-sized; past
+        that, a CentroidIndex over the COARSE centroids (sqrt(k)·dim —
+        broadcast-safe even when k·dim is not)."""
+        if len(self.coarse) <= COARSE_LIT_MAX:
+            return df, probe_cells_expr(self.coarse, vec, nrm,
+                                        nprobe=self.nprobe)
+        if self._coarse_index is None:
+            self._coarse_index = CentroidIndex(
+                self.coarse, nprobe=min(8, len(self.coarse)))
+        cidx = self._coarse_index
+        out = df.crossJoin(F.broadcast(cidx.frame(spark)))
+        return out, probe_cells_expr_indexed(cidx, vec, nrm,
+                                             nprobe=self.nprobe)
+
+    def assign(self, df: DataFrame, *, id_col: str,
+               vec_col: str = "vec", nrm_col: str = "nrm",
+               out_col: str = "cell",
+               cent_col: str | None = None) -> DataFrame:
+        """``df`` + ``out_col`` (and optionally ``cent_col``) via the
+        shuffled argmin. ``df`` must carry a UNIQUE ``id_col`` plus
+        ``vec_col``/``nrm_col``; every input row comes back exactly
+        once (probed coarse cells are live by construction, so the
+        candidate join never drops a row)."""
+        spark = df.sparkSession
+        probe_in = df.select(id_col, vec_col, nrm_col)
+        probe_in, probe = self._probe_expr(
+            spark, probe_in, F.col(vec_col), F.col(nrm_col))
+        # the probe list is a derived array — bind it in its own
+        # projection BEFORE the explode (the Generate-drag trap), and
+        # drop the coarse-index map columns so they don't ride the join
+        ex = (probe_in.withColumn("__probe", probe)
+              .select(id_col, vec_col, nrm_col,
+                      F.explode("__probe").alias("__ccell")))
+        joined = ex.join(self.frame(spark).hint("shuffle_hash"), "__ccell")
+        sim = F.nanvl(
+            F.when((F.col(nrm_col) != 0) & (F.col("__cnrm") != 0),
+                   _dot(F.col(vec_col), F.col("__cvec"))
+                   / (F.col(nrm_col) * F.col("__cnrm")))
+            .otherwise(F.lit(-2.0)), F.lit(-2.0))
+        order = F.struct(sim.alias("sim"), (-F.col("__cid")).alias("negid"))
+        aggs = [F.max_by(F.col("__cid"), order).alias("__best"),
+                F.any_value(F.col(nrm_col)).alias("__nrm0")]
+        if cent_col is not None:
+            aggs.append(F.max_by(F.col("__cvec"), order).alias("__bestvec"))
+        won = joined.groupBy(id_col).agg(*aggs)
+        # zero-norm rows fall to centroid 0 on every other path (all
+        # sims floor to -2.0 and cid 0 wins the literal fold); the
+        # probed candidate set here need not contain cid 0 — pin it
+        cell = F.when(F.col("__nrm0") == 0, F.lit(0)) \
+            .otherwise(F.col("__best"))
+        sel = [F.col(id_col), cell.alias(out_col)]
+        if cent_col is not None:
+            cvec0 = None
+            for ccell, cid, vec, _cn in self.rows:
+                if cid == 0:
+                    cvec0 = vec
+                    break
+            zerovec = F.array(*[F.lit(float(x)) for x in (cvec0 or [])])
+            sel.append(F.when(F.col("__nrm0") == 0, zerovec)
+                       .otherwise(F.col("__bestvec")).alias(cent_col))
+        return df.join(won.select(*sel), id_col)
+
+
 def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  index: CentroidIndex | None = None,
+                  index: "CentroidIndex | CentroidTable | None" = None,
                   ) -> DataFrame:
     """(id, centroid_id) for TRAINED centroids (:func:`train_kmeans`).
 
@@ -813,7 +991,8 @@ def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
                         F.col(vec_col).cast("array<double>").alias("vec"))
          .withColumn("nrm", _norm(F.col("vec"))))
     if index is not None:
-        return (with_centroid_cell(v, index, out_col="centroid_id")
+        return (with_centroid_cell(v, index, out_col="centroid_id",
+                                   id_col="id")
                 .select(F.col("id").alias(id_col), "centroid_id"))
     cid = _centroid_argmin_expr(centroids, F.col("vec"), F.col("nrm"))
     return v.select(F.col("id").alias(id_col), cid.alias("centroid_id"))
@@ -831,7 +1010,8 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    threshold: float = 0.95,
                    max_cell_size: int | None = None,
-                   index: CentroidIndex | None = None) -> DataFrame:
+                   index: "CentroidIndex | CentroidTable | None" = None,
+                   ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic
     deduplication", 2023 — public paper): k-means-cluster the embedding
@@ -859,12 +1039,14 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
     generation with the same caveat as ``lsh_pairs_from_buckets``.
     ``centroids`` come from :func:`train_kmeans`.
 
-    ``index=`` (a :class:`CentroidIndex` over the same centroids)
-    switches the cell assignment to the two-level table-backed form —
+    ``index=`` (a :class:`CentroidIndex` or :class:`CentroidTable`
+    over the same centroids) switches the cell assignment to the
+    two-level broadcast form or the shuffled centroid-table form —
     REQUIRED in the large-k regime :func:`semantic_k` produces at
-    corpus scale (k grows with n; the literal projection does not).
-    The pair stage is unchanged: duplicates are defined within the
-    ASSIGNED cell either way.
+    corpus scale (k grows with n; the literal projection does not,
+    and past k·dim ≈ :data:`TABLE_FROM_KDIM` neither does the
+    broadcast frame). The pair stage is unchanged: duplicates are
+    defined within the ASSIGNED cell either way.
     """
     dim = len(centroids[0])
     par = vectors.sparkSession.sparkContext.defaultParallelism
@@ -877,7 +1059,7 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
          .repartition(par, F.col("id"))
          .withColumn("nrm", _norm(F.col("vec"))))
     if index is not None:
-        v = with_centroid_cell(v, index)
+        v = with_centroid_cell(v, index, id_col="id")
     else:
         v = v.withColumn("cell",
                          _centroid_argmin_expr(centroids, F.col("vec"),
@@ -916,8 +1098,11 @@ def semantic_dedup_auto(vectors: DataFrame, *, id_col: str = "vec_id",
                         threshold: float = 0.95, target_cell: int = 500,
                         iters: int = 10,
                         max_cell_size: int | None = None,
-                        index_from: int = 512,
-                        index_kw: dict | None = None) -> DataFrame:
+                        index_from: int = 256,
+                        index_kw: dict | None = None,
+                        train_per_centroid: int = 100,
+                        table_from_kdim: int = TABLE_FROM_KDIM,
+                        ) -> DataFrame:
     """One-verb SemDeDup with the scale knobs set from the corpus:
     k = :func:`semantic_k` (cell occupancy ~``target_cell``, keeping
     the within-cell pair work linear in n), spherical k-means trained
@@ -927,25 +1112,77 @@ def semantic_dedup_auto(vectors: DataFrame, *, id_col: str = "vec_id",
     :func:`train_kmeans` → :func:`CentroidIndex` →
     :func:`semantic_dedup` by hand; exists so the at-scale defaults
     are one call instead of three decisions. An empty corpus returns
-    the empty frame (fresh deployments poll unconditionally)."""
+    the empty frame (fresh deployments poll unconditionally).
+
+    ``index_from`` defaults to the MEASURED literal/indexed crossover
+    (tools/soak_centroid_k.py: at k=256 the literal argmin costs
+    21 s plan + 3.8 s exec vs the index's 4.2 + 1.5 — the literal
+    plan-build is super-linear in k, so 256 is already firmly on the
+    indexed side; r7 verdict task 2 aligned the default with that
+    measurement, down from 512).
+
+    **Training cost is bounded to ~one corpus pass** (r7 verdict task
+    1b): Lloyd's iterations run on a deterministic hash-sample of
+    ``train_per_centroid`` (default 100) vectors per centroid — the
+    standard k-means-at-scale shape (train on ~100·k, assign ALL n) —
+    instead of ``iters`` full corpus scans. With
+    k = n/``target_cell`` the sample is ~n/5 of the corpus, so 10
+    iterations cost ~2 corpus-row-passes of work rather than 10. The
+    sample is id-hash based (md5, partitioning-independent), so the
+    trained centroids are bit-reproducible on any layout; sampling
+    engages only when it actually shrinks the input (n > 100·k), and
+    the full-corpus assignment in :func:`semantic_dedup` is untouched
+    either way."""
     n = vectors.count()
     if n == 0:
         return vectors
     k = min(semantic_k(n, target_cell), n)
-    cents = train_kmeans(vectors, id_col=id_col, vec_col=vec_col, k=k,
-                         iters=iters, two_level_from=int(index_from))
-    idx = (CentroidIndex(cents, **(index_kw or {}))
-           if k >= int(index_from) else None)
+    train = _training_sample(vectors, n=n, k=k, id_col=id_col,
+                             per_centroid=train_per_centroid)
+    cents = train_kmeans(train, id_col=id_col, vec_col=vec_col, k=k,
+                         iters=iters, two_level_from=int(index_from),
+                         index_kw=index_kw,
+                         table_from_kdim=int(table_from_kdim))
+    idx = None
+    if k >= int(index_from):
+        # the same ladder the trainer climbs: broadcast index while the
+        # frame is comfortable, shuffled centroid table past the bound
+        cls = (CentroidTable if k * len(cents[0]) > int(table_from_kdim)
+               else CentroidIndex)
+        idx = cls(cents, **(index_kw or {}))
     return semantic_dedup(vectors, cents, id_col=id_col, vec_col=vec_col,
                           threshold=threshold,
                           max_cell_size=max_cell_size, index=idx)
+
+
+def _training_sample(vectors: DataFrame, *, n: int, k: int,
+                     id_col: str, per_centroid: int) -> DataFrame:
+    """Deterministic ~``per_centroid``·k-vector sample for k-means
+    training: keep ids whose md5-derived portable hash falls in the
+    first 1/m of the hash space (m = n // (per_centroid·k)). One
+    filter on one scan — no shuffle, no count job — and the SAME rows
+    are chosen regardless of partitioning/file layout (DataFrame.sample
+    is partition-order-sensitive; this is not). Guarantees nothing
+    about the exact sample size (hashing is uniform, n is large when
+    sampling engages), but :func:`train_kmeans` only requires ≥ k seed
+    rows and per_centroid·k ≫ k."""
+    m = n // max(1, int(per_centroid) * k)
+    if m <= 1:
+        return vectors
+    from ..functions.portable_hash import md5_hash64
+
+    return vectors.filter(
+        F.pmod(md5_hash64(F.col(id_col).cast("string"),
+                          seed="kmeans-train-v1"), F.lit(m)) == 0)
 
 
 def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", k: int = 8, iters: int = 10,
                  tol: float = 1e-9,
                  two_level_from: int | None = None,
-                 index_kw: dict | None = None) -> list[list[float]]:
+                 index_kw: dict | None = None,
+                 table_from_kdim: int = TABLE_FROM_KDIM,
+                 ) -> list[list[float]]:
     """Distributed spherical k-means (Lloyd's) for IVF centroid training.
 
     Deterministic init: the k smallest-id vectors. Each iteration is one
@@ -976,10 +1213,13 @@ def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
     within-probe distortion). The default is ``None`` — exact Lloyd's
     at any k, so existing trained centroids stay bit-reproducible;
     large-k callers OPT IN (``semantic_dedup_auto`` passes its
-    ``index_from``, 512 — around where the literal plan stops being
-    buildable in reasonable time). ``index_kw`` tunes
+    ``index_from``, 256 — the measured literal/indexed crossover,
+    tools/soak_centroid_k.py). ``index_kw`` tunes
     coarse_k/nprobe. Below the threshold the two paths are the same
-    algorithm.
+    algorithm. Past ``table_from_kdim`` (k·dim where the broadcast
+    index frame stops being comfortable) the per-iteration assignment
+    climbs one more rung to the shuffled :class:`CentroidTable` —
+    same candidates, same argmin, exchange instead of broadcast.
     """
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))
@@ -998,8 +1238,11 @@ def train_kmeans(vectors: DataFrame, *, id_col: str = "vec_id",
     centroids = [_unit(list(r.vec)) for r in seed_rows]
     for _ in range(iters):
         if two_level:
-            idx = CentroidIndex(centroids, **(index_kw or {}))
-            assigned = with_centroid_cell(v, idx, out_col="cid")
+            cls = (CentroidTable if k * dim > int(table_from_kdim)
+                   else CentroidIndex)
+            idx = cls(centroids, **(index_kw or {}))
+            assigned = with_centroid_cell(v, idx, out_col="cid",
+                                          id_col="id")
         else:
             cid = _centroid_argmin_expr(centroids, F.col("vec"),
                                         F.col("nrm"))

@@ -487,7 +487,7 @@ def run_incremental_embedding_stream(
         planes: int = 8, bands: int = 4,
         schema: str = "vec_id long, embedding array<float>",
         id_col: str = "vec_id", vec_col: str = "embedding",
-        index=None):
+        index=None, max_files_per_trigger: int | None = None):
     """Continuous embedding-level near-dedup: each micro-batch probes the
     PARTITIONED ANN corpus (``Catalog`` table partitioned by IVF cell,
     the layout :func:`llm.similarity.kmeans_assign` writes) — the
@@ -524,6 +524,13 @@ def run_incremental_embedding_stream(
     large-k regime — plan constant-size in k, the r6 literal-centroid
     ceiling closed on the streaming path too. Returns the
     StreamingQuery.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    source files (``availableNow`` still drains everything pending —
+    in several batches instead of one): the backfill knob when a burst
+    of files lands between runs, and what lets a soak measure
+    PER-BATCH cost (tools/soak_embedding_stream_k.py). Default None =
+    one batch per run, the prior behavior.
     """
     from ..llm.dedup import dedup_keep_representative
     from ..llm.similarity import (_centroid_argmin_expr,
@@ -610,7 +617,11 @@ def run_incremental_embedding_stream(
                     .localCheckpoint(eager=True))
         catalog.append(accepted, corpus_table, partition_by=["centroid_id"])
 
-    vecs = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    vecs = reader.parquet(input_dir)
     query = (vecs.writeStream
              .foreachBatch(_apply)
              .option("checkpointLocation", checkpoint_dir)

@@ -512,6 +512,98 @@ def x6_sanitized_pivot_labels(spark, sf_dir):
     )
 
 
+# X3/X4 gained their own displaced oracle rows in r8 (r7 verdict task
+# 3): they were the only oracle-expressible §2 operators left riding a
+# class carrier (X1) without their own DuckDB rows. The engine's real
+# forecast/nowcast pivots (plans/read_api.py get_forecast_/
+# get_nowcast_timeseries_station_data) keep their domain pytest
+# (tests/test_read_api.py); these entries pin the same SHAPE — a
+# timemark-pinned (X3) / range+instance-pinned (X4) single-category
+# conditional-aggregation crosstab — against DuckDB on the driver
+# testdata.
+
+@query("x3_forecast_pivot", gate=False, sql="""
+    WITH src AS (
+        SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS time_stamp,
+               event_type AS category,
+               CAST(value AS DECIMAL(18,2)) AS yaxis
+        FROM events
+        WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-05 00:00:00'
+          AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+          AND event_type = 'purchase'),
+    agg AS (SELECT time_stamp, category, max(yaxis) AS yaxis
+            FROM src GROUP BY 1, 2)
+    SELECT time_stamp,
+           CAST(max(yaxis) FILTER (WHERE category = 'purchase')
+                AS VARCHAR) AS purchase
+    FROM agg GROUP BY time_stamp
+""")
+def x3_forecast_pivot(spark, sf_dir):
+    """X3: one forecast run's crosstab, pinned by TIMEMARK equality on
+    top of the time range (``scripts/
+    get_forecast_timeseries_station_data.sql:20-36`` — the run's
+    timemark + max_forecast_endtime window + one data_source column).
+    The timemark analog here is the event's day truncation; the single
+    pinned category pivots to one value column. Cells are
+    pre-aggregated (max) so the crosstab's first() is deterministic."""
+    ev = tables(spark, sf_dir, "events")
+    pre = (
+        ev.filter((F.date_trunc("day", F.col("ts"))
+                   == F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+                  & F.col("ts").between("2024-01-05 00:00:00",
+                                        "2024-01-12 00:00:00")
+                  & (F.col("event_type") == "purchase"))
+        .withColumn("time_stamp", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("time_stamp", F.col("event_type").alias("category"))
+        .agg(F.max(_dec("value")).alias("yaxis"))
+    )
+    piv = crosstab_timeseries(
+        pre, row_key="time_stamp", pivot_col="category",
+        categories=["purchase"], value=F.col("yaxis"))
+    return piv.select("time_stamp",
+                      F.col("purchase").cast("string").alias("purchase"))
+
+
+@query("x4_nowcast_pivot", gate=False, sql="""
+    WITH src AS (
+        SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS time_stamp,
+               event_type AS category,
+               CAST(value AS DECIMAL(18,2)) AS yaxis
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+          AND event_type = 'view'
+          AND user_id % 2 = 0),
+    agg AS (SELECT time_stamp, category, max(yaxis) AS yaxis
+            FROM src GROUP BY 1, 2)
+    SELECT time_stamp,
+           CAST(max(yaxis) FILTER (WHERE category = 'view')
+                AS VARCHAR) AS view_nowcast
+    FROM agg GROUP BY time_stamp
+""")
+def x4_nowcast_pivot(spark, sf_dir):
+    """X4: nowcast crosstab over [start, end] with the extra
+    data_source + source_instance equality pins (``scripts/
+    get_nowcast_timeseries_station_data.sql:18-33``). Instance analog:
+    the even user cohort; single pinned category → one value column."""
+    ev = tables(spark, sf_dir, "events")
+    pre = (
+        ev.filter(F.col("ts").between("2024-01-03 00:00:00",
+                                      "2024-01-20 00:00:00")
+                  & (F.col("event_type") == "view")
+                  & (F.col("user_id") % 2 == 0))
+        .withColumn("time_stamp", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("time_stamp", F.col("event_type").alias("category"))
+        .agg(F.max(_dec("value")).alias("yaxis"))
+    )
+    piv = crosstab_timeseries(
+        pre, row_key="time_stamp", pivot_col="category",
+        categories=["view"], value=F.col("yaxis"))
+    return piv.select("time_stamp",
+                      F.col("view").cast("string").alias("view_nowcast"))
+
+
 # --- O: sorts / set ops --------------------------------------------------
 
 # o3_union left the gate in r4 (driver 50-query cap) and was restored
