@@ -918,15 +918,13 @@ class CentroidTable:
         return out, probe_cells_expr_indexed(cidx, vec, nrm,
                                              nprobe=self.nprobe)
 
-    def assign(self, df: DataFrame, *, id_col: str,
-               vec_col: str = "vec", nrm_col: str = "nrm",
-               out_col: str = "cell",
-               cent_col: str | None = None) -> DataFrame:
-        """``df`` + ``out_col`` (and optionally ``cent_col``) via the
-        shuffled argmin. ``df`` must carry a UNIQUE ``id_col`` plus
-        ``vec_col``/``nrm_col``; every input row comes back exactly
-        once (probed coarse cells are live by construction, so the
-        candidate join never drops a row)."""
+    def _scored(self, df: DataFrame, *, id_col: str, vec_col: str,
+                nrm_col: str) -> tuple[DataFrame, Column]:
+        """The shared candidate scorer: (joined candidate frame, the
+        ``struct(sim, -cid)`` order column) — both :meth:`assign` and
+        :meth:`probe_and_assign` aggregate THIS join so the two paths
+        can never diverge (the `_indexed_scored_candidates` rule, one
+        rung down)."""
         spark = df.sparkSession
         probe_in = df.select(id_col, vec_col, nrm_col)
         probe_in, probe = self._probe_expr(
@@ -944,6 +942,19 @@ class CentroidTable:
                    / (F.col(nrm_col) * F.col("__cnrm")))
             .otherwise(F.lit(-2.0)), F.lit(-2.0))
         order = F.struct(sim.alias("sim"), (-F.col("__cid")).alias("negid"))
+        return joined, order
+
+    def assign(self, df: DataFrame, *, id_col: str,
+               vec_col: str = "vec", nrm_col: str = "nrm",
+               out_col: str = "cell",
+               cent_col: str | None = None) -> DataFrame:
+        """``df`` + ``out_col`` (and optionally ``cent_col``) via the
+        shuffled argmin. ``df`` must carry a UNIQUE ``id_col`` plus
+        ``vec_col``/``nrm_col``; every input row comes back exactly
+        once (probed coarse cells are live by construction, so the
+        candidate join never drops a row)."""
+        joined, order = self._scored(df, id_col=id_col, vec_col=vec_col,
+                                     nrm_col=nrm_col)
         aggs = [F.max_by(F.col("__cid"), order).alias("__best"),
                 F.any_value(F.col(nrm_col)).alias("__nrm0")]
         if cent_col is not None:
@@ -965,6 +976,41 @@ class CentroidTable:
             sel.append(F.when(F.col("__nrm0") == 0, zerovec)
                        .otherwise(F.col("__bestvec")).alias(cent_col))
         return df.join(won.select(*sel), id_col)
+
+    def probe_and_assign(self, df: DataFrame, *, id_col: str,
+                         vec_col: str = "vec", nrm_col: str = "nrm",
+                         nprobe: int = 2, cell_col: str = "cell",
+                         probes_col: str = "probes") -> DataFrame:
+        """``df`` + argmin ``cell_col`` + top-``nprobe`` fine-cell list
+        ``probes_col`` in ONE aggregation over the shuffled candidate
+        join — the table-rung twin of ``probe_cells_expr_indexed`` +
+        `_indexed_argmin_expr` (what the streaming embedding dedup
+        needs per batch row). Ranking collects the row's scored
+        candidates (``collect_list`` → sort → slice): per-row candidate
+        width is nprobe_coarse·k/coarse_k ≈ sqrt(k)-sized — bounded,
+        but heavier than the argmin-only :meth:`assign`; use that when
+        the probe list is not needed. Same cosine, same
+        struct(sim, -cid) order, so ``cell_col`` is always
+        ``probes_col[0]``; zero-norm rows pin to cell 0 and the
+        literal path's [0..nprobe-1] probe list."""
+        joined, order = self._scored(df, id_col=id_col, vec_col=vec_col,
+                                     nrm_col=nrm_col)
+        top = F.slice(F.sort_array(F.collect_list(order), asc=False),
+                      1, nprobe)
+        won = joined.groupBy(id_col).agg(
+            F.max_by(F.col("__cid"), order).alias("__best"),
+            F.any_value(F.col(nrm_col)).alias("__nrm0"),
+            F.transform(top, lambda s: (-s["negid"]).cast("int"))
+            .alias("__top"))
+        zeroprobe = F.array(*[F.lit(i)
+                              for i in range(min(int(nprobe), self.k))])
+        cell = F.when(F.col("__nrm0") == 0, F.lit(0)) \
+            .otherwise(F.col("__best"))
+        probes = F.when(F.col("__nrm0") == 0, zeroprobe) \
+            .otherwise(F.col("__top"))
+        return df.join(
+            won.select(F.col(id_col), cell.alias(cell_col),
+                       probes.alias(probes_col)), id_col)
 
 
 def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
@@ -1060,6 +1106,12 @@ def semantic_dedup(vectors: DataFrame, centroids: list[list[float]], *,
          .withColumn("nrm", _norm(F.col("vec"))))
     if index is not None:
         v = with_centroid_cell(v, index, id_col="id")
+        if isinstance(index, CentroidTable):
+            # the table rung's assignment is a shuffled join+agg
+            # lineage, and the pair stage self-joins v (aliases a/b) —
+            # materialize it ONCE instead of running the exchange
+            # twice (the r7 CC pair-lineage lesson)
+            v = v.localCheckpoint(eager=False)
     else:
         v = v.withColumn("cell",
                          _centroid_argmin_expr(centroids, F.col("vec"),

@@ -522,8 +522,13 @@ def run_incremental_embedding_stream(
     over the same centroids) switches the per-row cell assignment AND
     probe-list expressions to the two-level table-backed form for the
     large-k regime — plan constant-size in k, the r6 literal-centroid
-    ceiling closed on the streaming path too. Returns the
-    StreamingQuery.
+    ceiling closed on the streaming path too. A
+    :class:`llm.similarity.CentroidTable` is also accepted (r8 — the
+    ladder's shuffled last rung, for k·dim past the broadcast bound):
+    cell + probe list then come from ONE aggregation over the
+    candidate join (:meth:`CentroidTable.probe_and_assign`), and the
+    persisted stream-lifetime frame is the multi-row centroid table
+    instead of the one-row map. Returns the StreamingQuery.
 
     ``max_files_per_trigger`` bounds each micro-batch to that many
     source files (``availableNow`` still drains everything pending —
@@ -533,7 +538,8 @@ def run_incremental_embedding_stream(
     one batch per run, the prior behavior.
     """
     from ..llm.dedup import dedup_keep_representative
-    from ..llm.similarity import (_centroid_argmin_expr,
+    from ..llm.similarity import (CentroidTable,
+                                  _centroid_argmin_expr,
                                   _indexed_argmin_expr, _dot, _norm,
                                   embedding_neardup_pairs,
                                   probe_cells_expr,
@@ -558,7 +564,12 @@ def run_incremental_embedding_stream(
         v = (batch_df
              .withColumn("__vec", F.col(vec_col).cast("array<double>"))
              .withColumn("__nrm", _norm(F.col("__vec"))))
-        if index is not None:
+        if isinstance(index, CentroidTable):
+            v = index.probe_and_assign(
+                v, id_col=id_col, vec_col="__vec", nrm_col="__nrm",
+                nprobe=nprobe, cell_col="centroid_id",
+                probes_col="__probes")
+        elif index is not None:
             v = (v.crossJoin(F.broadcast(idx_frame))
                  .withColumn("centroid_id",
                              _indexed_argmin_expr(index, F.col("__vec"),

@@ -237,6 +237,80 @@ def test_semantic_dedup_auto_selects_table_past_bound(spark):
     assert len(auto) < n
 
 
+def test_probe_and_assign_matches_literal_probe(spark):
+    """probe_and_assign's top-nprobe fine-cell lists equal the literal
+    probe_cells_expr output (probe-everything), its cell equals the
+    literal argmin (and probes[0]), and zero-norm rows pin to cell 0
+    with the literal path's [0..nprobe-1] list."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        _centroid_argmin_expr,
+        _norm,
+        probe_cells_expr,
+    )
+
+    df = _vectors(spark, n=100, dim=8, k_blobs=10)  # includes zero row
+    cents = _centroids(spark, df, k=10)
+    tbl = CentroidTable(cents, nprobe=10**6)
+    v = (df.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("vec"))
+         .withColumn("nrm", _norm(F.col("vec"))))
+    lit = {r.vec_id: (r.cell, list(r.p)) for r in v.select(
+        "vec_id",
+        _centroid_argmin_expr(cents, F.col("vec"), F.col("nrm"))
+        .alias("cell"),
+        probe_cells_expr(cents, F.col("vec"), F.col("nrm"),
+                         nprobe=3).alias("p")).collect()}
+    got = {r.vec_id: (r.cell, list(r.probes)) for r in
+           tbl.probe_and_assign(v, id_col="vec_id", nprobe=3).collect()}
+    assert got == lit
+    assert all(cell == probes[0] for cell, probes in got.values())
+    assert got[100] == (0, [0, 1, 2])  # the zero-norm row
+
+
+def test_embedding_stream_with_table(spark, tmp_path):
+    """run_incremental_embedding_stream(index=CentroidTable) keeps the
+    exact batch semantics of the broadcast-index path: cross-batch dup
+    rejected via the corpus probe, in-batch pair resolved, replay
+    idempotent — the ladder's last rung wired into streaming."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_embedding_stream,
+    )
+
+    dim = 8
+    centroids = [[1.0 if i == a else 0.0 for i in range(dim)]
+                 for a in range(4)]
+    tbl = CentroidTable(centroids, nprobe=10**6)
+    src = str(tmp_path / "in")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    SCH = "vec_id long, embedding array<float>"
+
+    def _write(rows):
+        spark.createDataFrame(rows, SCH).write.mode("append").parquet(src)
+
+    def _run(ck):
+        q = run_incremental_embedding_stream(
+            spark, src, catalog, centroids,
+            checkpoint_dir=str(tmp_path / ck),
+            threshold=0.95, nprobe=2, dim=dim, index=tbl)
+        assert q.awaitTermination(120)
+
+    def axis(a, scale=1.0):
+        return [scale if i == a else 0.0 for i in range(dim)]
+
+    _write([(1, axis(0)), (2, axis(1))])
+    _run("ck")
+    assert {r.vec_id for r in catalog.read("ann_corpus").collect()} == {1, 2}
+    _write([(12, axis(0, 1.002)), (13, axis(2)),
+            (14, axis(2, 1.001)), (15, axis(3))])
+    _run("ck")
+    got = {r.vec_id for r in catalog.read("ann_corpus").collect()}
+    assert got == {1, 2, 13, 15}
+    _run("ck2")
+    rows = catalog.read("ann_corpus").collect()
+    assert {r.vec_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4
+
+
 def test_training_sample_deterministic_and_bounded(spark):
     """_training_sample keeps training ~one corpus pass (r7 verdict
     task 1b): id-hash-based (same rows on ANY partitioning), engages
