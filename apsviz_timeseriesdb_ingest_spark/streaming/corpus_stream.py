@@ -487,7 +487,8 @@ def run_incremental_embedding_stream(
         planes: int = 8, bands: int = 4,
         schema: str = "vec_id long, embedding array<float>",
         id_col: str = "vec_id", vec_col: str = "embedding",
-        index=None, max_files_per_trigger: int | None = None):
+        index=None, max_files_per_trigger: int | None = None,
+        partition_groups: int | None = None):
     """Continuous embedding-level near-dedup: each micro-batch probes the
     PARTITIONED ANN corpus (``Catalog`` table partitioned by IVF cell,
     the layout :func:`llm.similarity.kmeans_assign` writes) — the
@@ -536,6 +537,21 @@ def run_incremental_embedding_stream(
     of files lands between runs, and what lets a soak measure
     PER-BATCH cost (tools/soak_embedding_stream_k.py). Default None =
     one batch per run, the prior behavior.
+
+    ``partition_groups`` bounds the corpus table's partition-directory
+    count at large k (r8, measured in the soak: partitioning by the
+    raw cell id means every micro-batch writes up to |batch| tiny
+    files into as many directories, and per-batch cost grew ~sqrt(k) —
+    the small-files regime). When set, the partition column becomes
+    ``cell_group = centroid_id div ceil(k/G)`` — CONTIGUOUS cell
+    ranges, so directory count is ≤ G whatever k is, each parquet
+    file spans few distinct cells, and the probe keeps two pruning
+    levels: a literal ``cell_group`` partition filter (directory
+    pruning) plus the ``centroid_id`` predicate pushed to parquet
+    row-group stats (tight min/max because ranges are contiguous).
+    Batch semantics are IDENTICAL — grouping only changes the on-disk
+    layout. Default None keeps per-cell partitioning (right while k is
+    modest; switch when k approaches the batch size).
     """
     from ..llm.dedup import dedup_keep_representative
     from ..llm.similarity import (CentroidTable,
@@ -546,6 +562,8 @@ def run_incremental_embedding_stream(
                                   probe_cells_expr_indexed)
 
     vec_dim = dim or len(centroids[0])
+    span = (max(1, -(-len(centroids) // int(partition_groups)))
+            if partition_groups else None)
     # the index frame is one k x dim serialization from the driver —
     # build it ONCE at stream setup, not per micro-batch. persist, NOT
     # localCheckpoint: a checkpointed block is non-replicated
@@ -595,7 +613,13 @@ def run_incremental_embedding_stream(
             cells = sorted({r.c for r in
                             v.select(F.explode("__probes").alias("c"))
                             .distinct().collect()})
-            stored = (catalog.read(corpus_table)
+            stored = catalog.read(corpus_table)
+            if span is not None:
+                # directory pruning on the bounded group column, then
+                # the cell predicate reaches parquet row-group stats
+                groups = sorted({c // span for c in cells})
+                stored = stored.filter(F.col("cell_group").isin(groups))
+            stored = (stored
                       .filter(F.col("centroid_id").isin(cells))
                       .select(F.col(id_col).alias("__sid"),
                               F.col(vec_col).cast("array<double>").alias("__svec"),
@@ -624,9 +648,15 @@ def run_incremental_embedding_stream(
             fresh, pairs.withColumnRenamed("vec_id_a", "doc_a")
                         .withColumnRenamed("vec_id_b", "doc_b"),
             id_col=id_col)
-        accepted = (accepted.select(id_col, vec_col, "centroid_id")
-                    .localCheckpoint(eager=True))
-        catalog.append(accepted, corpus_table, partition_by=["centroid_id"])
+        accepted = accepted.select(id_col, vec_col, "centroid_id")
+        if span is not None:
+            accepted = accepted.withColumn(
+                "cell_group",
+                F.floor(F.col("centroid_id") / F.lit(span)).cast("int"))
+        accepted = accepted.localCheckpoint(eager=True)
+        catalog.append(accepted, corpus_table,
+                       partition_by=["cell_group" if span is not None
+                                     else "centroid_id"])
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -185,6 +185,68 @@ def test_incremental_embedding_stream(spark, tmp_path):
     assert {r.vec_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4
 
 
+def test_embedding_stream_partition_groups(spark, tmp_path):
+    """partition_groups changes ONLY the on-disk layout: identical batch
+    semantics (cross-batch reject via the group-pruned probe, in-batch
+    pair, replay idempotence), directory count bounded at G with
+    contiguous cell ranges, and the group filter composes with the
+    cell predicate (r8 — the small-files fix the stream soak measured:
+    per-batch cost grew ~sqrt(k) with per-cell partitioning)."""
+    import os
+
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_embedding_stream)
+
+    dim = 8
+    # 8 axis centroids, G=2 -> span=4: cells 0-3 in group 0, 4-7 in 1
+    centroids = [[1.0 if i == a else 0.0 for i in range(dim)]
+                 for a in range(8)]
+    src = str(tmp_path / "in")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    SCH = "vec_id long, embedding array<float>"
+
+    def _write(rows):
+        spark.createDataFrame(rows, SCH).write.mode("append").parquet(src)
+
+    def _run(ck):
+        q = run_incremental_embedding_stream(
+            spark, src, catalog, centroids,
+            checkpoint_dir=str(tmp_path / ck),
+            threshold=0.95, nprobe=2, dim=dim, partition_groups=2)
+        assert q.awaitTermination(120)
+
+    def axis(a, scale=1.0):
+        return [scale if i == a else 0.0 for i in range(dim)]
+
+    # batch 1: vectors in cells 0, 5 (both partition groups)
+    _write([(1, axis(0)), (2, axis(5))])
+    _run("ck")
+    assert {r.vec_id for r in catalog.read("ann_corpus").collect()} == {1, 2}
+    # layout: cell_group dirs, bounded at G=2, no per-cell dirs
+    dirs = [d for d in os.listdir(catalog.path("ann_corpus"))
+            if d.startswith("cell_group=")]
+    assert dirs and len(dirs) <= 2
+    assert not any(d.startswith("centroid_id=")
+                   for d in os.listdir(catalog.path("ann_corpus")))
+
+    # batch 2: 12 dups 1 (cross-batch, probe pruned to group 0),
+    # 13 dups 2 (group 1), 14/15 in-batch pair in cell 6, 16 new
+    _write([(12, axis(0, 1.002)), (13, axis(5, 1.001)),
+            (14, axis(6)), (15, axis(6, 1.003)), (16, axis(3))])
+    _run("ck")
+    got = {r.vec_id for r in catalog.read("ann_corpus").collect()}
+    assert got == {1, 2, 14, 16}
+    # the data column survives for row-group pruning + cell math
+    assert {r.centroid_id for r in
+            catalog.read("ann_corpus").collect()} == {0, 5, 6, 3}
+
+    # fresh-checkpoint replay: everything self-matches, corpus no-op
+    _run("ck2")
+    rows = catalog.read("ann_corpus").collect()
+    assert {r.vec_id for r in rows} == {1, 2, 14, 16} and len(rows) == 4
+
+
 def test_stateless_text_ops_compose_on_streams(spark, tmp_path):
     """chunk_documents / gopher_quality_stats / remove_repeated_lines
     are pure map-side (plus a repartition) — they must run unchanged on

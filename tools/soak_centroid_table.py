@@ -78,10 +78,16 @@ def main() -> None:
             df = kmeans_assign(corpus, cents, index=obj)
             plan_s = time.perf_counter() - t0
             if path == "table":
+                # the rung's contract: the fine __ccell join is an
+                # exchange, never a broadcast of the k-sized table.
+                # (Other joins in the plan — e.g. the id join-back —
+                # are Catalyst's size-based business: at this corpus
+                # size it rightly broadcasts the 20k-row probe side.)
                 plan = df._jdf.queryExecution().executedPlan().toString()
-                assert "ShuffledHashJoin" in plan, "fine stage not shuffled"
-                assert "BroadcastHashJoin" not in plan, \
-                    "centroid table was broadcast"
+                fine = [ln for ln in plan.splitlines()
+                        if "Join" in ln and "__ccell" in ln]
+                assert fine and all("ShuffledHashJoin" in ln
+                                    for ln in fine), fine
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             exec_s = time.perf_counter() - t0

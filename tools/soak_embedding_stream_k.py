@@ -50,7 +50,15 @@ DIM = 64
 BATCHES = 8
 PER_BATCH = 2500
 DUPS_PER_BATCH = 100
-KS = [500, 2000, 8000]
+#: (k, partition_groups) legs. The ungrouped k-sweep measures the
+#: small-files growth (per-batch cost grew ~sqrt(k): 30.7 / 60.5 /
+#: 123.3 s at k=500/2000/8000 — the dynamic-partition write fans out
+#: to ~|batch| tiny files in as many directories, and batch 1, which
+#: has NO corpus probe, already shows the growth, so it is the WRITE
+#: fanout + later read fanout, not assignment). The grouped leg pins
+#: the fix: cell_group = cid div ceil(k/G) bounds directories at G
+#: with contiguous cell ranges (probe keeps two pruning levels).
+LEGS = [(500, None), (2000, None), (8000, None), (8000, 256)]
 UNPERSIST_AFTER_BATCH = 3
 
 
@@ -80,10 +88,10 @@ def main() -> None:
     n_total = sum(len(b) for b in batches)
     n_dups = DUPS_PER_BATCH * (BATCHES - 1)
 
-    for k in KS:
+    for k, groups in LEGS:
         cents = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(k)]
         idx = CentroidIndex(cents, iters=4)
-        work = tempfile.mkdtemp(prefix=f"stream-k{k}-")
+        work = tempfile.mkdtemp(prefix=f"stream-k{k}-g{groups}-")
         src, wh, ck = (f"{work}/in", f"{work}/wh", f"{work}/ck")
         catalog = Catalog(spark, wh)
         SCH = "vec_id long, embedding array<float>"
@@ -94,7 +102,7 @@ def main() -> None:
         q = run_incremental_embedding_stream(
             spark, src, catalog, cents, checkpoint_dir=ck,
             threshold=0.95, nprobe=2, dim=DIM, index=idx,
-            max_files_per_trigger=1)
+            max_files_per_trigger=1, partition_groups=groups)
         # storage-loss injection: drop every cached block of the
         # stream-lifetime index frame mid-run; later micro-batches must
         # recompute it from the driver-held rows
@@ -115,7 +123,8 @@ def main() -> None:
         kept = catalog.read("ann_corpus").count()
         ok = (kept == n_total - n_dups)
         print(json.dumps({
-            "k": k, "batches": len(per_batch), "n_in": n_total,
+            "k": k, "partition_groups": groups,
+            "batches": len(per_batch), "n_in": n_total,
             "kept": kept, "expected": n_total - n_dups,
             "recall_ok": ok, "wall_sec": round(wall, 2),
             "mean_batch_sec": round(sum(per_batch) / len(per_batch), 3),
