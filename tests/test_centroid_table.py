@@ -316,6 +316,60 @@ def test_embedding_stream_with_table(spark, tmp_path):
     assert {r.vec_id for r in rows} == {1, 2, 13, 15} and len(rows) == 4
 
 
+def test_hostile_vectors_match_literal(spark):
+    """Zero vectors, NaN/Inf components, exact duplicates, k=1 and
+    dim=1 degenerate tables: the table rung stays total (no ANSI
+    aborts, every row back once) and probe-everything still equals the
+    literal argmin — the hostile sweep the literal/index rungs already
+    pass, applied to the shuffled rung."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import _norm
+
+    dim = 8
+    rows = [
+        (1, [0.0] * dim),                          # zero vector
+        (2, [float("nan")] + [1.0] * (dim - 1)),   # NaN component
+        (3, [float("inf")] + [1.0] * (dim - 1)),   # Inf component
+        (4, [1.0] + [0.0] * (dim - 1)),
+        (5, [1.0] + [0.0] * (dim - 1)),            # exact duplicate
+        (6, [-0.5] * dim),
+        (7, [float(i) for i in range(dim)]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0 if i == a else 0.0 for i in range(dim)]
+             for a in range(4)]
+    tbl = CentroidTable(cents, nprobe=10**6)
+    flat = {r.vec_id: r.centroid_id for r in kmeans_assign(vecs, cents).collect()}
+    via = {r.vec_id: r.centroid_id
+           for r in kmeans_assign(vecs, cents, index=tbl).collect()}
+    assert via == flat and len(via) == 7
+    assert all(v is not None for v in via.values())
+    assert via[1] == 0  # zero-norm pin
+
+    # degenerate shapes: one centroid; one dimension
+    one = CentroidTable([[1.0, 0.0]], nprobe=3)
+    v2 = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.centroid_id
+           for r in kmeans_assign(v2, [[1.0, 0.0]], index=one).collect()}
+    assert got == {1: 0, 2: 0}
+    d1 = CentroidTable([[1.0], [-1.0]], nprobe=10**6)
+    v1 = spark.createDataFrame([(1, [2.5]), (2, [-0.5]), (3, [0.0])],
+                               "vec_id long, embedding array<double>")
+    lit1 = {r.vec_id: r.centroid_id
+            for r in kmeans_assign(v1, [[1.0], [-1.0]]).collect()}
+    via1 = {r.vec_id: r.centroid_id
+            for r in kmeans_assign(v1, [[1.0], [-1.0]], index=d1).collect()}
+    assert via1 == lit1
+
+    # probe_and_assign totality on the same hostile frame
+    v = (vecs.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("vec"))
+         .withColumn("nrm", _norm(F.col("vec"))))
+    pa = tbl.probe_and_assign(v, id_col="vec_id", nprobe=2).collect()
+    assert len(pa) == 7
+    assert all(r.cell is not None and len(r.probes) >= 1 for r in pa)
+
+
 def test_training_sample_deterministic_and_bounded(spark):
     """_training_sample keeps training ~one corpus pass (r7 verdict
     task 1b): id-hash-based (same rows on ANY partitioning), engages
