@@ -1048,6 +1048,33 @@ def kmeans_assign(vectors: DataFrame, centroids: list[list[float]], *,
     return v.select(F.col("id").alias(id_col), cid.alias("centroid_id"))
 
 
+def cell_group_span(k: int, groups: int) -> int:
+    """Cells per partition group: ceil(k / groups). One source of truth
+    for the grouped ANN layout (batch writers, the streaming corpus,
+    and probes must agree or pruning silently reads the wrong dirs)."""
+    return max(1, -(-int(k) // int(groups)))
+
+
+def cell_group_col(cell: Column, k: int, groups: int) -> Column:
+    """The bounded partition column for an IVF layout at large k:
+    ``cell div ceil(k/groups)`` — CONTIGUOUS cell ranges, so directory
+    count is ≤ ``groups`` whatever k is and parquet min/max stats on
+    the raw cell column stay tight within each file. Partitioning the
+    layout by the raw cell id fans every append into up to |batch|
+    tiny files in as many directories once k is large (measured ~√k
+    per-batch growth — tools/soak_embedding_stream_k.py); grouping
+    bounds it while the probe keeps BOTH pruning levels (directory
+    filter on the group + row-group pushdown on the cell)."""
+    return F.floor(cell / F.lit(cell_group_span(k, groups))).cast("int")
+
+
+def cell_groups_for(cells: "list[int]", k: int, groups: int) -> "list[int]":
+    """The literal group ids covering ``cells`` — the directory-pruning
+    twin of :func:`probe_cells_for` for a grouped layout."""
+    span = cell_group_span(k, groups)
+    return sorted({int(c) // span for c in cells})
+
+
 def semantic_k(n_vectors: int, target_cell: int = 500) -> int:
     """The cluster count that holds SemDeDup's expected cell occupancy
     at ``target_cell`` vectors — pass to :func:`train_kmeans` so the
@@ -1349,6 +1376,7 @@ def ivf_probe(corpus: DataFrame, queries: list[tuple[int, list[float]]],
               centroids: list[list[float]], *, nprobe: int = 2,
               top_k: int = 3, id_col: str = "vec_id",
               vec_col: str = "embedding", cell_col: str = "centroid_id",
+              group_col: str | None = None, groups: int | None = None,
               ) -> DataFrame:
     """Top-k cosine neighbors per query, reading ONLY nprobe IVF cells.
 
@@ -1365,11 +1393,24 @@ def ivf_probe(corpus: DataFrame, queries: list[tuple[int, list[float]]],
     restricted to those cells; recall vs the full scan is the standard
     IVF recall/nprobe trade (measured, not assumed — see
     ``test_ivf_probe_recall``).
+
+    ``group_col`` + ``groups``: probe a GROUPED layout (written with
+    :func:`cell_group_col` as its partition column — the bounded-
+    directory form for large k). The literal directory filter moves to
+    the group ids covering the probed cells and the ``cell_col``
+    predicate drops to parquet row-group stats; results are identical
+    (the cell filter still runs), only the pruning levels change.
     """
     from pyspark.sql import Window
 
     cells = probe_cells_for(queries, centroids, nprobe=nprobe)
     all_cells = sorted({c for cs in cells.values() for c in cs})
+    if group_col is not None:
+        if not groups:
+            raise ValueError("group_col requires groups= (the G the "
+                             "layout was written with)")
+        corpus = corpus.filter(F.col(group_col).isin(
+            cell_groups_for(all_cells, len(centroids), groups)))
     spark = corpus.sparkSession
     qcells = spark.createDataFrame(
         [(qid, vec, cs) for (qid, vec), cs in

@@ -557,13 +557,13 @@ def run_incremental_embedding_stream(
     from ..llm.similarity import (CentroidTable,
                                   _centroid_argmin_expr,
                                   _indexed_argmin_expr, _dot, _norm,
+                                  cell_group_col, cell_groups_for,
                                   embedding_neardup_pairs,
                                   probe_cells_expr,
                                   probe_cells_expr_indexed)
 
     vec_dim = dim or len(centroids[0])
-    span = (max(1, -(-len(centroids) // int(partition_groups)))
-            if partition_groups else None)
+    grouped = partition_groups is not None
     # the index frame is one k x dim serialization from the driver —
     # build it ONCE at stream setup, not per micro-batch. persist, NOT
     # localCheckpoint: a checkpointed block is non-replicated
@@ -614,11 +614,12 @@ def run_incremental_embedding_stream(
                             v.select(F.explode("__probes").alias("c"))
                             .distinct().collect()})
             stored = catalog.read(corpus_table)
-            if span is not None:
+            if grouped:
                 # directory pruning on the bounded group column, then
                 # the cell predicate reaches parquet row-group stats
-                groups = sorted({c // span for c in cells})
-                stored = stored.filter(F.col("cell_group").isin(groups))
+                stored = stored.filter(F.col("cell_group").isin(
+                    cell_groups_for(cells, len(centroids),
+                                    partition_groups)))
             stored = (stored
                       .filter(F.col("centroid_id").isin(cells))
                       .select(F.col(id_col).alias("__sid"),
@@ -649,13 +650,14 @@ def run_incremental_embedding_stream(
                         .withColumnRenamed("vec_id_b", "doc_b"),
             id_col=id_col)
         accepted = accepted.select(id_col, vec_col, "centroid_id")
-        if span is not None:
+        if grouped:
             accepted = accepted.withColumn(
                 "cell_group",
-                F.floor(F.col("centroid_id") / F.lit(span)).cast("int"))
+                cell_group_col(F.col("centroid_id"), len(centroids),
+                               partition_groups))
         accepted = accepted.localCheckpoint(eager=True)
         catalog.append(accepted, corpus_table,
-                       partition_by=["cell_group" if span is not None
+                       partition_by=["cell_group" if grouped
                                      else "centroid_id"])
 
     reader = spark.readStream.schema(schema)

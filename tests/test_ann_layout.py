@@ -104,3 +104,54 @@ def test_ivf_probe_exact_within_cells_and_recall(spark, sf_small, tmp_path):
         approx.setdefault(q, set()).add(n)
     recall = sum(len(truth[q] & approx.get(q, set())) for q in truth) / (5 * len(truth))
     assert recall >= 0.5, recall
+
+
+def test_grouped_layout_probe_identical_and_pruned(spark, sf_small, tmp_path):
+    """The bounded-directory grouped layout (r8): writing the corpus
+    partitioned by cell_group (contiguous cell ranges) instead of the
+    raw cell id bounds directory count at G for any k, and
+    ivf_probe(group_col=) returns IDENTICAL neighbors — the directory
+    filter moves to the covering groups, the cell predicate drops to
+    parquet row-group stats, and both pruning levels show in the plan."""
+    import os
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        cell_group_col, cell_group_span, ivf_probe, kmeans_assign,
+        train_kmeans)
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    cents = train_kmeans(vecs, k=8, iters=4)
+    G = 3  # span = ceil(8/3) = 3: cells 0-2 / 3-5 / 6-7
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    layout = vecs.join(kmeans_assign(vecs, cents), "vec_id")
+    catalog.overwrite(layout, "ann_flat", partition_by=["centroid_id"])
+    grouped = layout.withColumn(
+        "cell_group", cell_group_col(F.col("centroid_id"), len(cents), G))
+    catalog.overwrite(grouped, "ann_grouped", partition_by=["cell_group"])
+
+    # directory count bounded at G; per-cell layout has one per cell
+    def dirs(table, prefix):
+        return [d for d in os.listdir(catalog.path(table))
+                if d.startswith(prefix)]
+    assert len(dirs("ann_grouped", "cell_group=")) <= G
+    assert len(dirs("ann_flat", "centroid_id=")) > G
+
+    qrows = [(r.vec_id, [float(x) for x in r.embedding])
+             for r in vecs.orderBy("vec_id").limit(8).collect()]
+    flat = ivf_probe(catalog.read("ann_flat"), qrows, cents,
+                     nprobe=3, top_k=5)
+    gp = ivf_probe(catalog.read("ann_grouped"), qrows, cents,
+                   nprobe=3, top_k=5, group_col="cell_group", groups=G)
+    assert (sorted(map(tuple, gp.collect()))
+            == sorted(map(tuple, flat.collect())))
+
+    # both pruning levels in the grouped plan: PartitionFilters on the
+    # group column, the cell predicate pushed to the parquet scan
+    plan = gp._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "cell_group" in pf
+    assert "PushedFilters" in plan and "centroid_id" in plan.split(
+        "PushedFilters")[1][:300]
+
+    # the span helper is the one source of truth writers/probes share
+    assert cell_group_span(8, 3) == 3
