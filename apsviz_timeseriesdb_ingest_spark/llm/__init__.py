@@ -68,6 +68,8 @@ from .dedup import (  # noqa: F401
     word_shingles,
 )
 from .similarity import (  # noqa: F401
+    CentroidIndex,
+    CentroidTable,
     ann_assign,
     brute_force_topk,
     embedding_neardup_pairs,
@@ -78,8 +80,10 @@ from .similarity import (  # noqa: F401
     kmeans_assign,
     probe_cells_for,
     semantic_dedup,
+    semantic_dedup_auto,
     semantic_k,
     train_kmeans,
+    train_kmeans_table,
 )
 from .multimodal import (  # noqa: F401
     extract_media_features,

@@ -488,7 +488,8 @@ def run_incremental_embedding_stream(
         schema: str = "vec_id long, embedding array<float>",
         id_col: str = "vec_id", vec_col: str = "embedding",
         index=None, max_files_per_trigger: int | None = None,
-        partition_groups: int | None = None):
+        partition_groups: int | None = None,
+        probe_literal_max: int = 1000):
     """Continuous embedding-level near-dedup: each micro-batch probes the
     PARTITIONED ANN corpus (``Catalog`` table partitioned by IVF cell,
     the layout :func:`llm.similarity.kmeans_assign` writes) — the
@@ -551,29 +552,55 @@ def run_incremental_embedding_stream(
     row-group stats (tight min/max because ranges are contiguous).
     Batch semantics are IDENTICAL — grouping only changes the on-disk
     layout. Default None keeps per-cell partitioning (right while k is
-    modest; switch when k approaches the batch size).
+    modest; switch when k approaches the batch size). The layout
+    geometry (k, partition_groups) is pinned in a ``{corpus_table}_layout``
+    sidecar at setup and validated on every restart — a redeployed
+    stream with a different G would otherwise prune the WRONG
+    directories silently (r8 ADVICE).
+
+    ``probe_literal_max`` (r8 verdict task 5) bounds the per-batch
+    probed-cells driver round-trip: below it, the distinct probed
+    cells become a literal ``isin`` (guaranteed static pruning, the
+    prior behavior — plan-build cost grows with |batch|·nprobe); above
+    it, the cell predicate switches to a broadcast LEFT SEMI join
+    against the (tiny) probed-cells frame — flat plan-build cost at
+    any batch size. Directory-level pruning is unaffected: the
+    ``cell_group`` filter stays literal (≤ G values by construction),
+    so the scan is still bounded on a grouped layout. Semantics are
+    identical on both sides of the bound (pytest-pinned).
     """
     from ..llm.dedup import dedup_keep_representative
     from ..llm.similarity import (CentroidTable,
                                   _centroid_argmin_expr,
                                   _indexed_argmin_expr, _dot, _norm,
                                   cell_group_col, cell_groups_for,
+                                  check_or_record_ann_layout,
                                   embedding_neardup_pairs,
                                   probe_cells_expr,
                                   probe_cells_expr_indexed)
 
     vec_dim = dim or len(centroids[0])
     grouped = partition_groups is not None
-    # the index frame is one k x dim serialization from the driver —
-    # build it ONCE at stream setup, not per micro-batch. persist, NOT
-    # localCheckpoint: a checkpointed block is non-replicated
-    # executor storage with truncated lineage, so one lost executor
-    # would break every later micro-batch; a persisted createDataFrame
-    # recomputes from the driver-held rows (r7 review)
+    # pin/validate the layout geometry before any read or write —
+    # a G/k mismatch must fail loudly at setup, not prune silently
+    check_or_record_ann_layout(catalog, spark, corpus_table,
+                               k=len(centroids),
+                               partition_groups=partition_groups)
+    # the index frames are driver serializations (k x dim table, plus
+    # the sqrt(k) x dim coarse index when the coarse level is indexed
+    # — r8 ADVICE: the coarse frame was rebuilt per micro-batch) —
+    # build them ONCE at stream setup. persist, NOT localCheckpoint:
+    # a checkpointed block is non-replicated executor storage with
+    # truncated lineage, so one lost executor would break every later
+    # micro-batch; a persisted frame recomputes from its lineage
+    # (r7 review)
+    idx_frames = []
     idx_frame = None
     if index is not None:
-        idx_frame = index.frame(spark).persist()
-        idx_frame.count()
+        idx_frames = [f.persist() for f in index.stream_frames(spark)]
+        for f in idx_frames:
+            f.count()
+        idx_frame = idx_frames[0]
 
     def _apply(batch_df, _batch_id):
         batch_df = batch_df.filter(F.col(vec_col).isNotNull())
@@ -609,19 +636,45 @@ def run_incremental_embedding_stream(
         v = v.localCheckpoint(eager=True)
         fresh = v
         if catalog.exists(corpus_table):
-            # literal cell filter -> partition pruning on the corpus scan
-            cells = sorted({r.c for r in
-                            v.select(F.explode("__probes").alias("c"))
-                            .distinct().collect()})
+            cells_df = (v.select(F.explode("__probes").alias("centroid_id"))
+                        .distinct())
+            # bounded driver round-trip (r8 verdict task 5): fetch at
+            # most probe_literal_max+1 distinct cells — enough to know
+            # which side of the bound this batch is on, never an
+            # unbounded |batch|·nprobe collect
+            probed = cells_df.limit(int(probe_literal_max) + 1).collect()
+            literal = len(probed) <= int(probe_literal_max)
+            cells = sorted(r.centroid_id for r in probed)
             stored = catalog.read(corpus_table)
             if grouped:
-                # directory pruning on the bounded group column, then
-                # the cell predicate reaches parquet row-group stats
-                stored = stored.filter(F.col("cell_group").isin(
-                    cell_groups_for(cells, len(centroids),
-                                    partition_groups)))
+                # directory pruning on the bounded group column stays a
+                # LITERAL filter on both sides of the bound (≤ G
+                # distinct groups by construction); below it the group
+                # list derives from the already-collected cells, above
+                # it from one tiny distinct over the group expression
+                if literal:
+                    groups_hit = cell_groups_for(cells, len(centroids),
+                                                 partition_groups)
+                else:
+                    groups_hit = sorted(
+                        r.g for r in cells_df.select(cell_group_col(
+                            F.col("centroid_id"), len(centroids),
+                            partition_groups).alias("g"))
+                        .distinct().collect())
+                stored = stored.filter(
+                    F.col("cell_group").isin(groups_hit))
+            if literal:
+                # literal cell filter -> static partition/row-group
+                # pruning on the corpus scan (the prior behavior)
+                stored = stored.filter(F.col("centroid_id").isin(cells))
+            else:
+                # broadcast semi-join against the tiny probed-cells
+                # frame: flat plan-build cost at any batch size; the
+                # literal group filter above still bounds the scan on
+                # a grouped layout
+                stored = stored.join(F.broadcast(cells_df),
+                                     "centroid_id", "left_semi")
             stored = (stored
-                      .filter(F.col("centroid_id").isin(cells))
                       .select(F.col(id_col).alias("__sid"),
                               F.col(vec_col).cast("array<double>").alias("__svec"),
                               F.col("centroid_id").alias("__scell")))
@@ -670,20 +723,23 @@ def run_incremental_embedding_stream(
              .option("checkpointLocation", checkpoint_dir)
              .trigger(availableNow=True)
              .start())
-    if idx_frame is not None:
-        _unpersist_on_terminate(spark, query, idx_frame)
+    if idx_frames:
+        _unpersist_on_terminate(spark, query, idx_frames)
         query._graft_index_frame = idx_frame  # release-inspection hook
+        query._graft_index_frames = idx_frames
     return query
 
 
-def _unpersist_on_terminate(spark, query, frame) -> None:
-    """Release a stream-lifetime cached frame when its StreamingQuery
+def _unpersist_on_terminate(spark, query, frames) -> None:
+    """Release stream-lifetime cached frames when their StreamingQuery
     terminates (ADVICE r7: ``run_incremental_embedding_stream``
     persisted the CentroidIndex frame at setup and never unpersisted
     it, leaking executor storage across stream restarts in a
-    long-lived session). A :class:`StreamingQueryListener` keyed on
-    the query id unpersists exactly once and removes itself — callers
-    that restart the stream get a fresh persist from the new setup."""
+    long-lived session; r8 ADVICE extended the same to the
+    CentroidTable's coarse index frame). A
+    :class:`StreamingQueryListener` keyed on the query id unpersists
+    exactly once and removes itself — callers that restart the stream
+    get a fresh persist from the new setup."""
     from pyspark.sql.streaming import StreamingQueryListener
 
     qid = str(query.id)
@@ -702,7 +758,8 @@ def _unpersist_on_terminate(spark, query, frame) -> None:
             if str(event.id) != qid:
                 return
             try:
-                frame.unpersist()
+                for frame in frames:
+                    frame.unpersist()
             finally:
                 spark.streams.removeListener(self)
 

@@ -247,6 +247,83 @@ def test_embedding_stream_partition_groups(spark, tmp_path):
     assert {r.vec_id for r in rows} == {1, 2, 14, 16} and len(rows) == 4
 
 
+def test_embedding_stream_semi_join_probe_and_layout_pin(spark, tmp_path):
+    """(a) ``probe_literal_max=0`` forces the broadcast-semi-join cell
+    predicate — batch semantics must be IDENTICAL to the literal-isin
+    path (r8 verdict task 5: the per-batch probed-cells collect and
+    isin list grew with |batch|·nprobe; past the bound the predicate
+    becomes a broadcast semi-join with flat plan-build cost while the
+    ≤G-value group filter stays literal). (b) The ``{table}_layout``
+    sidecar pins (k, partition_groups) at setup: reopening the same
+    corpus with a different G raises the targeted error instead of
+    silently pruning the wrong directories (r8 ADVICE)."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_embedding_stream)
+
+    dim = 8
+    centroids = [[1.0 if i == a else 0.0 for i in range(dim)]
+                 for a in range(8)]
+    src = str(tmp_path / "in")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    SCH = "vec_id long, embedding array<float>"
+
+    def _write(rows):
+        spark.createDataFrame(rows, SCH).write.mode("append").parquet(src)
+
+    def _run(ck, groups=2, **kw):
+        q = run_incremental_embedding_stream(
+            spark, src, catalog, centroids,
+            checkpoint_dir=str(tmp_path / ck),
+            threshold=0.95, nprobe=2, dim=dim, partition_groups=groups,
+            **kw)
+        assert q.awaitTermination(120)
+
+    def axis(a, scale=1.0):
+        return [scale if i == a else 0.0 for i in range(dim)]
+
+    _write([(1, axis(0)), (2, axis(5))])
+    _run("ck", probe_literal_max=0)
+    _write([(12, axis(0, 1.002)), (13, axis(5, 1.001)),
+            (14, axis(6)), (15, axis(6, 1.003)), (16, axis(3))])
+    _run("ck", probe_literal_max=0)
+    # same accepted set as test_embedding_stream_partition_groups's
+    # literal path: cross-batch rejects via the semi-join, in-batch
+    # pair and replay semantics untouched
+    got = {r.vec_id for r in catalog.read("ann_corpus").collect()}
+    assert got == {1, 2, 14, 16}
+    # replay on a fresh checkpoint: idempotent through the semi-join
+    _run("ck2", probe_literal_max=0)
+    rows = catalog.read("ann_corpus").collect()
+    assert {r.vec_id for r in rows} == {1, 2, 14, 16} and len(rows) == 4
+    # the sidecar pinned (k=8, G=2): a mismatched G or a toggle back
+    # to per-cell partitioning fails loudly at SETUP
+    row = catalog.read("ann_corpus_layout").collect()[0]
+    assert (row["k"], row["partition_groups"]) == (8, 2)
+    with pytest.raises(ValueError, match="do not match"):
+        _run("ck3", groups=4)
+    with pytest.raises(ValueError, match="do not match"):
+        _run("ck3", groups=None)
+
+
+def test_grouped_probe_missing_column_targeted_error(spark, sf_small):
+    """ivf_probe(group_col=) on a per-cell table names the mismatch
+    (r8 ADVICE) instead of a generic missing-column AnalysisException."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import ivf_probe
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, centroid_id int")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(ValueError, match="no 'cell_group' column"):
+        ivf_probe(corpus, [(9, [1.0, 0.1])], cents,
+                  group_col="cell_group", groups=2)
+
+
 def test_stateless_text_ops_compose_on_streams(spark, tmp_path):
     """chunk_documents / gopher_quality_stats / remove_repeated_lines
     are pure map-side (plus a repartition) — they must run unchanged on
