@@ -106,7 +106,8 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
                       cell_col: str = "centroid_id",
                       residual: bool = False,
                       index: "CentroidIndex | CentroidTable | None" = None,
-                      ) -> DataFrame:
+                      partition_groups: int | None = None,
+                      group_col: str = "cell_group") -> DataFrame:
     """(id, cell, codes) — the stored index frame, built in ONE
     zero-exchange projection (cell argmin + PQ encode fused; both are
     literal-centroid expressions over the same vector column, so
@@ -127,7 +128,28 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
 
     Write it ``Catalog.overwrite(..., partition_by=(cell_col,))`` and
     the original vectors never need to be co-scanned at query time.
+
+    ``partition_groups`` (r8 verdict task 2 — the bounded-directory
+    layout the raw-vector corpus and the embedding stream gained in
+    r8, extended to the CODES table): appends ``group_col =
+    cell div ceil(k/G)`` via the shared ``similarity.cell_group_col``
+    so a ``partition_by=(group_col,)`` write is bounded at G
+    directories whatever k is (per-cell ``partition_by`` fans a
+    large-k index into k tiny directories — the measured ~sqrt(k)
+    small-files regime); probe with the matching
+    ``ivfpq_topk(group_col=, groups=)`` to keep BOTH pruning levels
+    (literal directory filter on the group + the cell predicate in
+    parquet row-group stats, tight because cell ranges are
+    contiguous).
     """
+    from .similarity import cell_group_col
+
+    def _with_group(out: DataFrame) -> DataFrame:
+        if partition_groups is None:
+            return out
+        return out.withColumn(group_col, cell_group_col(
+            F.col(cell_col), len(centroids), partition_groups))
+
     v = (vectors.select(F.col(id_col),
                         F.col(vec_col).cast("array<double>").alias("__vec"))
          .withColumn("__nrm", _norm(F.col("__vec"))))
@@ -141,8 +163,9 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
         codes = F.array(*_argmin_codes(
             codebooks, F.col("__vec"),
             F.col("__cent") if residual else None))
-        return v.select(F.col(id_col), F.col("__cell").alias(cell_col),
-                        codes.alias("codes"))
+        return _with_group(v.select(F.col(id_col),
+                                    F.col("__cell").alias(cell_col),
+                                    codes.alias("codes")))
     cell = _centroid_argmin_expr(centroids, F.col("__vec"), F.col("__nrm"))
     if residual:
         # bind the row's centroid once in its own projection so the
@@ -152,11 +175,12 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
             "__cent", F.element_at(_cent_lit(centroids), F.col("__cell") + 1))
         codes = F.array(*_argmin_codes(codebooks, F.col("__vec"),
                                        F.col("__cent")))
-        return v.select(F.col(id_col), F.col("__cell").alias(cell_col),
-                        codes.alias("codes"))
+        return _with_group(v.select(F.col(id_col),
+                                    F.col("__cell").alias(cell_col),
+                                    codes.alias("codes")))
     codes = F.array(*_argmin_codes(codebooks, F.col("__vec")))
-    return v.select(F.col(id_col), cell.alias(cell_col),
-                    codes.alias("codes"))
+    return _with_group(v.select(F.col(id_col), cell.alias(cell_col),
+                                codes.alias("codes")))
 
 
 def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
@@ -167,7 +191,9 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
                rerank: DataFrame | None = None,
                vec_col: str = "embedding",
                shortlist: int = 50,
-               residual: bool = False) -> DataFrame:
+               residual: bool = False,
+               group_col: str | None = None,
+               groups: int | None = None) -> DataFrame:
     """Top-k per query over the IVFPQ index, reading ONLY nprobe cells.
 
     Stages: (1) driver-side ``probe_cells_for`` picks each query's
@@ -186,12 +212,33 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
 
     Returns (query_id, neighbor_id, rank), rank 1 = nearest; ADC ties
     break on id, re-rank ties on id.
+
+    ``group_col`` + ``groups``: probe a GROUPED index layout (written
+    with ``build_ivfpq_index(partition_groups=G)`` +
+    ``partition_by=(group_col,)``): the literal directory filter moves
+    to the group ids covering the probed cells and the cell predicate
+    drops to parquet row-group stats — identical results, the same two
+    pruning levels ``similarity.ivf_probe`` gained in r8.
     """
+    from .similarity import cell_groups_for
+
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     spark = index.sparkSession
     cells = probe_cells_for(queries, centroids, nprobe=nprobe)
     all_cells = sorted({c for cs in cells.values() for c in cs})
+    if group_col is not None:
+        if not groups:
+            raise ValueError("group_col requires groups= (the G the "
+                             "layout was written with)")
+        if group_col not in index.columns:
+            raise ValueError(
+                f"grouped probe: index has no '{group_col}' column — "
+                f"this table was written per-cell, not with "
+                f"build_ivfpq_index(partition_groups=G); probe without "
+                f"group_col=, or rebuild the layout")
+        index = index.filter(F.col(group_col).isin(
+            cell_groups_for(all_cells, len(centroids), groups)))
 
     def lut_for(q: list[float], cent: list[float] | None) -> list[list[float]]:
         r = q if cent is None else [a - b for a, b in zip(q, cent)]

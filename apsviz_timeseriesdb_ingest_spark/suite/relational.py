@@ -41,6 +41,41 @@ def _dec_str(col: F.Column, prec: int = 38, scale: int = 2) -> F.Column:
     return col.cast(f"decimal({prec},{scale})").cast("string")
 
 
+#: on-disk parquet bytes under which a FACT-SCALING table (customer /
+#: supplier — linear in TPC-H SF, unlike the constant-size nation /
+#: region dims) still gets an explicit broadcast hint. 64 MB
+#: compressed parquet ≈ a few hundred MB in-memory build side — the
+#: classic broadcast comfort bound; past it the hint is dropped and
+#: AQE's size-based selection decides (r8 verdict soft note #2: the
+#: unconditional hints were gate-scale right and 100x-scale wrong —
+#: a forced broadcast OOMs the build side where AQE would sort-merge).
+BCAST_HINT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _bcast_if_small(df, sf_dir: str, table: str,
+                    max_bytes: int | None = None):
+    """``F.broadcast(df)`` only while ``{sf_dir}/{table}.parquet`` is
+    comfortably inside the broadcast regime; otherwise the frame is
+    returned unhinted. File size is the honest proxy here: the hint
+    must be decided at PLAN time, and the on-disk footprint is what a
+    size-based optimizer would consult too. Unreadable paths (e.g. a
+    view not backed by one file) fall back to unhinted — never a
+    scale-unsafe default."""
+    import os
+
+    limit = BCAST_HINT_MAX_BYTES if max_bytes is None else int(max_bytes)
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(p):
+            size = os.path.getsize(p)
+        else:
+            size = sum(os.path.getsize(os.path.join(p, f))
+                       for f in os.listdir(p) if not f.startswith("_"))
+    except OSError:
+        return df
+    return F.broadcast(df) if size <= limit else df
+
+
 # --- P: projections / filters / predicates -------------------------------
 
 # r6 gate rotation (driver 50-query cap): p1_equality_filter,
@@ -868,9 +903,15 @@ def q6_revenue_change(spark, sf_dir):
     GROUP BY n_name
 """)
 def q5_local_supplier_volume(spark, sf_dir):
-    """Headline multi-join agg (TPC-H Q5 shape): 6-table join where every
-    dimension broadcasts; the only shuffles are the two fact-fact joins
-    and the final tiny agg."""
+    """Headline multi-join agg (TPC-H Q5 shape): the constant-size
+    dimensions (nation/region) always broadcast; customer and supplier
+    — which scale LINEARLY with SF — broadcast only while their
+    on-disk footprint is inside :data:`BCAST_HINT_MAX_BYTES`
+    (:func:`_bcast_if_small`; r8 verdict soft note #2 — an
+    unconditional hint OOMs the build side at 100x where AQE's
+    size-based selection would pick a shuffle join). At gate scale
+    all four hints engage and the only shuffles are the two fact-fact
+    joins and the final tiny agg."""
     c, o, li, s, n, r = tables(spark, sf_dir, "customer", "orders", "lineitem",
                                "supplier", "nation", "region")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 5, 2))
@@ -881,8 +922,10 @@ def q5_local_supplier_volume(spark, sf_dir):
         li.join(o.filter((F.col("o_orderdate") >= "1996-01-01")
                          & (F.col("o_orderdate") < "1998-01-01")),
                 li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+        .join(_bcast_if_small(s, sf_dir, "supplier"),
+              li.l_suppkey == s.s_suppkey)
+        .join(_bcast_if_small(c, sf_dir, "customer"),
+              (o.o_custkey == c.c_custkey)
               & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
         .groupBy("n_name")

@@ -213,3 +213,67 @@ def test_residual_search_end_to_end_recall_floor(spark, trained,
     res_hits = hits("res", books_res, True)
     assert raw_hits / len(e) >= 0.5, f"raw recall collapsed: {raw_hits}"
     assert res_hits / len(e) >= 0.4, f"residual recall collapsed: {res_hits}"
+
+
+def test_ivfpq_grouped_layout_identical_and_pruned(spark, trained,
+                                                   tmp_path):
+    """r8 verdict task 2 — the bounded-directory grouped layout,
+    extended to the IVF+PQ codes table: build_ivfpq_index(
+    partition_groups=G) + partition_by=(cell_group,) bounds directory
+    count at G for any k, ivfpq_topk(group_col=, groups=) returns
+    IDENTICAL top-k, and the grouped plan keeps both pruning levels
+    (directory filter on the group, cell predicate in parquet
+    row-group stats) — mirroring
+    test_grouped_layout_probe_identical_and_pruned."""
+    import os
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        cell_group_span)
+
+    vecs, cents, books = trained
+    G = 3  # span = ceil(8/3) = 3: cells 0-2 / 3-5 / 6-7
+    assert cell_group_span(K, G) == 3
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    catalog.overwrite(build_ivfpq_index(vecs, cents, books), "flat",
+                      partition_by=["centroid_id"])
+    catalog.overwrite(
+        build_ivfpq_index(vecs, cents, books, partition_groups=G),
+        "grouped", partition_by=["cell_group"])
+
+    # directory count bounded at G; per-cell layout has one per cell
+    def dirs(table, prefix):
+        return [d for d in os.listdir(catalog.path(table))
+                if d.startswith(prefix)]
+    assert len(dirs("grouped", "cell_group=")) <= G
+    assert len(dirs("flat", "centroid_id=")) > G
+
+    queries = [(r.vec_id, list(r.embedding))
+               for r in vecs.filter(F.col("vec_id") < 5).collect()]
+    flat = ivfpq_topk(catalog.read("flat"), books, queries, cents,
+                      nprobe=3, top_k=5)
+    gp = ivfpq_topk(catalog.read("grouped"), books, queries, cents,
+                    nprobe=3, top_k=5, group_col="cell_group", groups=G)
+    assert (sorted(map(tuple, gp.collect()))
+            == sorted(map(tuple, flat.collect())))
+
+    # both pruning levels in the grouped plan
+    plan = gp._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "cell_group" in pf
+    assert "PushedFilters" in plan and "centroid_id" in plan.split(
+        "PushedFilters")[1][:300]
+
+    # rerank path composes with the grouped probe unchanged
+    gp_rr = ivfpq_topk(catalog.read("grouped"), books, queries, cents,
+                       nprobe=3, top_k=3, rerank=vecs, shortlist=10,
+                       group_col="cell_group", groups=G)
+    fl_rr = ivfpq_topk(catalog.read("flat"), books, queries, cents,
+                       nprobe=3, top_k=3, rerank=vecs, shortlist=10)
+    assert (sorted(map(tuple, gp_rr.collect()))
+            == sorted(map(tuple, fl_rr.collect())))
+
+    # a per-cell table probed with group_col= fails with the targeted
+    # error, not a generic missing-column AnalysisException
+    with pytest.raises(ValueError, match="no 'cell_group' column"):
+        ivfpq_topk(catalog.read("flat"), books, queries, cents,
+                   group_col="cell_group", groups=G)

@@ -29,9 +29,33 @@ def test_p1_filters_pushed(spark, sf_small):
 
 
 def test_q5_all_dims_broadcast(spark, sf_small):
+    # at gate scale every hint engages (constant dims unconditionally,
+    # customer/supplier via the size condition) — zero sort-merge
     plan = _plan(QUERIES["q5_local_supplier_volume"](spark, sf_small))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # dims must never sort-merge
+
+
+def test_q5_fact_scaling_hints_are_size_conditional(spark, sf_small):
+    """r8 verdict soft note #2: customer/supplier scale linearly with
+    SF, so their broadcast hints must be size-conditional — with the
+    threshold forced to 0 bytes the hint is dropped (AQE decides),
+    while the genuinely constant-size nation/region stay hinted."""
+    from apsviz_timeseriesdb_ingest_spark.suite.relational import (
+        _bcast_if_small, tables)
+
+    c = tables(spark, sf_small, "customer")
+    hinted = _bcast_if_small(c, sf_small, "customer")
+    unhinted = _bcast_if_small(c, sf_small, "customer", max_bytes=0)
+    assert "ResolvedHint" in hinted._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution() \
+        .analyzed().toString()
+    # a path that is not a real table falls back to UNhinted — never a
+    # scale-unsafe default
+    assert "ResolvedHint" not in _bcast_if_small(
+        c, sf_small, "no_such_table")._jdf.queryExecution() \
+        .analyzed().toString()
 
 
 def test_q1_partial_aggregation(spark, sf_small):
