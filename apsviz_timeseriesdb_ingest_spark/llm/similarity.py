@@ -1028,8 +1028,21 @@ class CentroidTable:
                 .withColumn("__ccell", _indexed_argmin_expr(
                     cidx, F.col("cvec"), F.col("nrm")))
                 .drop("__cmap", "__cvecs"))
+        # the grouping pass over k centroid rows is the expensive part
+        # of construction (it runs the coarse probe per centroid) —
+        # persist it so the live-cell distinct below, the remapped
+        # frame(), and every later assignment job share ONE execution
+        # instead of re-deriving the k-row lineage per job (measured:
+        # 178 s → seconds per assign at k=1M, tools/
+        # soak_table_resident.py). persist, not localCheckpoint: the
+        # lineage is deterministic, so a lost executor recomputes
+        # instead of killing every later job (the r7 stream lesson).
+        # Storage is k x dim distributed executor memory — the rung's
+        # whole point; release with :meth:`unpersist` when done.
+        grouped = grouped.persist()
         # live-cell remap: ≤coarse_k ids, driver-tiny; same dense
-        # re-indexing as the list constructor
+        # re-indexing as the list constructor (this also materializes
+        # the persist)
         live = sorted(r[0] for r in
                       grouped.select("__ccell").distinct().collect())
         remap = {old: new for new, old in enumerate(live)}
@@ -1044,6 +1057,7 @@ class CentroidTable:
         out.centroids = None
         out.nprobe = min(int(nprobe), len(out.coarse))
         out.k, out.dim = int(k), int(dim)
+        out._backing = grouped
         out._frame = grouped.select(
             remap_expr.cast("int").alias("__ccell"),
             F.col("cid").alias("__cid"),
@@ -1052,6 +1066,13 @@ class CentroidTable:
         out._coarse_index = None
         out._cvec0_cache = None
         return out
+
+    def unpersist(self) -> None:
+        """Release the from_frame backing cache (k x dim distributed
+        executor storage). No-op for the list constructor."""
+        backing = getattr(self, "_backing", None)
+        if backing is not None:
+            backing.unpersist()
 
     def frame(self, spark) -> DataFrame:
         """The centroid TABLE: k rows ``(__ccell, __cid, __cvec,
@@ -1788,6 +1809,10 @@ def train_kmeans_table(vectors: DataFrame, *, id_col: str = "vec_id",
                               _unit_expr(mean))
                        .otherwise(F.col("c.cvec")).alias("cvec")))
         new = new.localCheckpoint(eager=True)
+        # the iteration's table backing is k x dim executor cache —
+        # release it now that `new` is checkpointed, or `iters` copies
+        # accumulate
+        table.unpersist()
         shift = (new.alias("x").join(cent.alias("y"), "cid")
                  .select(F.max(F.array_max(F.zip_with(
                      F.col("x.cvec"), F.col("y.cvec"),
