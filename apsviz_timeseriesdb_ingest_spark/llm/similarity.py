@@ -1040,16 +1040,34 @@ class CentroidTable:
         # Storage is k x dim distributed executor memory — the rung's
         # whole point; release with :meth:`unpersist` when done.
         grouped = grouped.persist()
+        backing = grouped
         # live-cell remap: ≤coarse_k ids, driver-tiny; same dense
         # re-indexing as the list constructor (this also materializes
         # the persist)
         live = sorted(r[0] for r in
                       grouped.select("__ccell").distinct().collect())
-        remap = {old: new for new, old in enumerate(live)}
-        remap_expr = F.element_at(
-            F.create_map(*[F.lit(x) for old, new in sorted(remap.items())
-                           for x in (old, new)]),
-            F.col("__ccell"))
+        # dense re-indexing of live coarse cells: identity when every
+        # cell is live (the common case — zero plan cost), a literal
+        # map while small, a broadcast-joined mapping frame past the
+        # literal comfort zone (a 2·|live| literal map at |live| in
+        # the tens of thousands is its own plan-size ceiling)
+        if live == list(range(len(coarse))):
+            remap_expr = F.col("__ccell")
+        elif len(live) <= 2000:
+            remap = {old: new for new, old in enumerate(live)}
+            remap_expr = F.element_at(
+                F.create_map(*[F.lit(x)
+                               for old, new in sorted(remap.items())
+                               for x in (old, new)]),
+                F.col("__ccell"))
+        else:
+            mapping = frame.sparkSession.createDataFrame(
+                [(old, new) for new, old in enumerate(live)],
+                "__ccell int, __ccell_new int")
+            grouped = (grouped.join(F.broadcast(mapping), "__ccell")
+                       .drop("__ccell")
+                       .withColumnRenamed("__ccell_new", "__ccell"))
+            remap_expr = F.col("__ccell")
         cnrm = F.when(F.col("nrm") == 0, F.lit(1.0)).otherwise(F.col("nrm"))
         out = cls.__new__(cls)
         out.coarse = [coarse[g] for g in live]
@@ -1057,7 +1075,7 @@ class CentroidTable:
         out.centroids = None
         out.nprobe = min(int(nprobe), len(out.coarse))
         out.k, out.dim = int(k), int(dim)
-        out._backing = grouped
+        out._backing = backing
         out._frame = grouped.select(
             remap_expr.cast("int").alias("__ccell"),
             F.col("cid").alias("__cid"),
@@ -1698,9 +1716,11 @@ def _hash_rank_seed_frame(v: DataFrame, k: int, n: int, *,
     m = n // max(1, int(oversample) * k)
     if m > 1:
         pool = pool.filter(F.pmod(F.col("__h"), F.lit(m)) == 0)
+    # exact bigint division (`div`), not float `/`: h is 60-bit and a
+    # double carries 53 — float rounding would still be monotone (so
+    # buckets stay contiguous) but exact is simpler to defend
     span = (1 << 60) // int(buckets) + 1
-    pool = pool.withColumn(
-        "__b", F.floor(F.col("__h") / F.lit(span)).cast("int"))
+    pool = pool.withColumn("__b", F.expr(f"__h div {span}").cast("int"))
     counts = {r["__b"]: r["c"] for r in
               pool.groupBy("__b").agg(F.count("*").alias("c")).collect()}
     total = sum(counts.values())
@@ -1731,7 +1751,9 @@ def train_kmeans_table(vectors: DataFrame, *, id_col: str = "vec_id",
                        nprobe: int = 8, coarse_k: int | None = None,
                        probe_all: bool = False,
                        seed_frame: DataFrame | None = None,
-                       ) -> DataFrame:
+                       checkpoint_catalog=None,
+                       checkpoint_prefix: str = "kmeans",
+                       resume: bool = False) -> DataFrame:
     """:func:`train_kmeans` with TABLE-RESIDENT per-iteration state —
     the training loop for k past driver memory (r8 verdict task 1).
     Returns the centroid DATAFRAME ``(cid int, cvec array<double>)``,
@@ -1772,7 +1794,23 @@ def train_kmeans_table(vectors: DataFrame, *, id_col: str = "vec_id",
     One corpus pass per iteration (assignment + aggregate fused in a
     single job), plus the bounded seed/coarse-sample jobs. ``n`` /
     ``dim`` skip their one-off discovery jobs when the caller already
-    knows them."""
+    knows them.
+
+    **Durable resume** (the repo's iterative-state contract —
+    ``operators.itercheckpoint``, same shape as BPE/unigram/PageRank):
+    with ``checkpoint_catalog=`` the per-iteration lineage cut writes
+    alternating ``{prefix}_centroids_{0,1}`` Catalog tables plus a
+    self-consistent one-row ``{prefix}_progress`` pointer (iteration,
+    slot table, cut count) — a 100 TB training run that loses the
+    driver resumes from the last COMPLETED iteration with
+    ``resume=True``, repeating at most one corpus pass, and the
+    resumed centroids are identical to the uninterrupted run's
+    (pytest-pinned). Without a catalog the cuts are plain
+    ``localCheckpoint`` (single-process default)."""
+    from ..operators.itercheckpoint import LineageCutter
+
+    cut = LineageCutter(checkpoint_catalog, checkpoint_prefix)
+    progress_table = f"{checkpoint_prefix}_progress"
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))
          .withColumn("nrm", _norm(F.col("vec"))))
@@ -1782,16 +1820,27 @@ def train_kmeans_table(vectors: DataFrame, *, id_col: str = "vec_id",
         raise ValueError(f"k={k} exceeds corpus size {n}")
     if dim is None:
         dim = v.select(F.size("vec")).first()[0]
-    if seed_frame is not None:
-        cent = seed_frame.select(F.col("cid").cast("int").alias("cid"),
-                                 _unit_expr(F.col("cvec")
-                                            .cast("array<double>"))
-                                 .alias("cvec"))
-    else:
-        cent = _hash_rank_seed_frame(v, int(k), int(n))
-    cent = cent.localCheckpoint(eager=True)
+    start_iter = 0
+    cent = None
+    if resume:
+        if checkpoint_catalog is None:
+            raise ValueError("resume=True requires checkpoint_catalog")
+        if checkpoint_catalog.exists(progress_table):
+            row = checkpoint_catalog.read(progress_table).collect()[0]
+            cent = checkpoint_catalog.read(row["table"])
+            cut.seed("centroids", row["cuts"])
+            start_iter = int(row["iter"])
+    if cent is None:
+        if seed_frame is not None:
+            cent = seed_frame.select(F.col("cid").cast("int").alias("cid"),
+                                     _unit_expr(F.col("cvec")
+                                                .cast("array<double>"))
+                                     .alias("cvec"))
+        else:
+            cent = _hash_rank_seed_frame(v, int(k), int(n))
+        cent = cut(cent, "centroids")
     eff_nprobe = int(k) if probe_all else int(nprobe)
-    for _ in range(iters):
+    for it in range(start_iter, iters):
         table = CentroidTable.from_frame(cent, k=int(k), dim=int(dim),
                                          nprobe=eff_nprobe,
                                          coarse_k=coarse_k)
@@ -1808,11 +1857,20 @@ def train_kmeans_table(vectors: DataFrame, *, id_col: str = "vec_id",
                        F.when(F.col("__n").isNotNull(),
                               _unit_expr(mean))
                        .otherwise(F.col("c.cvec")).alias("cvec")))
-        new = new.localCheckpoint(eager=True)
+        new = cut(new, "centroids")
         # the iteration's table backing is k x dim executor cache —
-        # release it now that `new` is checkpointed, or `iters` copies
+        # release it now that `new` is cut, or `iters` copies
         # accumulate
         table.unpersist()
+        if checkpoint_catalog is not None and cut.last_written:
+            # iteration pointer + slot table + cut count in ONE
+            # overwrite so the progress row is always self-consistent
+            # (the BPE convention)
+            checkpoint_catalog.overwrite(
+                vectors.sparkSession.createDataFrame(
+                    [(it + 1, cut.last_written, cut.count("centroids"))],
+                    "iter int, table string, cuts int"),
+                progress_table)
         shift = (new.alias("x").join(cent.alias("y"), "cid")
                  .select(F.max(F.array_max(F.zip_with(
                      F.col("x.cvec"), F.col("y.cvec"),

@@ -240,3 +240,41 @@ def test_stream_frames_and_frame_caching(spark):
     frames = big.stream_frames(spark)
     assert len(frames) == 2
     assert frames[1] is big._coarse_index.frame(spark)
+
+
+def test_train_kmeans_table_durable_resume_bit_identical(spark, tmp_path):
+    """The repo's iterative-state contract applied to table-resident
+    training: a run killed after 2 of 4 iterations resumes from the
+    durable slot + progress pointer and produces centroids IDENTICAL
+    to the uninterrupted run (exact-arithmetic vectors; hash-rank
+    seeds are deterministic, so the interrupted run's state matches
+    the uninterrupted run's at the same iteration)."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    dim, k = 8, 6
+    rows = [(i, [float((i * 11 + j * 5) % 7 - 3) for j in range(dim)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = {r.cid: list(r.cvec) for r in
+           train_kmeans_table(df, k=k, iters=4, probe_all=True).collect()}
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    # "crashed" run: only 2 of the 4 iterations complete
+    train_kmeans_table(df, k=k, iters=2, probe_all=True,
+                       checkpoint_catalog=catalog,
+                       checkpoint_prefix="km").count()
+    prog = catalog.read("km_progress").collect()[0]
+    assert prog["iter"] == 2
+    # resumed run continues at iteration 2 and lands on the same result
+    got = {r.cid: list(r.cvec) for r in
+           train_kmeans_table(df, k=k, iters=4, probe_all=True,
+                              checkpoint_catalog=catalog,
+                              checkpoint_prefix="km",
+                              resume=True).collect()}
+    assert got == ref
+    # the resumed run advanced past the crash point (it may break
+    # before iteration 4 on the tol early-stop, like the reference run)
+    assert catalog.read("km_progress").collect()[0]["iter"] >= 3
+    # resume without a catalog is a loud error, not a silent fresh run
+    with pytest.raises(ValueError, match="requires checkpoint_catalog"):
+        train_kmeans_table(df, k=k, resume=True)
