@@ -728,13 +728,17 @@ def _cluster_centroids(centroids: list[list[float]], coarse_k: int,
         # argmax ties break to the SMALLEST coarse id (np.argmax takes
         # the first maximum) — deterministic on any platform
         assign = np.argmax(U @ C.T, axis=1)
-        for g in range(len(C)):
-            members = U[assign == g]
-            if len(members):
-                m = members.sum(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    C[g] = m / n
+        # vectorized per-group sums: the per-group boolean-mask loop
+        # was O(coarse_k * k) per iteration — at coarse_k=4096 over a
+        # 50k sample it dominated from_frame's build (r9 soak);
+        # bincount-with-weights is O(k * dim) with deterministic
+        # sequential (index-order) addition
+        sums = np.column_stack([
+            np.bincount(assign, weights=U[:, d], minlength=len(C))
+            for d in range(U.shape[1])])
+        norms = np.linalg.norm(sums, axis=1)
+        upd = norms > 0
+        C[upd] = sums[upd] / norms[upd, None]
     assign = np.argmax(U @ C.T, axis=1)
     return [[float(x) for x in row] for row in C], [int(a) for a in assign]
 
@@ -755,8 +759,18 @@ def _indexed_scored_candidates(index: CentroidIndex, vec: Column,
     cands = F.flatten(F.transform(
         probe, lambda p: F.coalesce(F.try_element_at(F.col("__cmap"), p),
                                     empty)))
+    # expanded left-deep dot, not the _dot HOF fold: inside this
+    # (already-interpreted) transform lambda the nested
+    # aggregate(zip_with(...)) evaluates TWO inner lambdas per vector
+    # element per candidate — the dominant cost of large-scale
+    # assignment through an indexed coarse level (measured in the r9
+    # from_frame grouping soak); the expansion is one flat expression
+    # eval per candidate and bitwise-equal (same left-to-right adds,
+    # the _dot_expanded contract)
     sim_of = lambda s: F.nanvl(  # noqa: E731
-        F.when(nrm != 0, _dot(vec, s["cvec"]) / (nrm * s["cnrm"]))
+        F.when(nrm != 0,
+               _dot_expanded(vec, s["cvec"], index.dim)
+               / (nrm * s["cnrm"]))
         .otherwise(F.lit(-2.0)), F.lit(-2.0))
     return F.transform(cands, lambda s: F.struct(
         sim_of(s).alias("sim"), (-s["cid"]).alias("negid")))
@@ -1051,6 +1065,7 @@ class CentroidTable:
         # map while small, a broadcast-joined mapping frame past the
         # literal comfort zone (a 2·|live| literal map at |live| in
         # the tens of thousands is its own plan-size ceiling)
+        backings = [backing]
         if live == list(range(len(coarse))):
             remap_expr = F.col("__ccell")
         elif len(live) <= 2000:
@@ -1061,12 +1076,20 @@ class CentroidTable:
                                for x in (old, new)]),
                 F.col("__ccell"))
         else:
+            # past the literal-map comfort zone the remap is a
+            # broadcast join against the (≤coarse_k-row) mapping frame
+            # — folded into a SECOND persisted backing so assignment
+            # plans stay join-free on the centroid side (the fine
+            # stage must read as exactly one shuffled join; the soak's
+            # never-broadcast audit greps join nodes on __ccell)
             mapping = frame.sparkSession.createDataFrame(
                 [(old, new) for new, old in enumerate(live)],
                 "__ccell int, __ccell_new int")
             grouped = (grouped.join(F.broadcast(mapping), "__ccell")
                        .drop("__ccell")
-                       .withColumnRenamed("__ccell_new", "__ccell"))
+                       .withColumnRenamed("__ccell_new", "__ccell")
+                       .persist())
+            backings.append(grouped)
             remap_expr = F.col("__ccell")
         cnrm = F.when(F.col("nrm") == 0, F.lit(1.0)).otherwise(F.col("nrm"))
         out = cls.__new__(cls)
@@ -1075,7 +1098,7 @@ class CentroidTable:
         out.centroids = None
         out.nprobe = min(int(nprobe), len(out.coarse))
         out.k, out.dim = int(k), int(dim)
-        out._backing = backing
+        out._backing = backings
         out._frame = grouped.select(
             remap_expr.cast("int").alias("__ccell"),
             F.col("cid").alias("__cid"),
@@ -1086,10 +1109,9 @@ class CentroidTable:
         return out
 
     def unpersist(self) -> None:
-        """Release the from_frame backing cache (k x dim distributed
+        """Release the from_frame backing cache(s) (k x dim distributed
         executor storage). No-op for the list constructor."""
-        backing = getattr(self, "_backing", None)
-        if backing is not None:
+        for backing in getattr(self, "_backing", None) or []:
             backing.unpersist()
 
     def frame(self, spark) -> DataFrame:

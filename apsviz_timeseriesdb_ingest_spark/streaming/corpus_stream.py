@@ -526,7 +526,9 @@ def run_incremental_embedding_stream(
     large-k regime — plan constant-size in k, the r6 literal-centroid
     ceiling closed on the streaming path too. A
     :class:`llm.similarity.CentroidTable` is also accepted (r8 — the
-    ladder's shuffled last rung, for k·dim past the broadcast bound):
+    ladder's shuffled rung, for k·dim past the broadcast bound —
+    including a table built by :meth:`CentroidTable.from_frame` from a
+    stored centroid table, the r9 table-resident top rung):
     cell + probe list then come from ONE aggregation over the
     candidate join (:meth:`CentroidTable.probe_and_assign`), and the
     persisted stream-lifetime frame is the multi-row centroid table
