@@ -278,3 +278,31 @@ def test_train_kmeans_table_durable_resume_bit_identical(spark, tmp_path):
     # resume without a catalog is a loud error, not a silent fresh run
     with pytest.raises(ValueError, match="requires checkpoint_catalog"):
         train_kmeans_table(df, k=k, resume=True)
+
+
+def test_from_frame_from_stored_catalog_table(spark, tmp_path):
+    """The 100 TB usage shape end-to-end: train -> write the centroid
+    frame as a Catalog table -> read it back -> from_frame -> assign.
+    The docstring promise ('a genuinely distributed-trained centroid
+    set lands here as a real table read — same schema, same plan') as
+    an actual parquet round-trip, probe-all equal to the literal
+    argmin."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    df = _vectors(spark, n=150, with_zero=True)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    cent_frame = train_kmeans_table(df, k=10, iters=3)
+    catalog.overwrite(cent_frame, "centroids")
+    tbl = CentroidTable.from_frame(catalog.read("centroids"),
+                                   nprobe=10**6)
+    v = _v(df)
+    cents = [list(r.cvec) for r in
+             catalog.read("centroids").orderBy("cid").collect()]
+    lit = {r.id: r.cell for r in
+           v.withColumn("cell", _centroid_argmin_expr(
+               cents, F.col("vec"), F.col("nrm")))
+           .select("id", "cell").collect()}
+    assert _assign_map(tbl, v) == lit
+    # the frame plan reads the parquet table, not a driver serialization
+    plan = tbl.frame(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
