@@ -127,11 +127,14 @@ from .ivfpq import (  # noqa: F401
     residuals,
 )
 from .lm import (  # noqa: F401
+    dsir_importance_weights,
+    dsir_select,
     min_k_prob,
     perplexity,
     perplexity_buckets,
     perplexity_ngram,
     train_bigram_lm,
+    train_hashed_ngram_dist,
     train_ngram_lm,
 )
 from .graph import (  # noqa: F401

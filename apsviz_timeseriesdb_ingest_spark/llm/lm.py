@@ -359,3 +359,130 @@ def perplexity(df: DataFrame, lm: dict[str, DataFrame | int], *,
             .withColumn("perplexity", F.exp(-F.col("avg_logp")))
             .select(F.col("doc").alias(id_col), "n_bigrams", "avg_logp",
                     "perplexity"))
+
+
+def _hashed_gram_buckets(df: DataFrame, *, text_col: str, id_col: str,
+                         buckets: int, fast: bool = False) -> DataFrame:
+    """(doc, bucket) for every unigram AND bigram OCCURRENCE — the
+    hashed n-gram feature stream of DSIR (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023 —
+    public paper, §3: hashed n-gram features make the importance
+    estimator tractable at corpus scale). Bigram strings are
+    space-joined so the same text yields the same buckets on any
+    engine (md5 portable-hash parity); sub-2-token docs emit their
+    unigrams only, empty docs emit nothing."""
+    from ..functions.portable_hash import md5_hash64
+    from .text import _with_tokens
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tk = F.col("__tk")
+    n = F.size(tk)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    bi = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(tk, i), F.element_at(tk, i + 1)))
+    return (_with_tokens(df.repartition(par, id_col), text_col)
+            .select(F.col(id_col).alias("doc"),
+                    F.explode(F.concat(tk, bi)).alias("gram"))
+            .select("doc", F.pmod(md5_hash64("gram", fast=fast),
+                                  F.lit(int(buckets))).alias("bucket")))
+
+
+def train_hashed_ngram_dist(df: DataFrame, *, text_col: str = "text",
+                            id_col: str = "doc_id", buckets: int = 4096,
+                            fast: bool = False) -> dict:
+    """The DSIR feature distribution: per-bucket occurrence counts of
+    hashed uni+bigrams over a corpus (one count aggregation, map-side
+    partials — the model is a ≤``buckets``-row table plus one total,
+    never a vocabulary). Train one on the TARGET-domain sample and one
+    on the RAW corpus, then :func:`dsir_importance_weights` scores
+    every raw document by the log-likelihood ratio."""
+    g = _hashed_gram_buckets(df, text_col=text_col, id_col=id_col,
+                             buckets=buckets, fast=fast)
+    counts = g.groupBy("bucket").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c")).first()[0] or 0
+    return {"buckets": counts, "total": int(total),
+            "num_buckets": int(buckets)}
+
+
+def dsir_importance_weights(df: DataFrame, target_dist: dict,
+                            raw_dist: dict, *, text_col: str = "text",
+                            id_col: str = "doc_id", add_k: float = 1.0,
+                            fast: bool = False) -> DataFrame:
+    """Per-document DSIR importance log-weight:
+    ``sum over the doc's hashed grams of
+    ln p_target(bucket) - ln p_raw(bucket)`` with add-k smoothing
+    (``p(b) = (c_b + k) / (N + k·B)``) — documents that look like the
+    target domain score high, generic/raw-typical documents low. Feed
+    the output to :func:`dsir_select` (Gumbel-top-k resampling) or a
+    threshold filter.
+
+    Returns ``(id_col, n_grams, logweight)``; empty-token docs report
+    ``n_grams = 0`` and NULL weight (no evidence — tag-don't-filter).
+
+    Scale shape: one gram explosion (repartitioned, the `_shingled`
+    idiom) joined LEFT to two ≤B-row count tables (broadcast by size)
+    and one per-doc aggregate. Exactness/portability: per-gram
+    contributions are rounded to 9 dp and summed as DECIMAL(38,12) —
+    order-independent, so the distributed sum hash-matches a serial
+    DuckDB oracle (the repo's iterative-parity rule); the final
+    logweight is that exact sum rounded to 6 dp as a double."""
+    bt, br = target_dist["num_buckets"], raw_dist["num_buckets"]
+    if bt != br:
+        raise ValueError(
+            f"target and raw distributions use different bucket counts "
+            f"({bt} vs {br}) — hashed features are only comparable on "
+            f"one bucket space; retrain one side")
+    k = float(add_k)
+    nt = float(target_dist["total"] + k * bt)
+    nr = float(raw_dist["total"] + k * br)
+    g = _hashed_gram_buckets(df, text_col=text_col, id_col=id_col,
+                             buckets=bt, fast=fast)
+    t = target_dist["buckets"].select("bucket", F.col("c").alias("__ct"))
+    r = raw_dist["buckets"].select("bucket", F.col("c").alias("__cr"))
+    contrib = (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(k))
+                     / F.lit(nt))
+               - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(k))
+                       / F.lit(nr)))
+    scored = (g.join(t, "bucket", "left").join(r, "bucket", "left")
+              .select("doc", F.round(contrib, 9).cast("decimal(38,12)")
+                      .alias("__w")))
+    agg = (scored.groupBy("doc")
+           .agg(F.count("__w").alias("n_grams"),
+                F.sum("__w").alias("__lw")))
+    return (df.select(F.col(id_col).alias("doc")).distinct()
+            .join(agg, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                    .alias("n_grams"),
+                    F.round(F.col("__lw").cast("double"), 6)
+                    .alias("logweight")))
+
+
+def dsir_select(df: DataFrame, weights: DataFrame, n: int, *,
+                id_col: str = "doc_id", temperature: float = 1.0,
+                seed: str = "dsir-v1") -> DataFrame:
+    """DSIR's importance RESAMPLING step: keep ``n`` documents sampled
+    without replacement with probability ∝ exp(logweight/temperature),
+    via the Gumbel-top-k trick (Kool et al. 2019 — public result:
+    adding i.i.d. Gumbel noise to the log-weights and taking the top-k
+    IS sampling without replacement). The Gumbel draw is derived from
+    the md5 portable hash of (seed, id), so the selection is
+    deterministic and partitioning-independent — same corpus, same
+    seed, same sample on any engine or layout. NULL-weight docs (no
+    grams) are never selected.
+
+    Distributed shape: one projection + TakeOrdered top-n (map-side
+    partial top-n per partition, no global sort)."""
+    from ..functions.portable_hash import md5_hash64
+
+    u = (md5_hash64(F.col(id_col).cast("string"), seed=seed)
+         .cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 2))
+    gumbel = -F.log(-F.log(u))
+    key = (F.col("logweight") / F.lit(float(temperature))) + gumbel
+    chosen = (weights.filter(F.col("logweight").isNotNull())
+              .select(id_col, key.alias("__key"))
+              .orderBy(F.col("__key").desc(), F.col(id_col))
+              .limit(int(n))
+              .select(id_col))
+    return df.join(F.broadcast(chosen), id_col)

@@ -1354,3 +1354,67 @@ def llm_domain_matches(spark, sf_dir):
                  F.lit(".example.com/x")))
     domains = spark.createDataFrame([("B2.example.com",)], "domain string")
     return domain_matches(d.select("doc_id", url.alias("url")), domains)
+
+
+_DSIR_BUCKETS = 512
+
+
+def _dsir_sql() -> str:
+    """Oracle for the DSIR importance log-weights: the identical hashed
+    uni+bigram bucket counts (md5 portable hash, same space-joined
+    bigram strings), identical add-1 smoothing, and — the iterative
+    parity rule — per-gram contributions rounded to 9 dp and summed as
+    DECIMAL(38,12) so serial and distributed sums agree bit-for-bit."""
+    b = _DSIR_BUCKETS
+    h = _md5int_sql("gram")
+    return f"""
+    WITH tk AS (SELECT doc_id, source, {SQL_TOKS} AS ts FROM documents),
+    grams AS (
+      SELECT doc_id, source, unnest(ts) AS gram FROM tk
+      UNION ALL
+      SELECT doc_id, source, concat_ws(' ', ts[i], ts[i + 1]) AS gram
+      FROM tk, unnest(range(1, greatest(len(ts), 1)::BIGINT)) AS r(i)
+    ),
+    bkt AS (SELECT doc_id, source, {h} % {b} AS bucket FROM grams),
+    tgt AS (SELECT bucket, count(*)::BIGINT AS ct FROM bkt
+            WHERE source IN ('src0', 'src1') GROUP BY bucket),
+    rawd AS (SELECT bucket, count(*)::BIGINT AS cr FROM bkt
+             GROUP BY bucket),
+    nt AS (SELECT coalesce(sum(ct), 0)::DOUBLE + 1.0 * {b} AS n FROM tgt),
+    nr AS (SELECT coalesce(sum(cr), 0)::DOUBLE + 1.0 * {b} AS n
+           FROM rawd),
+    scored AS (SELECT bkt.doc_id,
+                      round(ln((coalesce(t.ct, 0) + 1.0) / nt.n)
+                          - ln((coalesce(r.cr, 0) + 1.0) / nr.n),
+                            9)::DECIMAL(38,12) AS w
+               FROM bkt LEFT JOIN tgt t USING (bucket)
+               LEFT JOIN rawd r USING (bucket)
+               CROSS JOIN nt CROSS JOIN nr),
+    agg AS (SELECT doc_id, count(w)::BIGINT AS n_grams, sum(w) AS lw
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+           round(CAST(a.lw AS DOUBLE), 6) AS logweight
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("llm_dsir_weights", gate=False, sql=_dsir_sql())
+def llm_dsir_weights(spark, sf_dir):
+    """DSIR data selection (``llm/lm.py dsir_importance_weights`` —
+    Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): score every raw document by the
+    log-likelihood ratio of a TARGET-domain hashed-n-gram distribution
+    (here: sources src0/src1) vs the RAW corpus distribution. The two
+    models are ≤512-row bucket-count tables (one aggregation each,
+    never a vocabulary); scoring is one gram explosion + two
+    broadcast-sized LEFT joins + a per-doc decimal sum — the published
+    at-scale selector, fully relational. Compose with ``dsir_select``
+    (deterministic Gumbel-top-k) for the resampling step."""
+    from ..llm.lm import dsir_importance_weights, train_hashed_ngram_dist
+
+    docs = tables(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    t = train_hashed_ngram_dist(target, buckets=_DSIR_BUCKETS)
+    raw = train_hashed_ngram_dist(docs, buckets=_DSIR_BUCKETS)
+    return dsir_importance_weights(docs, t, raw)

@@ -405,3 +405,61 @@ def test_buckets_and_pipeline_accept_ngram_model(spark):
     # the ngram model scored every heuristic survivor
     assert got[21].perplexity is not None
     assert got[20].perplexity is not None
+
+
+def test_dsir_weights_separate_domains(spark):
+    """DSIR (Xie et al. 2023): documents from the target domain's
+    vocabulary must score strictly higher than documents from a
+    disjoint vocabulary; mixed docs land between. Empty docs report
+    n_grams=0 / NULL weight (tag-don't-filter)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        dsir_importance_weights,
+        train_hashed_ngram_dist,
+    )
+
+    med = ["dose patient trial symptom therapy clinical", "patient dose"]
+    web = ["click here buy now free offer deal", "buy now click"]
+    rows = ([(i, t, "med") for i, t in enumerate(med)]
+            + [(100 + i, t, "web") for i, t in enumerate(web)]
+            + [(200, "dose patient click here", "mix"), (300, "", "empty")])
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    target = train_hashed_ngram_dist(df.filter(F.col("src") == "med"))
+    raw = train_hashed_ngram_dist(df)
+    w = {r.doc_id: (r.n_grams, r.logweight) for r in
+         dsir_importance_weights(df, target, raw).collect()}
+    assert len(w) == 6
+    assert w[300] == (0, None)
+    per_gram = {d: lw / n for d, (n, lw) in w.items() if n}
+    assert min(per_gram[0], per_gram[1]) > per_gram[200] > \
+        max(per_gram[100], per_gram[101])
+    # bucket-space mismatch is a loud error, not silent garbage
+    import pytest
+    with pytest.raises(ValueError, match="bucket counts"):
+        dsir_importance_weights(
+            df, train_hashed_ngram_dist(df, buckets=64), raw)
+
+
+def test_dsir_select_deterministic_weighted(spark):
+    """Gumbel-top-k resampling: deterministic across partitionings and
+    seeds-stable; heavily-weighted docs dominate the sample; NULL
+    weights never selected."""
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import dsir_select
+
+    rows = [(i, "t") for i in range(200)] + [(999, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # synthetic weights: docs < 20 strongly target-like
+    w = spark.createDataFrame(
+        [(i, 1, 10.0 if i < 20 else -10.0) for i in range(200)]
+        + [(999, 0, None)],
+        "doc_id long, n_grams int, logweight double")
+    got = sorted(r.doc_id for r in dsir_select(df, w, 20).collect())
+    again = sorted(r.doc_id for r in
+                   dsir_select(df.repartition(13), w, 20).collect())
+    assert got == again and len(got) == 20
+    assert 999 not in got
+    # at a 20-logit gap, essentially every pick is a target-like doc
+    assert sum(1 for d in got if d < 20) >= 18
+    # a different seed reshuffles the tail but stays deterministic
+    alt = sorted(r.doc_id for r in
+                 dsir_select(df, w, 20, seed="dsir-v2").collect())
+    assert len(alt) == 20 and 999 not in alt
