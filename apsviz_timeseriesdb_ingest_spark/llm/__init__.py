@@ -72,6 +72,7 @@ from .similarity import (  # noqa: F401
     CentroidTable,
     ann_assign,
     brute_force_topk,
+    check_or_record_ann_layout,
     embedding_neardup_pairs,
     hash_embedding,
     hyperplane_lsh_bucket,
@@ -79,11 +80,13 @@ from .similarity import (  # noqa: F401
     ivf_probe,
     kmeans_assign,
     probe_cells_for,
+    read_ann_layout,
     semantic_dedup,
     semantic_dedup_auto,
     semantic_k,
     train_kmeans,
     train_kmeans_table,
+    write_ann_layout,
 )
 from .multimodal import (  # noqa: F401
     extract_media_features,

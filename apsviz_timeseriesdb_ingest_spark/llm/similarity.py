@@ -1380,6 +1380,50 @@ def check_or_record_ann_layout(catalog, spark, table: str, *, k: int,
                 _LAYOUT_META_SCHEMA), meta)
 
 
+def write_ann_layout(catalog, assigned: DataFrame, table: str, *, k: int,
+                     partition_groups: int | None = None,
+                     cell_col: str = "centroid_id",
+                     group_col: str = "cell_group",
+                     append: bool = False) -> None:
+    """Write a cell-assigned frame as the partitioned ANN layout WITH
+    its geometry pinned — the batch twin of the streaming writer's
+    sidecar handling (r8 ADVICE: hand-rolled layouts left (k, G)
+    unrecorded, so a mismatched probe silently pruned the wrong
+    directories). Per-cell partitioning when ``partition_groups`` is
+    None; the bounded-directory grouped form (``group_col = cell div
+    ceil(k/G)``) when set. Validates against an existing sidecar
+    before touching data."""
+    check_or_record_ann_layout(catalog, assigned.sparkSession, table,
+                               k=k, partition_groups=partition_groups)
+    part = cell_col
+    if partition_groups is not None:
+        assigned = assigned.withColumn(
+            group_col, cell_group_col(F.col(cell_col), k,
+                                      partition_groups))
+        part = group_col
+    write = catalog.append if append else catalog.overwrite
+    write(assigned, table, partition_by=[part])
+
+
+def read_ann_layout(catalog, table: str) -> "tuple[DataFrame, int, int | None]":
+    """Open a pinned ANN layout: ``(frame, k, partition_groups)`` from
+    the ``{table}_layout`` sidecar (None partition_groups = per-cell
+    partitioning) — so probes derive the layout's true geometry from
+    the table instead of trusting the caller's config (the silent
+    wrong-directory-pruning failure mode). Raises a targeted error if
+    the table was written without the sidecar."""
+    meta = f"{table}_layout"
+    if not catalog.exists(meta):
+        raise ValueError(
+            f"table '{table}' has no '{meta}' sidecar — written before "
+            f"the layout pin existed, or not via write_ann_layout / the "
+            f"embedding stream; rebuild the layout or record the "
+            f"geometry with check_or_record_ann_layout")
+    row = catalog.read(meta).collect()[0]
+    groups = int(row["partition_groups"]) or None
+    return catalog.read(table), int(row["k"]), groups
+
+
 def semantic_k(n_vectors: int, target_cell: int = 500) -> int:
     """The cluster count that holds SemDeDup's expected cell occupancy
     at ``target_cell`` vectors — pass to :func:`train_kmeans` so the

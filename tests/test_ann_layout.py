@@ -155,3 +155,50 @@ def test_grouped_layout_probe_identical_and_pruned(spark, sf_small, tmp_path):
 
     # the span helper is the one source of truth writers/probes share
     assert cell_group_span(8, 3) == 3
+
+
+def test_write_read_ann_layout_pins_geometry(spark, sf_small, tmp_path):
+    """Batch twin of the stream's sidecar handling (r8 ADVICE):
+    write_ann_layout records (k, G) alongside the data, read_ann_layout
+    derives the true geometry from the table, a G-mismatched rewrite
+    raises the targeted error, and the probe through the derived
+    geometry equals the per-cell probe."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        ivf_probe,
+        kmeans_assign,
+        read_ann_layout,
+        train_kmeans,
+        write_ann_layout,
+    )
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    cents = train_kmeans(vecs, k=8, iters=4)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    layout = vecs.join(kmeans_assign(vecs, cents), "vec_id")
+    write_ann_layout(catalog, layout, "ann_g", k=8, partition_groups=3)
+    frame, k, groups = read_ann_layout(catalog, "ann_g")
+    assert (k, groups) == (8, 3) and "cell_group" in frame.columns
+
+    qrows = [(r.vec_id, [float(x) for x in r.embedding])
+             for r in vecs.orderBy("vec_id").limit(5).collect()]
+    write_ann_layout(catalog, layout, "ann_flat", k=8)
+    f2, k2, g2 = read_ann_layout(catalog, "ann_flat")
+    assert (k2, g2) == (8, None)
+    got = ivf_probe(frame, qrows, cents, nprobe=3, top_k=5,
+                    group_col="cell_group", groups=groups)
+    flat = ivf_probe(f2, qrows, cents, nprobe=3, top_k=5)
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, flat.collect())))
+
+    # geometry drift fails loudly BEFORE any data is touched
+    with pytest.raises(ValueError, match="do not match"):
+        write_ann_layout(catalog, layout, "ann_g", k=8,
+                         partition_groups=5)
+    # unpinned tables are a targeted error on read
+    with pytest.raises(ValueError, match="no 'ann_old_layout' sidecar"):
+        catalog.overwrite(layout, "ann_old",
+                          partition_by=["centroid_id"])
+        read_ann_layout(catalog, "ann_old")
