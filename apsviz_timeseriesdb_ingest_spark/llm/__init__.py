@@ -130,6 +130,7 @@ from .ivfpq import (  # noqa: F401
     residuals,
 )
 from .lm import (  # noqa: F401
+    dsir_grams,
     dsir_importance_weights,
     dsir_select,
     min_k_prob,

@@ -219,9 +219,18 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
     to the group ids covering the probed cells and the cell predicate
     drops to parquet row-group stats — identical results, the same two
     pruning levels ``similarity.ivf_probe`` gained in r8.
-    """
-    from .similarity import cell_groups_for
 
+    ``index`` may be a ``(catalog, table)`` tuple (r10): the codes
+    table is opened through its ``{table}_layout`` sidecar
+    (:func:`similarity.read_ann_layout`) and the geometry is derived
+    from the pin — caller-supplied ``groups``/``group_col`` must match
+    it or the probe raises, same contract as ``ivf_probe``.
+    """
+    from .similarity import _open_pinned_layout, cell_groups_for
+
+    if isinstance(index, tuple):
+        index, groups, group_col = _open_pinned_layout(
+            index, len(centroids), groups, group_col)
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     spark = index.sparkSession

@@ -61,7 +61,7 @@ from .text import (
 DROP_REASONS = ("blocked_domain", "too_short", "too_long", "repetitive",
                 "language", "blocked_terms", "low_quality",
                 "high_perplexity", "exact_dup", "near_dup",
-                "contaminated", "mixture_sampled")
+                "contaminated", "mixture_sampled", "dsir_resampled")
 
 
 def corpus_signals(docs: DataFrame, *, text_col: str = "text",
@@ -129,6 +129,10 @@ def prepare_training_corpus(
     blocked_terms: tuple[str, ...] | None = None,
     min_overlap_frac: float | None = None,
     unicode_form: str | None = None,
+    dsir: tuple[DataFrame, int | float] | None = None,
+    dsir_buckets: int = 4096,
+    dsir_temperature: float = 1.0,
+    dsir_seed: str = "dsir-v1",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -207,6 +211,22 @@ def prepare_training_corpus(
     reason that also dropped them. Upsampling (epochs > 1) is a
     repetition schedule, not a filter — run
     :func:`text.repeat_for_epochs` on the returned corpus.
+
+    ``dsir`` = ``(target_frame, n_or_frac)`` runs DSIR importance
+    resampling (Xie et al. 2023) as the FINAL decision, after every
+    filter and after mixture: the raw distribution is trained on the
+    surviving candidate pool (docs a dropped stage removed must not
+    occupy selection slots), the target distribution on
+    ``target_frame`` (same ``text_col``/``id_col``), and
+    :func:`lm.dsir_select` keeps ``n`` docs (an ``int``) or
+    ``ceil(frac · pool)`` docs (a ``float`` ≤ 1.0) — deterministic
+    Gumbel-top-k under ``dsir_seed``/``dsir_temperature``. Non-selected
+    docs drop with reason ``dsir_resampled``; every doc that reached
+    the stage carries its ``dsir_logweight`` score in the audit
+    (tag-don't-filter). The hashed-gram stream is built ONCE
+    (:func:`lm.dsir_grams`) and shared by the raw distribution and the
+    weights, and both it and the weights go through the same
+    ``cache``/``catalog`` checkpoint policy as every reused frame.
 
     ``catalog`` (a ``sources.catalog.Catalog``) switches the reused
     intermediates from executor cache to CHECKPOINT TABLES
@@ -415,6 +435,56 @@ def prepare_training_corpus(
         mixture_losers = spark.createDataFrame(
             [], f"{id_col} long, r_mixture boolean")
 
+    if dsir is not None:
+        from .lm import (dsir_grams, dsir_importance_weights, dsir_select,
+                         train_hashed_ngram_dist)
+
+        dsir_target, dsir_n = dsir
+        # candidate pool = survivors of EVERY earlier decision: a doc
+        # another stage dropped must not occupy a selection slot, and
+        # the raw distribution is DSIR's q(x) over the actual pool
+        pool = _persist(
+            near_kept
+            .join(contaminated.select(id_col), id_col, "left_anti")
+            .join(mixture_losers.select(id_col), id_col, "left_anti")
+            .select(id_col, "text"),
+            "dsir_pool")
+        grams = _persist(
+            dsir_grams(pool, text_col="text", id_col=id_col,
+                       buckets=dsir_buckets, fast=fast),
+            "dsir_grams")
+        tdist = train_hashed_ngram_dist(
+            dsir_target, text_col=text_col, id_col=id_col,
+            buckets=dsir_buckets, fast=fast)
+        rdist = train_hashed_ngram_dist(
+            pool, id_col=id_col, buckets=dsir_buckets, fast=fast,
+            grams=grams)
+        dscores = _persist(
+            dsir_importance_weights(pool, tdist, rdist, text_col="text",
+                                    id_col=id_col, fast=fast, grams=grams)
+            .select(id_col, F.col("logweight").alias("dsir_logweight")),
+            "dsir_weights")
+        if isinstance(dsir_n, float):
+            if not 0.0 <= dsir_n <= 1.0:
+                raise ValueError(
+                    f"dsir fraction must be in [0, 1], got {dsir_n}")
+            import math
+            dsir_n = math.ceil(dsir_n * pool.count())
+        selected = dsir_select(
+            pool.select(id_col),
+            dscores.select(id_col,
+                           F.col("dsir_logweight").alias("logweight")),
+            int(dsir_n), id_col=id_col, temperature=dsir_temperature,
+            seed=dsir_seed)
+        dsir_losers = (pool.select(id_col)
+                       .join(selected.select(id_col), id_col, "left_anti")
+                       .withColumn("r_dsir", F.lit(True)))
+    else:
+        dsir_losers = spark.createDataFrame(
+            [], f"{id_col} long, r_dsir boolean")
+        dscores = spark.createDataFrame(
+            [], f"{id_col} long, dsir_logweight double")
+
     reason_cols = [F.when(F.col("r_domain"), F.lit("blocked_domain")),
                    F.col("q_reason")]
     if quality_model is not None:
@@ -430,6 +500,7 @@ def prepare_training_corpus(
         F.when(F.col("r_near"), F.lit("near_dup")),
         F.when(F.col("r_contam"), F.lit("contaminated")),
         F.when(F.col("r_mixture"), F.lit("mixture_sampled")),
+        F.when(F.col("r_dsir"), F.lit("dsir_resampled")),
     ]
     audit = (
         tagged
@@ -440,9 +511,11 @@ def prepare_training_corpus(
         .join(near_losers, id_col, "left")
         .join(contaminated, id_col, "left")
         .join(mixture_losers, id_col, "left")
+        .join(dscores, id_col, "left")
+        .join(dsir_losers, id_col, "left")
         .select(
             id_col, "text", "n_tokens", "repetition_ratio", "predicted_lang",
-            "quality_prob", "perplexity", "overlap_frac",
+            "quality_prob", "perplexity", "overlap_frac", "dsir_logweight",
             F.coalesce(*reason_cols).alias("drop_reason"),
         )
     )

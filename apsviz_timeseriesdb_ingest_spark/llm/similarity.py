@@ -947,6 +947,7 @@ class CentroidTable:
                    dim: int | None = None, coarse_k: int | None = None,
                    nprobe: int = 8, iters: int = 10,
                    cid_col: str = "cid", cvec_col: str = "cvec",
+                   coarse: list | None = None,
                    ) -> "CentroidTable":
         """Build the table rung from a centroid DATAFRAME
         ``(cid int, cvec array<double>)`` — e.g.
@@ -997,6 +998,15 @@ class CentroidTable:
         flat literal argmin bit-for-bit regardless of how the coarse
         level was trained (all fine centroids become candidates; the
         argmin is over the same cosine and total order).
+
+        ``coarse`` (a ≤1024 x dim list of vectors) skips the sample
+        collect and the numpy coarse training and reuses the given
+        coarse level as-is — :func:`train_kmeans_table` passes the
+        previous Lloyd's iteration's (centroids move little per step,
+        so re-running only the distributed fine→coarse grouping saves
+        the dominant rebuild cost each iteration). Probe-everything
+        assignment stays exact for any coarse level; approximate
+        probes follow the supplied grouping.
         """
         import math
 
@@ -1009,24 +1019,36 @@ class CentroidTable:
             raise ValueError("from_frame needs a non-empty centroid frame")
         if dim is None:
             dim = sel.select(F.size("cvec")).first()[0]
-        coarse_k = _default_coarse_k(k, nprobe, coarse_k)
-        # deterministic hash sample, collected driver-side ONLY for
-        # coarse training — bounded by FRAME_SAMPLE_MAX at any k
-        m = max(1, int(k) // int(cls.FRAME_SAMPLE_MAX))
-        if m <= 1:
-            sample_rows = sel.orderBy("cid").collect()
+        if coarse is not None:
+            # caller-supplied coarse level (e.g. the previous Lloyd's
+            # iteration's — train_kmeans_table's reuse path, r9 verdict
+            # task 3): skip the sample collect and the numpy coarse
+            # training entirely; only the distributed fine→coarse
+            # grouping below runs. Assignment exactness is unchanged —
+            # probe-everything reproduces the flat argmin for ANY
+            # coarse level; approximate probes may group differently.
+            coarse = [list(c) for c in coarse]
         else:
-            from ..functions.portable_hash import md5_hash64
+            # deterministic hash sample, collected driver-side ONLY
+            # for coarse training — CEILING division keeps the
+            # expected sample ≤ FRAME_SAMPLE_MAX at every k (floor
+            # collected up to 2x the bound just past the threshold)
+            coarse_k = _default_coarse_k(k, nprobe, coarse_k)
+            m = -(-int(k) // int(cls.FRAME_SAMPLE_MAX))
+            if m <= 1:
+                sample_rows = sel.orderBy("cid").collect()
+            else:
+                from ..functions.portable_hash import md5_hash64
 
-            sample_rows = (sel.filter(F.pmod(
-                md5_hash64(F.col("cid").cast("string"),
-                           seed="ctable-coarse-v1"), F.lit(m)) == 0)
-                .orderBy("cid").collect())
-        if not sample_rows:
-            sample_rows = sel.orderBy("cid").limit(coarse_k).collect()
-        sample = [list(r.cvec) for r in sample_rows]
-        coarse_k = min(coarse_k, len(sample))
-        coarse, _ = _cluster_centroids(sample, coarse_k, iters)
+                sample_rows = (sel.filter(F.pmod(
+                    md5_hash64(F.col("cid").cast("string"),
+                               seed="ctable-coarse-v1"), F.lit(m)) == 0)
+                    .orderBy("cid").collect())
+            if not sample_rows:
+                sample_rows = sel.orderBy("cid").limit(coarse_k).collect()
+            sample = [list(r.cvec) for r in sample_rows]
+            coarse_k = min(coarse_k, len(sample))
+            coarse, _ = _cluster_centroids(sample, coarse_k, iters)
         # distributed fine→coarse grouping over the centroid frame
         # (one pass, k rows): literal argmin while the coarse level is
         # literal-sized, else through a CentroidIndex over the coarse
@@ -1391,10 +1413,20 @@ def write_ann_layout(catalog, assigned: DataFrame, table: str, *, k: int,
     unrecorded, so a mismatched probe silently pruned the wrong
     directories). Per-cell partitioning when ``partition_groups`` is
     None; the bounded-directory grouped form (``group_col = cell div
-    ceil(k/G)``) when set. Validates against an existing sidecar
-    before touching data."""
-    check_or_record_ann_layout(catalog, assigned.sparkSession, table,
-                               k=k, partition_groups=partition_groups)
+    ceil(k/G)``) when set.
+
+    Sidecar lifecycle (r10, r9 ADVICE): an APPEND validates against an
+    existing sidecar before touching data (mismatched geometry must
+    never land in the table); an OVERWRITE is a full rebuild, so the
+    new geometry is authoritative and the sidecar is RE-RECORDED to
+    match instead of raising. In both modes the sidecar lands AFTER
+    the data write succeeds, so a failure in between can't leave a
+    pin pointing at a missing table."""
+    meta = f"{table}_layout"
+    if append and catalog.exists(meta):
+        # validate only — recording happens after the data lands
+        check_or_record_ann_layout(catalog, assigned.sparkSession, table,
+                                   k=k, partition_groups=partition_groups)
     part = cell_col
     if partition_groups is not None:
         assigned = assigned.withColumn(
@@ -1403,6 +1435,10 @@ def write_ann_layout(catalog, assigned: DataFrame, table: str, *, k: int,
         part = group_col
     write = catalog.append if append else catalog.overwrite
     write(assigned, table, partition_by=[part])
+    catalog.overwrite(
+        assigned.sparkSession.createDataFrame(
+            [(int(k), int(partition_groups or 0))], _LAYOUT_META_SCHEMA),
+        meta)
 
 
 def read_ann_layout(catalog, table: str) -> "tuple[DataFrame, int, int | None]":
@@ -1419,9 +1455,51 @@ def read_ann_layout(catalog, table: str) -> "tuple[DataFrame, int, int | None]":
             f"the layout pin existed, or not via write_ann_layout / the "
             f"embedding stream; rebuild the layout or record the "
             f"geometry with check_or_record_ann_layout")
+    if not catalog.exists(table):
+        # the sidecar can exist without data when a setup-time record
+        # (stream start) failed before its first append — targeted
+        # guidance instead of a generic missing-table read error
+        raise ValueError(
+            f"incomplete layout: sidecar '{meta}' exists but table "
+            f"'{table}' has no data — a write failed between recording "
+            f"the geometry and landing the data; rebuild the layout "
+            f"(write_ann_layout) or drop the sidecar")
     row = catalog.read(meta).collect()[0]
     groups = int(row["partition_groups"]) or None
     return catalog.read(table), int(row["k"]), groups
+
+
+def _open_pinned_layout(ref: tuple, k: int, groups: int | None,
+                        group_col: str | None,
+                        default_group_col: str = "cell_group",
+                        ) -> "tuple[DataFrame, int | None, str | None]":
+    """Resolve a ``(catalog, table)`` probe target against its pinned
+    sidecar: returns ``(frame, groups, group_col)`` with the geometry
+    taken from :func:`read_ann_layout`, NEVER from the caller — any
+    caller-supplied ``groups``/``group_col`` must agree with the pin or
+    this raises (the silent wrong-directory-pruning failure mode the
+    sidecar exists to kill). ``k`` is the caller's centroid count,
+    validated against the pinned k."""
+    catalog, table = ref
+    frame, k_pin, g_pin = read_ann_layout(catalog, table)
+    if int(k_pin) != int(k):
+        raise ValueError(
+            f"layout '{table}' was written with k={k_pin} but the probe "
+            f"supplies {k} centroids — a different centroid set prunes "
+            f"the wrong cells; rebuild the layout or fix the centroids")
+    if groups is not None and (g_pin or None) != int(groups):
+        raise ValueError(
+            f"layout '{table}' is pinned to partition_groups={g_pin} "
+            f"but the probe was called with groups={groups} — the "
+            f"sidecar is authoritative; drop the groups= argument")
+    if g_pin is None:
+        if group_col is not None:
+            raise ValueError(
+                f"layout '{table}' is pinned per-cell (no groups) but "
+                f"the probe was called with group_col={group_col!r} — "
+                f"the sidecar is authoritative; drop group_col=")
+        return frame, None, None
+    return frame, g_pin, group_col or default_group_col
 
 
 def semantic_k(n_vectors: int, target_cell: int = 500) -> int:
@@ -1592,7 +1670,10 @@ def semantic_dedup_auto(vectors: DataFrame, *, id_col: str = "vec_id",
     is a centroid DataFrame, nothing k-sized on the driver) feeding
     :meth:`CentroidTable.from_frame`. At the 100 TB north star
     (semantic_k in the tens of millions) this is the only rung that
-    runs at all."""
+    runs at all. On this rung the returned frame carries the
+    constructed table as ``result.semantic_dedup_table`` — call its
+    ``unpersist()`` after materializing the result, or the k x dim
+    backing cache outlives the call (r9 ADVICE)."""
     n = vectors.count()
     if n == 0:
         return vectors
@@ -1613,10 +1694,20 @@ def semantic_dedup_auto(vectors: DataFrame, *, id_col: str = "vec_id",
                             if kk in ("nprobe", "coarse_k")})
             table = CentroidTable.from_frame(cent_frame, k=k, dim=dim,
                                              **(index_kw or {}))
-            return semantic_dedup(vectors, None, id_col=id_col,
-                                  vec_col=vec_col, threshold=threshold,
-                                  max_cell_size=max_cell_size,
-                                  index=table)
+            out = semantic_dedup(vectors, None, id_col=id_col,
+                                 vec_col=vec_col, threshold=threshold,
+                                 max_cell_size=max_cell_size,
+                                 index=table)
+            # the from_frame backing is k x dim persisted executor
+            # storage the lazy result still reads — unpersisting here
+            # would force a full rebuild per downstream action, so the
+            # table rides along for the caller to release once the
+            # result is materialized (r9 ADVICE: long-lived sessions
+            # otherwise leak one backing per call):
+            #   kept = semantic_dedup_auto(...); kept.write...(...)
+            #   kept.semantic_dedup_table.unpersist()
+            out.semantic_dedup_table = table
+            return out
     cents = train_kmeans(train, id_col=id_col, vec_col=vec_col, k=k,
                          iters=iters, two_level_from=int(index_from),
                          index_kw=index_kw,
@@ -1819,7 +1910,8 @@ def train_kmeans_table(vectors: DataFrame, *, id_col: str = "vec_id",
                        seed_frame: DataFrame | None = None,
                        checkpoint_catalog=None,
                        checkpoint_prefix: str = "kmeans",
-                       resume: bool = False) -> DataFrame:
+                       resume: bool = False,
+                       coarse_reuse: bool = True) -> DataFrame:
     """:func:`train_kmeans` with TABLE-RESIDENT per-iteration state —
     the training loop for k past driver memory (r8 verdict task 1).
     Returns the centroid DATAFRAME ``(cid int, cvec array<double>)``,
@@ -1860,7 +1952,13 @@ def train_kmeans_table(vectors: DataFrame, *, id_col: str = "vec_id",
     One corpus pass per iteration (assignment + aggregate fused in a
     single job), plus the bounded seed/coarse-sample jobs. ``n`` /
     ``dim`` skip their one-off discovery jobs when the caller already
-    knows them.
+    knows them. Changed in r10: ``coarse_reuse=True`` (the default)
+    rebuilds only the distributed fine→coarse grouping after the first
+    iteration, reusing the previous iteration's coarse level instead
+    of re-collecting the sample and re-training numpy coarse per step
+    (the r9 soak measured ~2 min of rebuild per iteration at k=1M);
+    ``coarse_reuse=False`` restores the per-iteration retrain. Exact
+    (``probe_all=True``) results are identical either way.
 
     **Durable resume** (the repo's iterative-state contract —
     ``operators.itercheckpoint``, same shape as BPE/unigram/PageRank):
@@ -1906,10 +2004,25 @@ def train_kmeans_table(vectors: DataFrame, *, id_col: str = "vec_id",
             cent = _hash_rank_seed_frame(v, int(k), int(n))
         cent = cut(cent, "centroids")
     eff_nprobe = int(k) if probe_all else int(nprobe)
+    prev_coarse = None
     for it in range(start_iter, iters):
+        # coarse_reuse (default on, added r10): iterations after the
+        # first hand the PREVIOUS iteration's coarse level to
+        # from_frame, skipping its dominant one-time costs (the ≤50k
+        # sample collect + numpy coarse training) — centroids move
+        # little per Lloyd's step, so the grouping stays balanced.
+        # Parity: probe_all=True is exact for ANY coarse level, so
+        # the pinned bit-parity vs train_kmeans is unaffected;
+        # approximate-probe (nprobe<k) assignments may differ from a
+        # freshly-retrained coarse level — both are approximate
+        # Lloyd's, but pass coarse_reuse=False to reproduce the r9
+        # per-iteration-retrain behavior exactly.
         table = CentroidTable.from_frame(cent, k=int(k), dim=int(dim),
                                          nprobe=eff_nprobe,
-                                         coarse_k=coarse_k)
+                                         coarse_k=coarse_k,
+                                         coarse=prev_coarse)
+        if coarse_reuse:
+            prev_coarse = table.coarse
         assigned = table.assign(v, id_col="id", vec_col="vec",
                                 nrm_col="nrm", out_col="cid")
         stats = (assigned.groupBy("cid")
@@ -2001,9 +2114,20 @@ def ivf_probe(corpus: DataFrame, queries: list[tuple[int, list[float]]],
     the group ids covering the probed cells and the ``cell_col``
     predicate drops to parquet row-group stats; results are identical
     (the cell filter still runs), only the pruning levels change.
+
+    ``corpus`` may be a ``(catalog, table)`` tuple instead of a frame
+    (r10, r9 verdict task 4): the layout's TRUE geometry then comes
+    from the ``{table}_layout`` sidecar via :func:`read_ann_layout` —
+    k is validated against ``len(centroids)`` and
+    ``group_col``/``groups`` are derived (caller-supplied values must
+    match the pin or the probe raises), so a probe cannot silently
+    prune the wrong directories on drifted config.
     """
     from pyspark.sql import Window
 
+    if isinstance(corpus, tuple):
+        corpus, groups, group_col = _open_pinned_layout(
+            corpus, len(centroids), groups, group_col)
     cells = probe_cells_for(queries, centroids, nprobe=nprobe)
     all_cells = sorted({c for cs in cells.values() for c in cs})
     if group_col is not None:

@@ -481,7 +481,8 @@ def committed_alerts(catalog, alerts_table: str = "alerts",
 
 
 def run_incremental_embedding_stream(
-        spark, input_dir: str, catalog, centroids: list[list[float]], *,
+        spark, input_dir: str, catalog,
+        centroids: "list[list[float]] | None" = None, *,
         checkpoint_dir: str, corpus_table: str = "ann_corpus",
         threshold: float = 0.9, nprobe: int = 2, dim: int | None = None,
         planes: int = 8, bands: int = 4,
@@ -533,6 +534,10 @@ def run_incremental_embedding_stream(
     candidate join (:meth:`CentroidTable.probe_and_assign`), and the
     persisted stream-lifetime frame is the multi-row centroid table
     instead of the one-row map. Returns the StreamingQuery.
+    ``centroids=None`` is allowed when ``index`` is given (r10, r9
+    ADVICE): k and dim then come from ``index.k``/``index.dim``, so a
+    table-resident ``CentroidTable.from_frame`` caller never
+    materializes the k x dim list — the rung's point.
 
     ``max_files_per_trigger`` bounds each micro-batch to that many
     source files (``availableNow`` still drains everything pending —
@@ -581,12 +586,26 @@ def run_incremental_embedding_stream(
                                   probe_cells_expr,
                                   probe_cells_expr_indexed)
 
-    vec_dim = dim or len(centroids[0])
+    # centroids may be None when index= carries the centroid state
+    # (r9 ADVICE: a from_frame CentroidTable caller must not have to
+    # materialize the k x dim list just to report k/dim — mirror
+    # semantic_dedup's centroids=None contract); the literal path
+    # still requires the list
+    if index is not None:
+        n_cells = int(index.k)
+        vec_dim = dim or int(index.dim)
+    elif centroids is not None:
+        n_cells = len(centroids)
+        vec_dim = dim or len(centroids[0])
+    else:
+        raise ValueError("run_incremental_embedding_stream needs "
+                         "centroids= (literal path) or index= (a "
+                         "CentroidIndex/CentroidTable)")
     grouped = partition_groups is not None
     # pin/validate the layout geometry before any read or write —
     # a G/k mismatch must fail loudly at setup, not prune silently
     check_or_record_ann_layout(catalog, spark, corpus_table,
-                               k=len(centroids),
+                               k=n_cells,
                                partition_groups=partition_groups)
     # the index frames are driver serializations (k x dim table, plus
     # the sqrt(k) x dim coarse index when the coarse level is indexed
@@ -655,12 +674,12 @@ def run_incremental_embedding_stream(
                 # list derives from the already-collected cells, above
                 # it from one tiny distinct over the group expression
                 if literal:
-                    groups_hit = cell_groups_for(cells, len(centroids),
+                    groups_hit = cell_groups_for(cells, n_cells,
                                                  partition_groups)
                 else:
                     groups_hit = sorted(
                         r.g for r in cells_df.select(cell_group_col(
-                            F.col("centroid_id"), len(centroids),
+                            F.col("centroid_id"), n_cells,
                             partition_groups).alias("g"))
                         .distinct().collect())
                 stored = stored.filter(
@@ -708,7 +727,7 @@ def run_incremental_embedding_stream(
         if grouped:
             accepted = accepted.withColumn(
                 "cell_group",
-                cell_group_col(F.col("centroid_id"), len(centroids),
+                cell_group_col(F.col("centroid_id"), n_cells,
                                partition_groups))
         accepted = accepted.localCheckpoint(eager=True)
         catalog.append(accepted, corpus_table,

@@ -7,7 +7,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from apsviz_timeseriesdb_ingest_spark.llm.similarity import ann_assign
+from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+    ann_assign,
+    write_ann_layout,
+)
 from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
 from apsviz_timeseriesdb_ingest_spark.testdata import load_table
 
@@ -19,7 +22,7 @@ def test_ann_layout_partition_pruned_probe(spark, sf_small, tmp_path):
     catalog = Catalog(spark, str(tmp_path / "wh"))
     assign = ann_assign(vecs, dim=64, planes=4, centroid_ids=CENTS)
     layout = vecs.join(assign, "vec_id")
-    catalog.overwrite(layout, "ann_corpus", partition_by=["centroid_id"])
+    write_ann_layout(catalog, layout, "ann_corpus", k=max(CENTS) + 1)
 
     probe_cells = [CENTS[0], CENTS[1]]
     probed = catalog.read("ann_corpus").filter(
@@ -43,8 +46,8 @@ def test_ann_probe_reads_fewer_files(spark, sf_small, tmp_path):
     vecs = load_table(spark, sf_small, "embeddings")
     catalog = Catalog(spark, str(tmp_path / "wh"))
     assign = ann_assign(vecs, dim=64, planes=4, centroid_ids=CENTS)
-    catalog.overwrite(vecs.join(assign, "vec_id"), "ann_corpus",
-                      partition_by=["centroid_id"])
+    write_ann_layout(catalog, vecs.join(assign, "vec_id"), "ann_corpus",
+                     k=max(CENTS) + 1)
     probed = catalog.read("ann_corpus").filter(F.col("centroid_id") == CENTS[0])
     full = catalog.read("ann_corpus")
 
@@ -67,7 +70,7 @@ def test_ivf_probe_exact_within_cells_and_recall(spark, sf_small, tmp_path):
     cents = train_kmeans(vecs, k=8, iters=4)
     catalog = Catalog(spark, str(tmp_path / "wh"))
     layout = vecs.join(kmeans_assign(vecs, cents), "vec_id")
-    catalog.overwrite(layout, "ann_corpus", partition_by=["centroid_id"])
+    write_ann_layout(catalog, layout, "ann_corpus", k=8)
     corpus = catalog.read("ann_corpus")
 
     qrows = [(r.vec_id, [float(x) for x in r.embedding])
@@ -124,10 +127,9 @@ def test_grouped_layout_probe_identical_and_pruned(spark, sf_small, tmp_path):
     G = 3  # span = ceil(8/3) = 3: cells 0-2 / 3-5 / 6-7
     catalog = Catalog(spark, str(tmp_path / "wh"))
     layout = vecs.join(kmeans_assign(vecs, cents), "vec_id")
-    catalog.overwrite(layout, "ann_flat", partition_by=["centroid_id"])
-    grouped = layout.withColumn(
-        "cell_group", cell_group_col(F.col("centroid_id"), len(cents), G))
-    catalog.overwrite(grouped, "ann_grouped", partition_by=["cell_group"])
+    write_ann_layout(catalog, layout, "ann_flat", k=8)
+    write_ann_layout(catalog, layout, "ann_grouped", k=8,
+                     partition_groups=G)
 
     # directory count bounded at G; per-cell layout has one per cell
     def dirs(table, prefix):
@@ -193,12 +195,75 @@ def test_write_read_ann_layout_pins_geometry(spark, sf_small, tmp_path):
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, flat.collect())))
 
-    # geometry drift fails loudly BEFORE any data is touched
+    # geometry drift on APPEND fails loudly BEFORE any data is touched
     with pytest.raises(ValueError, match="do not match"):
         write_ann_layout(catalog, layout, "ann_g", k=8,
-                         partition_groups=5)
-    # unpinned tables are a targeted error on read
+                         partition_groups=5, append=True)
+    # an OVERWRITE is a full rebuild: the new geometry is authoritative
+    # and the sidecar re-records to match (r10, r9 ADVICE — previously
+    # the only way to re-layout was dropping the sidecar by hand)
+    write_ann_layout(catalog, layout, "ann_g", k=8, partition_groups=5)
+    _, k3, g3 = read_ann_layout(catalog, "ann_g")
+    assert (k3, g3) == (8, 5)
+    # unpinned tables are a targeted error on read (deliberately bare
+    # write: this IS the legacy-table path under test)
     with pytest.raises(ValueError, match="no 'ann_old_layout' sidecar"):
         catalog.overwrite(layout, "ann_old",
                           partition_by=["centroid_id"])
         read_ann_layout(catalog, "ann_old")
+    # a sidecar without data (failed first write) is the targeted
+    # incomplete-layout error, not a generic missing-table read
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        check_or_record_ann_layout)
+    check_or_record_ann_layout(catalog, spark, "ann_ghost", k=8,
+                               partition_groups=None)
+    with pytest.raises(ValueError, match="incomplete layout"):
+        read_ann_layout(catalog, "ann_ghost")
+
+
+def test_probe_catalog_table_overload(spark, sf_small, tmp_path):
+    """r10 (r9 verdict task 4): ivf_probe((catalog, table), ...) opens
+    the layout through its sidecar — geometry comes from the pin, not
+    the caller, and any conflicting caller config raises instead of
+    silently pruning the wrong directories."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        ivf_probe,
+        kmeans_assign,
+        train_kmeans,
+    )
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    cents = train_kmeans(vecs, k=8, iters=4)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    layout = vecs.join(kmeans_assign(vecs, cents), "vec_id")
+    write_ann_layout(catalog, layout, "ann_g", k=8, partition_groups=3)
+    write_ann_layout(catalog, layout, "ann_flat", k=8)
+
+    qrows = [(r.vec_id, [float(x) for x in r.embedding])
+             for r in vecs.orderBy("vec_id").limit(5).collect()]
+    # grouped table: geometry (G=3, cell_group) derived from the pin
+    via_pin = ivf_probe((catalog, "ann_g"), qrows, cents,
+                        nprobe=3, top_k=5)
+    explicit = ivf_probe(catalog.read("ann_g"), qrows, cents, nprobe=3,
+                         top_k=5, group_col="cell_group", groups=3)
+    assert (sorted(map(tuple, via_pin.collect()))
+            == sorted(map(tuple, explicit.collect())))
+    # per-cell table through the pin
+    flat_pin = ivf_probe((catalog, "ann_flat"), qrows, cents,
+                         nprobe=3, top_k=5)
+    flat = ivf_probe(catalog.read("ann_flat"), qrows, cents,
+                     nprobe=3, top_k=5)
+    assert (sorted(map(tuple, flat_pin.collect()))
+            == sorted(map(tuple, flat.collect())))
+
+    # conflicting caller config is a loud error, never a silent misprune
+    with pytest.raises(ValueError, match="k=8"):
+        ivf_probe((catalog, "ann_g"), qrows, cents[:4], nprobe=2, top_k=5)
+    with pytest.raises(ValueError, match="authoritative"):
+        ivf_probe((catalog, "ann_g"), qrows, cents, nprobe=3, top_k=5,
+                  group_col="cell_group", groups=5)
+    with pytest.raises(ValueError, match="authoritative"):
+        ivf_probe((catalog, "ann_flat"), qrows, cents, nprobe=3,
+                  top_k=5, group_col="cell_group", groups=3)

@@ -406,3 +406,51 @@ def test_auto_training_cost_is_sampled(spark):
     s = _training_sample(df, n=1200, k=2, id_col="vec_id", per_centroid=100)
     assert s is not df
     assert "pmod" in s._jdf.queryExecution().analyzed().toString()
+
+
+def test_embedding_stream_centroids_optional_with_index(spark, tmp_path):
+    """r10 (r9 ADVICE): with index= given, centroids may be None — k
+    and dim derive from index.k/index.dim, so a table-resident
+    from_frame caller never materializes the k x dim list. Missing
+    both is a loud error."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+    from apsviz_timeseriesdb_ingest_spark.streaming.corpus_stream import (
+        run_incremental_embedding_stream,
+    )
+
+    dim = 8
+    centroids = [[1.0 if i == a else 0.0 for i in range(dim)]
+                 for a in range(4)]
+    tbl = CentroidTable(centroids, nprobe=10**6)
+    src = str(tmp_path / "in")
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    SCH = "vec_id long, embedding array<float>"
+
+    def axis(a, scale=1.0):
+        return [scale if i == a else 0.0 for i in range(dim)]
+
+    spark.createDataFrame([(1, axis(0)), (2, axis(1))], SCH) \
+        .write.mode("append").parquet(src)
+    q = run_incremental_embedding_stream(
+        spark, src, catalog,
+        checkpoint_dir=str(tmp_path / "ck"),
+        threshold=0.95, nprobe=2, index=tbl)
+    assert q.awaitTermination(120)
+    # dup of 1 rejected cross-batch, fresh 13 accepted — semantics
+    # identical to the centroids-list call
+    spark.createDataFrame([(12, axis(0, 1.002)), (13, axis(2))], SCH) \
+        .write.mode("append").parquet(src)
+    q = run_incremental_embedding_stream(
+        spark, src, catalog,
+        checkpoint_dir=str(tmp_path / "ck"),
+        threshold=0.95, nprobe=2, index=tbl)
+    assert q.awaitTermination(120)
+    assert {r.vec_id for r in catalog.read("ann_corpus").collect()} \
+        == {1, 2, 13}
+
+    with pytest.raises(ValueError, match="centroids"):
+        run_incremental_embedding_stream(
+            spark, src, catalog,
+            checkpoint_dir=str(tmp_path / "ck3"))

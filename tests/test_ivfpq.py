@@ -22,6 +22,7 @@ from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
     kmeans_assign,
     probe_cells_for,
     train_kmeans,
+    write_ann_layout,
 )
 from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
 from apsviz_timeseriesdb_ingest_spark.testdata import load_table
@@ -84,8 +85,8 @@ def test_ivfpq_probe_prunes_partitions_and_matches_pq_adc(spark, trained,
     probed cells (the IVF stage only prunes; ADC scoring is shared)."""
     vecs, cents, books = trained
     catalog = Catalog(spark, str(tmp_path / "wh"))
-    catalog.overwrite(build_ivfpq_index(vecs, cents, books), "ivfpq",
-                      partition_by=["centroid_id"])
+    write_ann_layout(catalog, build_ivfpq_index(vecs, cents, books),
+                     "ivfpq", k=K)
     index = catalog.read("ivfpq")
 
     queries = [(r.vec_id, list(r.embedding))
@@ -128,8 +129,8 @@ def test_ivfpq_rerank_recall_floor(spark, trained, tmp_path):
     nprobe recall), guarding regressions rather than asserting theory."""
     vecs, cents, books = trained
     catalog = Catalog(spark, str(tmp_path / "wh"))
-    catalog.overwrite(build_ivfpq_index(vecs, cents, books), "ivfpq",
-                      partition_by=["centroid_id"])
+    write_ann_layout(catalog, build_ivfpq_index(vecs, cents, books),
+                     "ivfpq", k=K)
     index = catalog.read("ivfpq")
 
     queries = [(r.vec_id, list(r.embedding))
@@ -192,11 +193,11 @@ def test_residual_search_end_to_end_recall_floor(spark, trained,
     vecs, cents, books_raw = trained
     books_res = trained_residual
     catalog = Catalog(spark, str(tmp_path / "wh"))
-    catalog.overwrite(build_ivfpq_index(vecs, cents, books_raw), "raw",
-                      partition_by=["centroid_id"])
-    catalog.overwrite(build_ivfpq_index(vecs, cents, books_res,
-                                        residual=True), "res",
-                      partition_by=["centroid_id"])
+    write_ann_layout(catalog, build_ivfpq_index(vecs, cents, books_raw),
+                     "raw", k=K)
+    write_ann_layout(catalog,
+                     build_ivfpq_index(vecs, cents, books_res,
+                                       residual=True), "res", k=K)
     queries = [(r.vec_id, list(r.embedding))
                for r in vecs.filter(F.col("vec_id") < 10).collect()]
     exact = brute_force_topk(vecs, query_ids=[q for q, _ in queries], top_k=3)
@@ -234,11 +235,13 @@ def test_ivfpq_grouped_layout_identical_and_pruned(spark, trained,
     G = 3  # span = ceil(8/3) = 3: cells 0-2 / 3-5 / 6-7
     assert cell_group_span(K, G) == 3
     catalog = Catalog(spark, str(tmp_path / "wh"))
-    catalog.overwrite(build_ivfpq_index(vecs, cents, books), "flat",
-                      partition_by=["centroid_id"])
-    catalog.overwrite(
-        build_ivfpq_index(vecs, cents, books, partition_groups=G),
-        "grouped", partition_by=["cell_group"])
+    write_ann_layout(catalog, build_ivfpq_index(vecs, cents, books),
+                     "flat", k=K)
+    # build_ivfpq_index(partition_groups=G) already derives cell_group;
+    # write_ann_layout recomputes the identical column and pins (k, G)
+    write_ann_layout(
+        catalog, build_ivfpq_index(vecs, cents, books, partition_groups=G),
+        "grouped", k=K, partition_groups=G)
 
     # directory count bounded at G; per-cell layout has one per cell
     def dirs(table, prefix):
@@ -277,3 +280,27 @@ def test_ivfpq_grouped_layout_identical_and_pruned(spark, trained,
     with pytest.raises(ValueError, match="no 'cell_group' column"):
         ivfpq_topk(catalog.read("flat"), books, queries, cents,
                    group_col="cell_group", groups=G)
+
+
+def test_ivfpq_catalog_table_overload(spark, trained, tmp_path):
+    """r10 (r9 verdict task 4): ivfpq_topk((catalog, table), ...) opens
+    the codes table through its sidecar — geometry from the pin, never
+    the caller; conflicting caller config raises."""
+    vecs, cents, books = trained
+    G = 3
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    write_ann_layout(
+        catalog, build_ivfpq_index(vecs, cents, books, partition_groups=G),
+        "grouped", k=K, partition_groups=G)
+    queries = [(r.vec_id, list(r.embedding))
+               for r in vecs.filter(F.col("vec_id") < 5).collect()]
+    via_pin = ivfpq_topk((catalog, "grouped"), books, queries, cents,
+                         nprobe=3, top_k=5)
+    explicit = ivfpq_topk(catalog.read("grouped"), books, queries, cents,
+                          nprobe=3, top_k=5, group_col="cell_group",
+                          groups=G)
+    assert (sorted(map(tuple, via_pin.collect()))
+            == sorted(map(tuple, explicit.collect())))
+    with pytest.raises(ValueError, match="authoritative"):
+        ivfpq_topk((catalog, "grouped"), books, queries, cents,
+                   nprobe=3, top_k=5, groups=G + 1)

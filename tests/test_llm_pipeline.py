@@ -465,3 +465,79 @@ def test_data_card_approximate_percentiles(spark):
     # min/max are exact in both
     for m in ("min", "max"):
         assert exact[("tokens_per_doc", m)] == approx[("tokens_per_doc", m)]
+
+
+def test_pipeline_dsir_stage(spark):
+    """r10: dsir=(target, n_or_frac) runs importance resampling as the
+    FINAL decision — pool = survivors of every earlier stage, kept
+    count == n exactly, losers tagged dsir_resampled, every pool doc
+    carries dsir_logweight in the audit (tag-don't-filter), docs other
+    stages dropped keep their cheaper reason and NULL score."""
+    med = ["dose patient trial symptom therapy clinical care and the "
+           "doctor said the patient must rest for a while now",
+           "patient dose therapy trial and the clinical team walked "
+           "through the symptom chart for an hour after lunch"]
+    web = ["click here to buy the new phone at a great price and the "
+           "shop will send a coupon to your email box today",
+           "win a free holiday by entering the draw before friday and "
+           "tell your friends about this amazing offer now",
+           "the best deals on shoes and bags are in our spring sale "
+           "so hurry while the stock lasts this weekend",
+           "subscribe to our newsletter for daily offers and you will "
+           "never miss a discount on games or music again",
+           "this one weird trick will save you money on car cover "
+           "and agents hate it so click the link to learn more",
+           "flash sale on kitchen gear ends tonight so grab the pans "
+           "and knives at half price while you still can",
+           "download the app to track your parcel and earn points "
+           "for every order you place with us this month",
+           "join the rewards club today and get free shipping on "
+           "your first three orders plus a welcome gift card"]
+    rows = ([(i, t) for i, t in enumerate(med, start=1)]
+            + [(10 + i, t) for i, t in enumerate(web)]
+            + [(30, "tiny"), (31, "spam " * 40)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "dose patient trial symptom therapy clinical doctor")],
+        "doc_id long, text string")
+
+    corpus, audit = prepare_training_corpus(
+        docs, dsir=(target, 4), min_tokens=3,
+        max_repetition_ratio=0.5, cache=False)
+    got = {r.doc_id: r for r in audit.collect()}
+    # earlier stages keep their cheaper reason and never score
+    assert got[30].drop_reason == "too_short"
+    assert got[31].drop_reason == "repetitive"
+    assert got[30].dsir_logweight is None
+    assert got[31].dsir_logweight is None
+    # pool = the 10 survivors; exactly 4 kept, 6 dsir_resampled
+    pool_ids = set(range(1, 3)) | set(range(10, 18))
+    assert all(got[i].dsir_logweight is not None for i in pool_ids)
+    kept = {i for i in pool_ids if got[i].drop_reason is None}
+    dropped = {i for i in pool_ids
+               if got[i].drop_reason == "dsir_resampled"}
+    assert len(kept) == 4 and len(dropped) == 6
+    assert kept | dropped == pool_ids
+    # target-domain docs score higher and dominate the sample
+    assert min(got[1].dsir_logweight, got[2].dsir_logweight) > \
+        max(got[i].dsir_logweight for i in range(10, 18))
+    assert {1, 2} <= kept
+    assert {r.doc_id for r in corpus.collect()} == kept
+    # attrition accounting: every doc exactly one bucket
+    rep = {r.stage: r.n_docs for r in attrition_report(audit).collect()}
+    assert rep["kept"] == 4 and rep["dsir_resampled"] == 6
+    assert sum(rep.values()) == len(rows)
+
+    # deterministic across reruns; fractional n = ceil(frac * pool)
+    c2, _ = prepare_training_corpus(
+        docs, dsir=(target, 4), min_tokens=3,
+        max_repetition_ratio=0.5, cache=False)
+    assert {r.doc_id for r in c2.collect()} == kept
+    c3, a3 = prepare_training_corpus(
+        docs, dsir=(target, 0.5), min_tokens=3,
+        max_repetition_ratio=0.5, cache=False)
+    assert c3.count() == 5  # ceil(0.5 * 10)
+
+    import pytest
+    with pytest.raises(ValueError, match="fraction"):
+        prepare_training_corpus(docs, dsir=(target, 1.5), cache=False)

@@ -306,3 +306,63 @@ def test_from_frame_from_stored_catalog_table(spark, tmp_path):
     # the frame plan reads the parquet table, not a driver serialization
     plan = tbl.frame(spark)._jdf.queryExecution().executedPlan().toString()
     assert "parquet" in plan.lower()
+
+
+def test_train_kmeans_table_coarse_reuse_parity_and_skip(spark, monkeypatch):
+    """r10 (r9 verdict task 3): coarse_reuse=True (the new default)
+    hands the previous iteration's coarse level to from_frame, so the
+    sample-collect + numpy coarse retrain runs ONCE per training, not
+    once per iteration — and probe-everything results are bit-identical
+    with reuse on or off (probe_all is exact for any coarse level)."""
+    import apsviz_timeseriesdb_ingest_spark.llm.similarity as sim
+
+    # overlapping blobs with k != k_blobs so Lloyd's keeps moving for
+    # several iterations (an early tol-stop would make the per-
+    # iteration claim vacuous — iteration count is measured, below)
+    df = _vectors(spark, n=120, dim=8, k_blobs=10, with_zero=False)
+    k = 6
+
+    real_cc = sim._cluster_centroids
+    real_ff = sim.CentroidTable.from_frame.__func__
+    calls = {"cc": 0, "ff": 0}
+
+    def counting_cc(*a, **kw):
+        calls["cc"] += 1
+        return real_cc(*a, **kw)
+
+    def counting_ff(*a, **kw):
+        calls["ff"] += 1
+        return real_ff(*a, **kw)
+
+    monkeypatch.setattr(sim, "_cluster_centroids", counting_cc)
+    monkeypatch.setattr(sim.CentroidTable, "from_frame",
+                        classmethod(counting_ff))
+    reused = train_kmeans_table(df, k=k, iters=3, probe_all=True)
+    rm = {r.cid: list(r.cvec) for r in reused.collect()}
+    n_cc_reused, iters_run = calls["cc"], calls["ff"]
+
+    calls["cc"] = calls["ff"] = 0
+    fresh = train_kmeans_table(df, k=k, iters=3, probe_all=True,
+                               coarse_reuse=False)
+    fm = {r.cid: list(r.cvec) for r in fresh.collect()}
+    n_cc_fresh, iters_fresh = calls["cc"], calls["ff"]
+
+    assert rm == fm                     # bit-identical centroids
+    assert iters_run == iters_fresh >= 2  # same (multi-)iteration count
+    assert n_cc_reused == 1             # coarse trained ONCE
+    assert n_cc_fresh == iters_fresh    # r9 behavior: once per iteration
+
+
+def test_from_frame_coarse_param_skips_training_and_stays_exact(spark):
+    """from_frame(coarse=...) reuses a caller-supplied coarse level:
+    no sample collect, no numpy training, and probe-everything still
+    reproduces the flat literal argmin bit-for-bit."""
+    df = _vectors(spark)
+    cents = train_kmeans(df, k=12, iters=3, two_level_from=None)
+    v = _v(df)
+    base = CentroidTable.from_frame(_cent_frame(spark, cents),
+                                    nprobe=10**6)
+    handed = CentroidTable.from_frame(_cent_frame(spark, cents),
+                                      nprobe=10**6, coarse=base.coarse)
+    assert handed.coarse == base.coarse
+    assert _assign_map(handed, v) == _assign_map(base, v)
