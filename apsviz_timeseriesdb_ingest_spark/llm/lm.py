@@ -516,10 +516,14 @@ def dsir_select(df: DataFrame, weights: DataFrame, n: int, *,
     100 TB regime n is billions of rows — nothing here may funnel n
     rows through one task or the driver, r9 verdict weak #1):
 
-    1. THRESHOLD bracket: ``approxQuantile`` (rank error ≤ ``rel_err``)
-       brackets the n-th largest key in ``(t_lo, t_hi]``; exact counts
-       verify the bracket and widen it on the (tie-degenerate) miss.
+    1. THRESHOLD bracket: one ``percentile_approx`` aggregate (rank
+       error ≤ ``rel_err``) brackets the n-th largest key in
+       ``(t_lo, t_hi]``; one conditional aggregate verifies the
+       bracket exactly and widens it on the (tie-degenerate) miss.
        Everything above ``t_hi`` is selected by a plain filter.
+       Thresholds only steer where the exact boundary gets resolved —
+       the SELECTED SET is threshold-independent, so sketch
+       nondeterminism cannot change the result.
     2. BOUNDARY band: the ~``2·rel_err·m`` rows inside the bracket are
        globally enumerated by (key desc, id asc) with the repo's
        two-phase bucket pass (key-quantized range buckets — monotone,
@@ -546,15 +550,32 @@ def dsir_select(df: DataFrame, weights: DataFrame, n: int, *,
                        id_col, "left_semi")
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        m = keyed.count()
+        m = keyed.count()  # also materializes the persist
         if m <= n:
             return df.join(keyed.select(id_col), id_col, "left_semi")
         eps = float(rel_err)
         p = 1.0 - float(n) / float(m)
-        t_lo, t_hi = keyed.approxQuantile(
-            "__key", [max(0.0, p - 2.0 * eps), min(1.0, p + 2.0 * eps)],
-            eps)
-        c_hi = keyed.filter(F.col("__key") > F.lit(t_hi)).count()
+        # percentile_approx in ONE agg job (rank error ≤ 1/accuracy —
+        # the Greenwald-Khanna guarantee approxQuantile exposes);
+        # thresholds only steer WHERE the exact boundary is resolved,
+        # never what is selected, so the sketch choice is free
+        acc = max(100, int(round(1.0 / eps)))
+        qs = keyed.agg(F.percentile_approx(
+            "__key", F.array(F.lit(max(0.0, p - 2.0 * eps)),
+                             F.lit(min(1.0, p + 2.0 * eps))),
+            F.lit(acc)).alias("q")).first()["q"]
+        t_lo, t_hi = float(qs[0]), float(qs[1])
+        in_band = (F.col("__key") <= F.lit(t_hi)) & (F.col("__key")
+                                                     > F.lit(t_lo))
+        # bracket verification + band extent in ONE conditional agg
+        ext = keyed.agg(
+            F.count(F.when(F.col("__key") > F.lit(t_hi), 1))
+            .alias("c_hi"),
+            F.count(F.when(in_band, 1)).alias("band_n"),
+            F.min(F.when(in_band, F.col("__key"))).alias("lo"),
+            F.max(F.when(in_band, F.col("__key"))).alias("hi")).first()
+        c_hi = int(ext["c_hi"])
+        kmin, kmax, band_n = ext["lo"], ext["hi"], int(ext["band_n"])
         if c_hi > n:  # quantile guarantee missed (mass ties) — no sure set
             t_hi, c_hi = float("inf"), 0
         definite = keyed.filter(F.col("__key") > F.lit(t_hi))
@@ -563,15 +584,21 @@ def dsir_select(df: DataFrame, weights: DataFrame, n: int, *,
             return df.join(definite.select(id_col), id_col, "left_semi")
         band = keyed.filter((F.col("__key") <= F.lit(t_hi))
                             & (F.col("__key") > F.lit(t_lo)))
-        if band.count() < r:  # n-th key at/below t_lo — widen the floor
+        if c_hi == 0 and t_hi == float("inf"):
+            # fallback: no sure set — enumerate everything ≤ +inf
+            band = keyed
+            ext = band.agg(F.min("__key").alias("lo"),
+                           F.max("__key").alias("hi")).first()
+            kmin, kmax = ext["lo"], ext["hi"]
+        elif band_n < r:  # n-th key at/below t_lo — widen the floor
             band = keyed.filter(F.col("__key") <= F.lit(t_hi))
+            ext = band.agg(F.min("__key").alias("lo"),
+                           F.max("__key").alias("hi")).first()
+            kmin, kmax = ext["lo"], ext["hi"]
         # two-phase global enumeration of the band by (key desc, id):
         # quantized key-range buckets are monotone non-increasing in the
         # key, so per-bucket row_number + driver-summed offsets is the
         # exact global rank (the shuffle_rank shape, text.py:603)
-        ext = band.agg(F.min("__key").alias("lo"),
-                       F.max("__key").alias("hi")).first()
-        kmin, kmax = ext["lo"], ext["hi"]
         nb = int(band_buckets)
         # span floors at 1.0 so an all-tie band evaluates to bucket 0
         # through the SAME key-dependent expression — a literal bucket

@@ -1359,16 +1359,13 @@ def llm_domain_matches(spark, sf_dir):
 _DSIR_BUCKETS = 512
 
 
-def _dsir_sql() -> str:
-    """Oracle for the DSIR importance log-weights: the identical hashed
-    uni+bigram bucket counts (md5 portable hash, same space-joined
-    bigram strings), identical add-1 smoothing, and — the iterative
-    parity rule — per-gram contributions rounded to 9 dp and summed as
-    DECIMAL(38,12) so serial and distributed sums agree bit-for-bit."""
+def _dsir_weights_cte() -> str:
+    """The shared DSIR weights pipeline as a WITH-clause body — used by
+    both the weights oracle and the selection oracle."""
     b = _DSIR_BUCKETS
     h = _md5int_sql("gram")
     return f"""
-    WITH tk AS (SELECT doc_id, source, {SQL_TOKS} AS ts FROM documents),
+    tk AS (SELECT doc_id, source, {SQL_TOKS} AS ts FROM documents),
     grams AS (
       SELECT doc_id, source, unnest(ts) AS gram FROM tk
       UNION ALL
@@ -1392,10 +1389,51 @@ def _dsir_sql() -> str:
                CROSS JOIN nt CROSS JOIN nr),
     agg AS (SELECT doc_id, count(w)::BIGINT AS n_grams, sum(w) AS lw
             FROM scored GROUP BY doc_id)
+    """
+
+
+def _dsir_sql() -> str:
+    """Oracle for the DSIR importance log-weights: the identical hashed
+    uni+bigram bucket counts (md5 portable hash, same space-joined
+    bigram strings), identical add-1 smoothing, and — the iterative
+    parity rule — per-gram contributions rounded to 9 dp and summed as
+    DECIMAL(38,12) so serial and distributed sums agree bit-for-bit."""
+    return f"""
+    WITH {_dsir_weights_cte()}
     SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
            round(CAST(a.lw AS DOUBLE), 6) AS logweight
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN agg a USING (doc_id)
+    """
+
+
+#: selection size for the displaced dsir_select oracle (sf0.01
+#: documents has 500 rows; 150 exercises a real boundary)
+_DSIR_SELECT_N = 150
+
+
+def _dsir_select_sql() -> str:
+    """Oracle for the DSIR resampling step: the same Gumbel key Spark
+    computes — ``logweight/T + (-ln(-ln(u)))`` with
+    ``u = (md5int('dsir-v1|' || id)::DOUBLE + 1.0) / (2^60 + 2)`` —
+    op-order mirrored EXACTLY (the hash is cast to double BEFORE the
+    +1, which is then absorbed: hashes exceed 2^53, so integer-first
+    addition would differ by an ulp on some ids), then the top-n by
+    (key desc, id). Boundary gaps are ~1e-3 at this scale, orders of
+    magnitude above any libm ln() last-bit divergence."""
+    h_id = _md5int_sql("'dsir-v1|' || doc_id::VARCHAR")
+    div = repr(float((1 << 60) + 2))
+    return f"""
+    WITH {_dsir_weights_cte()},
+    w AS (SELECT d.doc_id, round(CAST(a.lw AS DOUBLE), 6) AS logweight
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN agg a USING (doc_id)),
+    keyed AS (SELECT doc_id,
+                     (logweight / 1.0)
+                     + (-ln(-ln((({h_id})::DOUBLE + 1.0) / {div}))) AS k
+              FROM w WHERE logweight IS NOT NULL)
+    SELECT doc_id FROM keyed
+    QUALIFY row_number() OVER (ORDER BY k DESC, doc_id) <= {_DSIR_SELECT_N}
     """
 
 
@@ -1418,3 +1456,24 @@ def llm_dsir_weights(spark, sf_dir):
     t = train_hashed_ngram_dist(target, buckets=_DSIR_BUCKETS)
     raw = train_hashed_ngram_dist(docs, buckets=_DSIR_BUCKETS)
     return dsir_importance_weights(docs, t, raw)
+
+
+@query("llm_dsir_select", gate=False, sql=_dsir_select_sql())
+def llm_dsir_select(spark, sf_dir):
+    """The DSIR RESAMPLING step (``llm/lm.py dsir_select``, r10
+    scale-safe form — quantile-bracketed threshold + exact boundary
+    band + semi-joined winners, no single-task top-n, no n-row
+    broadcast): keep the top ``_DSIR_SELECT_N`` documents by
+    deterministic Gumbel-perturbed importance weight. The oracle
+    recomputes the identical key serially and takes the same top-n —
+    proving the distributed threshold/band machinery selects EXACTLY
+    the global ordered limit's set."""
+    from ..llm.lm import (dsir_importance_weights, dsir_select,
+                          train_hashed_ngram_dist)
+
+    docs = tables(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    t = train_hashed_ngram_dist(target, buckets=_DSIR_BUCKETS)
+    raw = train_hashed_ngram_dist(docs, buckets=_DSIR_BUCKETS)
+    w = dsir_importance_weights(docs, t, raw)
+    return dsir_select(docs.select("doc_id"), w, _DSIR_SELECT_N)
