@@ -185,7 +185,8 @@ def build_ivfpq_index(vectors: DataFrame, centroids: list[list[float]],
 
 def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
                queries: list[tuple[int, list[float]]],
-               centroids: list[list[float]], *, nprobe: int = 2,
+               centroids: "list[list[float]] | None" = None, *,
+               nprobe: int = 2,
                top_k: int = 3, id_col: str = "vec_id",
                cell_col: str = "centroid_id",
                rerank: DataFrame | None = None,
@@ -193,7 +194,8 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
                shortlist: int = 50,
                residual: bool = False,
                group_col: str | None = None,
-               groups: int | None = None) -> DataFrame:
+               groups: int | None = None,
+               centroid_index=None) -> DataFrame:
     """Top-k per query over the IVFPQ index, reading ONLY nprobe cells.
 
     Stages: (1) driver-side ``probe_cells_for`` picks each query's
@@ -225,16 +227,36 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
     (:func:`similarity.read_ann_layout`) and the geometry is derived
     from the pin — caller-supplied ``groups``/``group_col`` must match
     it or the probe raises, same contract as ``ivf_probe``.
-    """
-    from .similarity import _open_pinned_layout, cell_groups_for
 
+    ``centroid_index=`` (a :class:`similarity.CentroidIndex` /
+    :class:`similarity.CentroidTable`) replaces the driver-held
+    ``centroids`` list (r10): the query batch probes the index
+    (bounded ≤|batch|·nprobe collect) and, for ``residual=True``, the
+    probed cells' centroid vectors come from the index's own state —
+    a bounded filtered collect on the table rung, so residual ADC
+    works at table-resident k too.
+    """
+    from .similarity import (_centroid_vec_lookup, _open_pinned_layout,
+                             _probe_cells_via_index, cell_groups_for)
+
+    if centroid_index is not None:
+        k_cent = int(centroid_index.k)
+    elif centroids is not None:
+        k_cent = len(centroids)
+    else:
+        raise ValueError("ivfpq_topk needs centroids= (driver list) or "
+                         "centroid_index= (CentroidIndex/CentroidTable)")
     if isinstance(index, tuple):
         index, groups, group_col = _open_pinned_layout(
-            index, len(centroids), groups, group_col)
+            index, k_cent, groups, group_col)
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     spark = index.sparkSession
-    cells = probe_cells_for(queries, centroids, nprobe=nprobe)
+    if centroid_index is not None:
+        cells = _probe_cells_via_index(spark, centroid_index, queries,
+                                       nprobe)
+    else:
+        cells = probe_cells_for(queries, centroids, nprobe=nprobe)
     all_cells = sorted({c for cs in cells.values() for c in cs})
     if group_col is not None:
         if not groups:
@@ -247,7 +269,7 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
                 f"build_ivfpq_index(partition_groups=G); probe without "
                 f"group_col=, or rebuild the layout")
         index = index.filter(F.col(group_col).isin(
-            cell_groups_for(all_cells, len(centroids), groups)))
+            cell_groups_for(all_cells, k_cent, groups)))
 
     def lut_for(q: list[float], cent: list[float] | None) -> list[list[float]]:
         r = q if cent is None else [a - b for a, b in zip(q, cent)]
@@ -255,6 +277,9 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
                      for j in range(sub_dim))
                  for c in codebooks[s]] for s in range(m)]
 
+    cvec = (_centroid_vec_lookup(spark, centroid_index, centroids,
+                                 all_cells)
+            if residual else None)
     qrows = []
     crows = []
     for qid, q in queries:
@@ -262,7 +287,7 @@ def ivfpq_topk(index: DataFrame, codebooks: list[list[list[float]]],
         qrows.append((qid, q))
         for cid in cells[qid]:
             crows.append((qid, cid,
-                          lut_for(q, centroids[cid] if residual else None)))
+                          lut_for(q, cvec(cid) if residual else None)))
     qdf = spark.createDataFrame(qrows, "query_id long, qvec array<double>")
     qcells = spark.createDataFrame(
         crows, f"query_id long, {cell_col} int, lut array<array<double>>")

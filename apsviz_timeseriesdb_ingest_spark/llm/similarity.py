@@ -2086,11 +2086,58 @@ def probe_cells_for(queries: list[tuple[int, list[float]]],
     return out
 
 
+def _probe_cells_via_index(spark, index, queries, nprobe: int) -> dict:
+    """:func:`probe_cells_for` through a :class:`CentroidIndex` /
+    :class:`CentroidTable` — the table-resident form of the query-time
+    probe (r10): the query BATCH (small by contract) probes the
+    distributed/broadcast centroid state and only the ≤|batch|·nprobe
+    ``(query_id, cells)`` pairs return to the driver for the literal
+    partition filter. No k-sized centroid list ever exists
+    driver-side, so query serving works at the same k the
+    table-resident trainer produces. Zero-norm queries pin to cells
+    [0..nprobe-1] on every path (the class contract)."""
+    qdf = (spark.createDataFrame(
+        [(int(qid), [float(x) for x in q]) for qid, q in queries],
+        "query_id long, __vec array<double>")
+        .withColumn("__nrm", _norm(F.col("__vec"))))
+    if isinstance(index, CentroidTable):
+        probed = index.probe_and_assign(
+            qdf, id_col="query_id", vec_col="__vec", nrm_col="__nrm",
+            nprobe=nprobe, cell_col="__cell", probes_col="__probes")
+    else:
+        probed = (qdf.crossJoin(F.broadcast(index.frame(spark)))
+                  .withColumn("__probes", probe_cells_expr_indexed(
+                      index, F.col("__vec"), F.col("__nrm"),
+                      nprobe=nprobe)))
+    return {int(r["query_id"]): [int(c) for c in r["__probes"]]
+            for r in probed.select("query_id", "__probes").collect()}
+
+
+def _centroid_vec_lookup(spark, index, centroids, cells: list):
+    """Centroid VECTORS for the probed cells only — the residual-LUT
+    fetch that works without a driver-held k-sized list: the literal
+    list when given, else the index's own list (both driver-held
+    rungs keep one), else a bounded filtered collect of the probed
+    cells from the table rung's frame (≤|batch|·nprobe rows)."""
+    if centroids is not None:
+        return lambda c: centroids[c]
+    held = getattr(index, "centroids", None)
+    if held is not None:
+        return lambda c: held[c]
+    fetched = {int(r["__cid"]): [float(x) for x in r["__cvec"]]
+               for r in index.frame(spark)
+               .filter(F.col("__cid").isin([int(c) for c in cells]))
+               .select("__cid", "__cvec").collect()}
+    return lambda c: fetched[c]
+
+
 def ivf_probe(corpus: DataFrame, queries: list[tuple[int, list[float]]],
-              centroids: list[list[float]], *, nprobe: int = 2,
+              centroids: "list[list[float]] | None" = None, *,
+              nprobe: int = 2,
               top_k: int = 3, id_col: str = "vec_id",
               vec_col: str = "embedding", cell_col: str = "centroid_id",
               group_col: str | None = None, groups: int | None = None,
+              index: "CentroidIndex | CentroidTable | None" = None,
               ) -> DataFrame:
     """Top-k cosine neighbors per query, reading ONLY nprobe IVF cells.
 
@@ -2122,13 +2169,33 @@ def ivf_probe(corpus: DataFrame, queries: list[tuple[int, list[float]]],
     ``group_col``/``groups`` are derived (caller-supplied values must
     match the pin or the probe raises), so a probe cannot silently
     prune the wrong directories on drifted config.
+
+    ``index=`` (a :class:`CentroidIndex` or :class:`CentroidTable`)
+    replaces the driver-held ``centroids`` list for the query probe
+    (r10): the query batch probes the index and only its
+    ≤|batch|·nprobe cells return to the driver — query serving at
+    table-resident k, where no one can pass the list. Probe-everything
+    indexes reproduce :func:`probe_cells_for` exactly;
+    approximate-probe indexes follow the index's own coarse pruning
+    (identical results whenever the true nprobe cells are probed).
     """
     from pyspark.sql import Window
 
+    if index is not None:
+        k_cent = int(index.k)
+    elif centroids is not None:
+        k_cent = len(centroids)
+    else:
+        raise ValueError("ivf_probe needs centroids= (driver list) or "
+                         "index= (CentroidIndex/CentroidTable)")
     if isinstance(corpus, tuple):
         corpus, groups, group_col = _open_pinned_layout(
-            corpus, len(centroids), groups, group_col)
-    cells = probe_cells_for(queries, centroids, nprobe=nprobe)
+            corpus, k_cent, groups, group_col)
+    if index is not None:
+        cells = _probe_cells_via_index(corpus.sparkSession, index,
+                                       queries, nprobe)
+    else:
+        cells = probe_cells_for(queries, centroids, nprobe=nprobe)
     all_cells = sorted({c for cs in cells.values() for c in cs})
     if group_col is not None:
         if not groups:
@@ -2144,7 +2211,7 @@ def ivf_probe(corpus: DataFrame, queries: list[tuple[int, list[float]]],
                 f"'{{table}}_layout' sidecar — see "
                 f"check_or_record_ann_layout)")
         corpus = corpus.filter(F.col(group_col).isin(
-            cell_groups_for(all_cells, len(centroids), groups)))
+            cell_groups_for(all_cells, k_cent, groups)))
     spark = corpus.sparkSession
     qcells = spark.createDataFrame(
         [(qid, vec, cs) for (qid, vec), cs in

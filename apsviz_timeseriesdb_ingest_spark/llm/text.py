@@ -553,14 +553,35 @@ def tf_idf_top_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             .select(F.col("doc").alias(id_col), "token", "tfidf", "rnk"))
 
 
-#: hash-range buckets for the distributed total-order enumeration below.
-#: md5_hash64 yields 60-bit keys, so the top 6 bits give 64 uniform buckets.
+#: minimum hash-range buckets for the distributed total-order
+#: enumeration below; md5_hash64 yields 60-bit keys, so the top b bits
+#: give 2^b uniform buckets.
 N_ORDER_BUCKETS = 64
-_ORDER_BUCKET_SHIFT = 60 - 6
+#: literal-offset-map comfort ceiling (2 literals per bucket in one
+#: create_map — the same plan-size bound from_frame's remap uses)
+_MAX_ORDER_BUCKETS = 1024
+
+
+def _order_bucket_bits(df: DataFrame, order_buckets: int | None) -> int:
+    """Bucket-count policy for the two-phase enumeration: the global
+    order is bucket-count-INDEPENDENT (top key bits only split the
+    already-ordered range), so this is purely a parallelism knob —
+    default scales with the cluster (8 windows per slot) between
+    ``N_ORDER_BUCKETS`` and ``_MAX_ORDER_BUCKETS``; a fixed 64 capped
+    corpus-wide enumeration at 64-way parallelism (r10 — at 10^10
+    rows that is the slowest stage in the pack/shuffle path). Beyond
+    the literal-map ceiling, raise ``order_buckets`` explicitly and
+    accept the bigger plan, or pre-shard the corpus."""
+    if order_buckets is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        order_buckets = min(_MAX_ORDER_BUCKETS,
+                            max(N_ORDER_BUCKETS, par * 8))
+    return max(1, int(order_buckets) - 1).bit_length()
 
 
 def _with_global_positions(df: DataFrame, id_col: str, seed: str,
-                           weight: Column | None = None) -> DataFrame:
+                           weight: Column | None = None,
+                           order_buckets: int | None = None) -> DataFrame:
     """Distributed enumeration of the deterministic (hash-key, id) total
     order — the scale-safe replacement for a partition-less
     ``Window.orderBy`` (which funnels the whole corpus through ONE task;
@@ -569,14 +590,17 @@ def _with_global_positions(df: DataFrame, id_col: str, seed: str,
     Two-phase: rows hash-range-bucket on the top bits of the order key
     (uniform by construction, no sampling), a per-bucket window numbers
     rows within each bucket in parallel, and per-bucket offsets come from
-    one tiny count/sum job (<= 64 rows collected). Adds ``shuffle_pos``
-    and, when a ``weight`` expression is given, ``__run`` = global
-    running weight total over the same order.
+    one tiny count/sum job (<= 2^bits rows collected). Adds
+    ``shuffle_pos`` and, when a ``weight`` expression is given,
+    ``__run`` = global running weight total over the same order.
+    ``shuffle_pos``/``__run`` are IDENTICAL at any bucket count (the
+    buckets split one fixed total order), pytest-pinned.
     """
     from pyspark.sql import Window
 
+    bits = _order_bucket_bits(df, order_buckets)
     base = (df.withColumn("__key", md5_hash64(F.col(id_col).cast("string"), seed=seed))
-            .withColumn("__bkt", F.shiftright(F.col("__key"), _ORDER_BUCKET_SHIFT)
+            .withColumn("__bkt", F.shiftright(F.col("__key"), 60 - bits)
                         .cast("int")))
     aggs = [F.count("*").alias("cnt")]
     if weight is not None:
@@ -613,17 +637,24 @@ def _with_global_positions(df: DataFrame, id_col: str, seed: str,
 
 
 def shuffle_rank(df: DataFrame, *, id_col: str = "doc_id",
-                 seed: str = "shuffle-v1") -> DataFrame:
+                 seed: str = "shuffle-v1",
+                 order_buckets: int | None = None) -> DataFrame:
     """Deterministic dataset shuffle: a stable pseudo-random total order
     from the id hash. Same seed → same order on any engine/cluster —
     the reproducible replacement for rand()-based shuffles. Enumerated
-    with the bucketed two-phase pass (no single-task global sort)."""
-    return _with_global_positions(df, id_col, seed).select(id_col, "shuffle_pos")
+    with the bucketed two-phase pass (no single-task global sort);
+    ``order_buckets`` tunes only the enumeration parallelism (the
+    positions are bucket-count-independent, see
+    :func:`_order_bucket_bits`)."""
+    return _with_global_positions(df, id_col, seed,
+                                  order_buckets=order_buckets) \
+        .select(id_col, "shuffle_pos")
 
 
 def pack_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    *, target_chars: int = 2048, seed: str = "shuffle-v1",
                    weight_col: str | None = None,
+                   order_buckets: int | None = None,
                    ) -> DataFrame:
     """Greedy sequence packing: walk docs in the deterministic shuffle
     order and cut a new pack whenever the running weight total crosses
@@ -643,7 +674,8 @@ def pack_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         weight, measured = F.length(text_col), "n_chars_measured"
     else:
         weight, measured = F.col(weight_col), "n_weight_measured"
-    out = _with_global_positions(df, id_col, seed, weight=weight)
+    out = _with_global_positions(df, id_col, seed, weight=weight,
+                                 order_buckets=order_buckets)
     return out.select(
         id_col, F.col("__wt").alias(measured), "shuffle_pos",
         F.floor((F.col("__run") - 1) / target_chars).cast("int").alias("pack_id"),

@@ -267,3 +267,49 @@ def test_probe_catalog_table_overload(spark, sf_small, tmp_path):
     with pytest.raises(ValueError, match="authoritative"):
         ivf_probe((catalog, "ann_flat"), qrows, cents, nprobe=3,
                   top_k=5, group_col="cell_group", groups=3)
+
+
+def test_ivf_probe_via_index_no_driver_centroid_list(spark, sf_small,
+                                                     tmp_path):
+    """r10: ivf_probe(index=) probes the query batch through the
+    centroid state instead of a driver-held k-sized list — identical
+    neighbors at probe-everything (CentroidTable and CentroidIndex),
+    including the zero-norm query pin; missing both sources raises."""
+    import pytest
+
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        CentroidIndex,
+        CentroidTable,
+        ivf_probe,
+        kmeans_assign,
+        train_kmeans,
+    )
+
+    vecs = load_table(spark, sf_small, "embeddings")
+    cents = train_kmeans(vecs, k=8, iters=4)
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    layout = vecs.join(kmeans_assign(vecs, cents), "vec_id")
+    write_ann_layout(catalog, layout, "ann", k=8)
+    corpus = catalog.read("ann")
+
+    qrows = [(r.vec_id, [float(x) for x in r.embedding])
+             for r in vecs.orderBy("vec_id").limit(6).collect()]
+    qrows.append((999000, [0.0] * 64))  # zero-norm probe pin
+    lit = sorted(map(tuple, ivf_probe(
+        corpus, qrows, cents, nprobe=3, top_k=5).collect()))
+    tbl = CentroidTable(cents, nprobe=10**6)
+    via_tbl = sorted(map(tuple, ivf_probe(
+        corpus, qrows, index=tbl, nprobe=3, top_k=5).collect()))
+    idx = CentroidIndex(cents, nprobe=10**6)
+    via_idx = sorted(map(tuple, ivf_probe(
+        corpus, qrows, index=idx, nprobe=3, top_k=5).collect()))
+    assert via_tbl == lit and via_idx == lit
+
+    # the (catalog, table) pin composes with index= (k from index.k)
+    via_pin = sorted(map(tuple, ivf_probe(
+        (catalog, "ann"), qrows, index=tbl, nprobe=3, top_k=5)
+        .collect()))
+    assert via_pin == lit
+
+    with pytest.raises(ValueError, match="centroids= .* or"):
+        ivf_probe(corpus, qrows, nprobe=3, top_k=5)

@@ -382,3 +382,41 @@ def test_canonical_url_properties(spark):
     got = [r.c for r in pair.select(canonical_url("url").alias("c"))
            .collect()]
     assert got[0] == got[1]
+
+
+def test_order_buckets_invariance_and_adaptive_default(spark):
+    """r10: the two-phase enumeration's bucket count is a parallelism
+    knob ONLY — shuffle_pos / pack_id / running totals are identical
+    at any order_buckets (the top key bits split one fixed total
+    order), and the default scales with the cluster instead of the
+    old fixed 64 (which capped a 10^10-row enumeration at 64-way
+    parallelism)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.text import (
+        _MAX_ORDER_BUCKETS,
+        N_ORDER_BUCKETS,
+        _order_bucket_bits,
+        shuffle_rank,
+    )
+
+    rows = [(i, "x" * (7 * (i % 13) + 1), 2 * i) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tok int")
+    base = {(r.doc_id, r.shuffle_pos)
+            for r in shuffle_rank(df, order_buckets=64).collect()}
+    for ob in (1, 16, 1024):
+        got = {(r.doc_id, r.shuffle_pos)
+               for r in shuffle_rank(df, order_buckets=ob).collect()}
+        assert got == base, ob
+    p64 = {(r.doc_id, r.pack_id, r.shuffle_pos) for r in pack_documents(
+        df, weight_col="n_tok", target_chars=40,
+        order_buckets=64).collect()}
+    p1k = {(r.doc_id, r.pack_id, r.shuffle_pos) for r in pack_documents(
+        df, weight_col="n_tok", target_chars=40,
+        order_buckets=1024).collect()}
+    assert p64 == p1k
+
+    # adaptive default: 8 windows per slot, floored at the old 64,
+    # capped at the literal-map ceiling
+    par = spark.sparkContext.defaultParallelism
+    bits = _order_bucket_bits(df, None)
+    want = min(_MAX_ORDER_BUCKETS, max(N_ORDER_BUCKETS, par * 8))
+    assert 2 ** bits >= want and 2 ** (bits - 1) < 2 * want

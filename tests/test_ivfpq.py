@@ -304,3 +304,46 @@ def test_ivfpq_catalog_table_overload(spark, trained, tmp_path):
     with pytest.raises(ValueError, match="authoritative"):
         ivfpq_topk((catalog, "grouped"), books, queries, cents,
                    nprobe=3, top_k=5, groups=G + 1)
+
+
+def test_ivfpq_topk_via_centroid_index(spark, trained, trained_residual,
+                                       tmp_path):
+    """r10: ivfpq_topk(centroid_index=) — query probe AND the residual
+    LUT centroids come from the index state (bounded fetch of the
+    probed cells from a from_frame table), never a driver-held k-sized
+    list; results identical to the literal path for raw and residual
+    encodings."""
+    from apsviz_timeseriesdb_ingest_spark.llm.similarity import (
+        CentroidTable,
+    )
+
+    vecs, cents, books = trained
+    books_res = trained_residual
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    write_ann_layout(catalog, build_ivfpq_index(vecs, cents, books),
+                     "raw", k=K)
+    write_ann_layout(catalog,
+                     build_ivfpq_index(vecs, cents, books_res,
+                                       residual=True), "res", k=K)
+    queries = [(r.vec_id, list(r.embedding))
+               for r in vecs.filter(F.col("vec_id") < 5).collect()]
+
+    # from_frame table: holds NO driver-side centroid list at all
+    cent_frame = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>")
+    tbl = CentroidTable.from_frame(cent_frame, nprobe=10**6)
+    assert tbl.centroids is None
+
+    for table, bk, res in (("raw", books, False), ("res", books_res, True)):
+        lit = sorted(map(tuple, ivfpq_topk(
+            catalog.read(table), bk, queries, cents, nprobe=3, top_k=5,
+            residual=res).collect()))
+        via = sorted(map(tuple, ivfpq_topk(
+            catalog.read(table), bk, queries, nprobe=3, top_k=5,
+            residual=res, centroid_index=tbl).collect()))
+        assert via == lit, table
+    tbl.unpersist()
+
+    import pytest
+    with pytest.raises(ValueError, match="centroids= .* or"):
+        ivfpq_topk(catalog.read("raw"), books, queries, nprobe=3)

@@ -541,3 +541,32 @@ def test_pipeline_dsir_stage(spark):
     import pytest
     with pytest.raises(ValueError, match="fraction"):
         prepare_training_corpus(docs, dsir=(target, 1.5), cache=False)
+
+
+def test_pipeline_dsir_checkpoint_tables(spark, tmp_path):
+    """r10: the DSIR stage's reused frames (pool, shared gram stream,
+    weights) follow the catalog checkpoint policy like every other
+    intermediate, with identical results to the pure-lazy run."""
+    from apsviz_timeseriesdb_ingest_spark.sources.catalog import Catalog
+
+    rows = [(1, "dose patient trial symptom therapy clinical care now"),
+            (2, "click here buy now free offer deal shop coupon email"),
+            (3, "the train to the city leaves at noon and waits there"),
+            (4, "she reads a book about the sea and the sailing ships"),
+            (5, "the garden is full of roses and bees visit every day")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "dose patient trial symptom therapy clinical")],
+        "doc_id long, text string")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    a_corpus, a_audit = prepare_training_corpus(
+        docs, dsir=(target, 2), min_tokens=3, cache=False)
+    b_corpus, b_audit = prepare_training_corpus(
+        docs, dsir=(target, 2), min_tokens=3, cache=False, catalog=cat)
+    assert sorted(map(tuple, a_corpus.collect())) == \
+        sorted(map(tuple, b_corpus.collect()))
+    assert sorted(map(tuple, a_audit.collect())) == \
+        sorted(map(tuple, b_audit.collect()))
+    for t in ["corpus_prep_dsir_pool", "corpus_prep_dsir_grams",
+              "corpus_prep_dsir_weights"]:
+        assert cat.exists(t)
