@@ -566,16 +566,21 @@ def _order_bucket_bits(df: DataFrame, order_buckets: int | None) -> int:
     """Bucket-count policy for the two-phase enumeration: the global
     order is bucket-count-INDEPENDENT (top key bits only split the
     already-ordered range), so this is purely a parallelism knob —
-    default scales with the cluster (8 windows per slot) between
+    default scales with the cluster (2 windows per slot) between
     ``N_ORDER_BUCKETS`` and ``_MAX_ORDER_BUCKETS``; a fixed 64 capped
     corpus-wide enumeration at 64-way parallelism (r10 — at 10^10
     rows that is the slowest stage in the pack/shuffle path). Beyond
     the literal-map ceiling, raise ``order_buckets`` explicitly and
     accept the bigger plan, or pre-shard the corpus."""
     if order_buckets is None:
+        # 2 windows per slot: local[32] stays at the r9-measured 64
+        # (more buckets measurably cost ~0.5 s of literal-map overhead
+        # per query at sf0.1 with zero local benefit), while a
+        # 1000-executor cluster (parallelism in the thousands) gets
+        # the 1024 cap automatically
         par = df.sparkSession.sparkContext.defaultParallelism
         order_buckets = min(_MAX_ORDER_BUCKETS,
-                            max(N_ORDER_BUCKETS, par * 8))
+                            max(N_ORDER_BUCKETS, par * 2))
     return max(1, int(order_buckets) - 1).bit_length()
 
 

@@ -414,9 +414,9 @@ def test_order_buckets_invariance_and_adaptive_default(spark):
         order_buckets=1024).collect()}
     assert p64 == p1k
 
-    # adaptive default: 8 windows per slot, floored at the old 64,
+    # adaptive default: 2 windows per slot, floored at the old 64,
     # capped at the literal-map ceiling
     par = spark.sparkContext.defaultParallelism
     bits = _order_bucket_bits(df, None)
-    want = min(_MAX_ORDER_BUCKETS, max(N_ORDER_BUCKETS, par * 8))
+    want = min(_MAX_ORDER_BUCKETS, max(N_ORDER_BUCKETS, par * 2))
     assert 2 ** bits >= want and 2 ** (bits - 1) < 2 * want
