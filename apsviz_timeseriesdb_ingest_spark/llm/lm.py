@@ -509,8 +509,10 @@ def dsir_select(df: DataFrame, weights: DataFrame, n: int, *,
     the md5 portable hash of (seed, id), so the selection is
     deterministic and partitioning-independent — same corpus, same
     seed, same sample on any engine or layout. NULL-weight docs (no
-    grams) are never selected. The selected set is EXACTLY the top-n
-    by (key desc, id asc) — bit-identical to a global ordered limit.
+    grams) are never selected, and non-finite weights (NaN/±inf) are
+    treated the same way (r10 — see the inline note). The selected
+    set is EXACTLY the top-n finite-weight docs by (key desc, id asc)
+    — bit-identical to a global ordered limit over that pool.
 
     Distributed shape (DSIR selects a TARGET-SIZED subset, so at the
     100 TB regime n is billions of rows — nothing here may funnel n
@@ -542,8 +544,16 @@ def dsir_select(df: DataFrame, weights: DataFrame, n: int, *,
     from pyspark.sql import Window
 
     key = _dsir_gumbel_key(id_col, temperature, seed)
-    keyed = (weights.filter(F.col("logweight").isNotNull())
-             .select(id_col, key.alias("__key")))
+    # non-finite logweights are treated like NULL (never selected):
+    # NaN compares false against every threshold, so it would silently
+    # fall out of both the definite set and the band (r9's ordered
+    # limit sorted NaN FIRST — garbage either way); ±inf breaks the
+    # band quantization (inf - inf = NaN bucket). No-evidence rows
+    # must be excluded loudly-by-contract, not by comparison accident.
+    finite = (F.col("logweight").isNotNull()
+              & ~F.isnan("logweight")
+              & (F.abs("logweight") != F.lit(float("inf"))))
+    keyed = weights.filter(finite).select(id_col, key.alias("__key"))
     n = int(n)
     if n <= 0:
         return df.join(keyed.filter(F.lit(False)).select(id_col),

@@ -556,3 +556,26 @@ def test_dsir_grams_reuse_parity(spark):
     assert (sorted(map(tuple, raw2["buckets"].collect()))
             == sorted(map(tuple, raw["buckets"].collect())))
     assert got == base
+
+
+def test_dsir_select_nonfinite_weights_never_selected(spark):
+    """r10 hardening: NaN/±inf logweights are excluded like NULL —
+    deterministically and by contract, not by NaN-comparison accident
+    (the r9 ordered limit sorted NaN FIRST; the threshold form would
+    otherwise silently drop them from both the definite set and the
+    band and under-fill n)."""
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import dsir_select
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame([(i, "t") for i in range(30)],
+                               "doc_id long, text string")
+    w = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(20)]
+        + [(20, 1, nan), (21, 1, inf), (22, 1, -inf), (23, 0, None)],
+        "doc_id long, n_grams int, logweight double")
+    got = sorted(r.doc_id for r in dsir_select(df, w, 10).collect())
+    assert len(got) == 10
+    assert not {20, 21, 22, 23} & set(got)
+    # n >= finite pool: exactly the 20 finite docs, nothing else
+    allsel = sorted(r.doc_id for r in dsir_select(df, w, 25).collect())
+    assert allsel == list(range(20))
