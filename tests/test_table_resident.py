@@ -205,10 +205,15 @@ def test_semantic_dedup_auto_table_resident_rung(spark):
     corpus = df.unionByName(dups)
     n = corpus.count()
     k = semantic_k(n, 20)
-    auto = sorted(r.vec_id for r in semantic_dedup_auto(
+    kept = semantic_dedup_auto(
         corpus, threshold=0.99, target_cell=20,
         index_from=1, index_kw={"nprobe": 10**6},
-        driver_kdim=1).collect())
+        driver_kdim=1)
+    auto = sorted(r.vec_id for r in kept.collect())
+    # r10 (r9 ADVICE): the rung's constructed table rides along so the
+    # caller can release the k x dim backing once materialized
+    assert isinstance(kept.semantic_dedup_table, CentroidTable)
+    kept.semantic_dedup_table.unpersist()
     cf = train_kmeans_table(corpus, k=k, iters=10, nprobe=10**6)
     tbl = CentroidTable.from_frame(cf, k=k, nprobe=10**6)
     hand = sorted(r.vec_id for r in semantic_dedup(
