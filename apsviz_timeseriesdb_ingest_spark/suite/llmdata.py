@@ -783,7 +783,9 @@ def llm_perplexity_ngram(spark, sf_dir):
     n_ngrams=0 / NULL scores."""
     from ..llm.lm import perplexity_ngram, train_ngram_lm
     docs = tables(spark, sf_dir, "documents")
-    lm = train_ngram_lm(docs, n=3)
+    # lazy_vocab folds the V scalar into the scoring job (r11): zero
+    # training-time driver jobs, identical scores (parity in test_lm)
+    lm = train_ngram_lm(docs, n=3, lazy_vocab=True)
     return (perplexity_ngram(docs, lm, add_k=0.1)
             .select("doc_id", "n_ngrams",
                     F.round("avg_logp", 6).alias("avg_logp"),
@@ -971,7 +973,7 @@ def llm_min_k_prob(spark, sf_dir):
     bit-identical."""
     from ..llm.lm import min_k_prob, train_ngram_lm
     docs = tables(spark, sf_dir, "documents")
-    lm = train_ngram_lm(docs, n=3)
+    lm = train_ngram_lm(docs, n=3, lazy_vocab=True)  # r11, see perplexity
     out = min_k_prob(docs, lm, k_frac=0.2, add_k=0.1)
     return out.select("doc_id",
                       F.col("n_ngrams").cast("long").alias("n_ngrams"),

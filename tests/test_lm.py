@@ -126,6 +126,27 @@ def test_trigram_perplexity_matches_duckdb(spark, sf_oracle):
     assert not problems, problems
 
 
+def test_lazy_vocab_bit_parity_and_jobless_training(spark, sf_oracle):
+    """``train_ngram_lm(lazy_vocab=True)`` (r11): the vocab scalar
+    folds into the scoring job as a broadcast 1-row aggregate —
+    perplexity AND min-k outputs are BIT-identical to the collected-int
+    form, and training itself runs zero Spark jobs."""
+    from apsviz_timeseriesdb_ingest_spark.llm.lm import (
+        min_k_prob, perplexity_ngram, train_ngram_lm)
+
+    docs = load_table(spark, sf_oracle, "documents")
+    eager = train_ngram_lm(docs, n=3)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy = train_ngram_lm(docs, n=3, lazy_vocab=True)
+    assert len(tracker.getJobIdsForGroup(None) or []) == before, \
+        "lazy_vocab training must not run driver jobs"
+    for scorer in (perplexity_ngram, min_k_prob):
+        a = sorted(map(tuple, scorer(docs, eager).collect()))
+        b = sorted(map(tuple, scorer(docs, lazy).collect()))
+        assert a == b, scorer.__name__
+
+
 def test_trigram_ranks_and_short_docs(spark):
     from apsviz_timeseriesdb_ingest_spark.llm.lm import (
         perplexity_ngram, train_ngram_lm)
@@ -341,7 +362,11 @@ def test_skew_soak_hot_grams(spark):
         p_hot = _scored_events(df, lm, text_col="text", id_col="doc_id",
                                add_k=0.1, hot_grams=20) \
             ._jdf.queryExecution().executedPlan().toString()
-        assert p_base.count("SortMergeJoin") >= 2
+        # r11: the default path is ONE context-keyed join against the
+        # folded (c_cx, token->count map) model table (the second join
+        # disappeared); the mitigation keeps the explicit two-join +
+        # scramble form with its model-sized broadcasts
+        assert p_base.count("SortMergeJoin") == 1
         assert p_hot.count("BroadcastHashJoin") >= 2
 
         # identical results through the mitigation: per-EVENT logps are
