@@ -107,12 +107,15 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
     per query (the standard unweighted-query form). Documents sharing
     no term with a query simply do not appear.
 
-    ``n_docs``/``avgdl`` are the corpus statistics the formula needs as
-    plan literals; left as None they are computed here, which costs an
-    EXTRA tokenization pass over the corpus before the scoring job.
-    Callers scoring many query batches against one corpus should
-    compute them once (``count`` plus exact integer
-    ``sum(size(tokens)) / count``) and pass them in.
+    ``n_docs``/``avgdl`` are the corpus statistics the formula needs;
+    left as None they ride the scoring job as a broadcast ONE-ROW
+    aggregate (r11 — previously a separate collected tokenization pass
+    before the scoring job; same exact-integer arithmetic, same
+    scores, zero extra driver jobs). Callers scoring many query
+    batches against one corpus should still compute them once
+    (``count`` plus exact integer ``sum(size(tokens)) / count``) and
+    pass them in — plan literals beat even the lazy aggregate when
+    reused.
 
     Reproducibility: per-term contributions are cast to DECIMAL(38, 12)
     before the per-document SUM (double addition is partition-order-
@@ -126,12 +129,19 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
     base = (docs.repartition(par, id_col)
             .select(F.col(id_col).alias("doc"), tokens(text_col).alias("__tk"))
             .select("doc", "__tk", F.size("__tk").alias("dl")))
+    stats = None
     if n_docs is None or avgdl is None:
-        stats = base.agg(F.count("*").alias("n"),
-                         F.sum("dl").alias("total")).collect()[0]
-        n_docs = stats["n"]
-        avgdl = (stats["total"] / n_docs) if n_docs else 0.0
-    if not n_docs:
+        # lazy corpus stats: a 1-row (n, avgdl) aggregate broadcast
+        # into the scoring plan — same exact-integer division (long
+        # total / long count = the same IEEE double the collected
+        # path produced), the empty corpus yields an empty result
+        # through the plan itself (no rows ever reach the division)
+        stats = base.agg(
+            F.count("*").cast("double").alias("__n"),
+            F.when(F.count("*") > 0,
+                   F.sum("dl") / F.count("*"))
+            .otherwise(F.lit(0.0)).alias("__avgdl"))
+    elif not n_docs:
         qt = queries.schema[query_id_col].dataType.simpleString()
         dt = docs.schema[id_col].dataType.simpleString()
         return (docs.sparkSession.createDataFrame(
@@ -142,6 +152,7 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     qterms = _query_terms(queries, query_id_col, query_text_col)
     return _rank_bm25(tf, dfreq, qterms, n_docs=n_docs, avgdl=avgdl,
+                      stats=stats,
                       k1=k1, b=b, min_idf=min_idf, top_k=top_k,
                       query_id_col=query_id_col, id_col=id_col)
 
@@ -155,23 +166,33 @@ def _query_terms(queries: DataFrame, query_id_col: str,
 
 
 def _rank_bm25(tf: DataFrame, dfreq: DataFrame, qterms: DataFrame, *,
-               n_docs: int, avgdl: float, k1: float, b: float,
-               min_idf: float | None, top_k: int,
-               query_id_col: str, id_col: str) -> DataFrame:
+               n_docs: int | None, avgdl: float | None, k1: float,
+               b: float, min_idf: float | None, top_k: int,
+               query_id_col: str, id_col: str,
+               stats: DataFrame | None = None) -> DataFrame:
     """Shared BM25 scoring tail over a ``(doc, dl, term, tf)`` frame —
     the direct and the persisted-index paths both end here, so probe
-    scores are bit-identical to a from-scratch run by construction."""
+    scores are bit-identical to a from-scratch run by construction.
+    ``stats`` (a 1-row ``(__n, __avgdl)`` frame) is the lazy form of
+    the two corpus scalars: broadcast-joined onto the vocabulary-sized
+    ``dfreq``, same doubles as the literal path (r11)."""
+    if stats is not None:
+        dfreq = dfreq.crossJoin(F.broadcast(stats))
+        n_col, avgdl_col = F.col("__n"), F.col("__avgdl")
+    else:
+        n_col, avgdl_col = F.lit(float(n_docs)), F.lit(float(avgdl))
     dfreq = dfreq.withColumn("idf", F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+        F.lit(1.0) + (n_col - F.col("df") + 0.5)
         / (F.col("df") + 0.5)))
     if min_idf is not None:
         dfreq = dfreq.filter(F.col("idf") >= min_idf)
-    contrib = (tf.join(dfreq.select("term", "idf"), "term")
+    keep = ["term", "idf"] + (["__avgdl"] if stats is not None else [])
+    contrib = (tf.join(dfreq.select(*keep), "term")
                .join(F.broadcast(qterms), "term")
                .select("q", "doc",
                        (F.col("idf") * F.col("tf") * (k1 + 1)
                         / (F.col("tf") + F.lit(k1)
-                           * (1 - b + F.lit(b) * F.col("dl") / avgdl)))
+                           * (1 - b + F.lit(b) * F.col("dl") / avgdl_col)))
                        .cast("decimal(38,12)").alias("s")))
     w = Window.partitionBy("q").orderBy(F.desc("bm25"), F.col("doc"))
     return (contrib.groupBy("q", "doc")
