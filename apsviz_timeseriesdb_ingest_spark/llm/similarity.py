@@ -248,9 +248,7 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
               if inv_density else hyperplane_coefficients(dim, bands * planes))
 
     def bucket_col(rows: list[list[float]]) -> Column:
-        sql = _bucket_sql("vec", rows)
-        return F.expr(sql) if sql is not None else \
-            _bucket_from_rows(F.col("vec"), rows)
+        return F.expr(_bucket_sql("vec", rows))
 
     bucket_cols = [
         bucket_col(coeffs[t * planes:(t + 1) * planes]).alias(f"bucket_{t}")
@@ -365,7 +363,7 @@ def ann_assign(vectors: DataFrame, *, id_col: str = "vec_id",
     v = (vectors.select(F.col(id_col).alias("id"),
                         F.col(vec_col).cast("array<double>").alias("vec"))
          .withColumn("nrm", _norm(F.col("vec")))
-         .withColumn("bucket", hyperplane_bucket_col(F.col("vec"), dim, planes)))
+         .withColumn("bucket", hyperplane_bucket_col("vec", dim, planes)))
     cents = (v.filter(F.col("id").isin(centroid_ids))
              .select(F.col("id").alias("centroid_id"),
                      F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm")))
@@ -504,22 +502,29 @@ def hyperplane_tune(n: int, threshold: float, *,
 _EXPAND_MAX_TERMS = 24
 
 
-def _bucket_sql(vec_sql: str, rows: list[list[float]]) -> str | None:
-    """The :func:`_bucket_from_rows` expression as ONE SQL string, or
-    None if any row is too dense to expand. Parses to the identical
-    tree (left-deep double sums, same literals, same CASE shape) so
-    results and codegen are bit-for-bit the same — the difference is
-    driver-side cost: building 96 planes of Column arithmetic is
-    thousands of py4j round-trips (~4.5 s measured per fresh plan at
-    12x8 banding), one ``expr`` string is a single parse call (~0.3 s).
-    """
+def _bucket_sql(vec_sql: str, rows: list[list[float]]) -> str:
+    """The :func:`_bucket_from_rows` expression as ONE SQL string.
+    Parses to the identical tree (left-deep double sums, same literals,
+    same CASE shape; dense rows parse to the identical
+    aggregate/zip_with fold `_dot` builds) so results and codegen are
+    bit-for-bit the same — the difference is driver-side cost: building
+    96 planes of Column arithmetic is thousands of py4j round-trips
+    (~4.5 s measured per fresh plan at 12x8 banding), one ``expr``
+    string is a single parse call (~0.3 s). r11: dense rows no longer
+    bail to the Column builder — they emit the HOF-fold SQL, so the
+    dense-plane paths (ann_assign, hyperplane_lsh_bucket) get the same
+    cheap construction (measured: llm_ann_assign construction 1.1 s ->
+    ~0.3 s)."""
     parts = []
     for p, row in enumerate(rows):
         nonzero = [(i, c) for i, c in enumerate(row) if c != 0.0]
         if len(nonzero) > _EXPAND_MAX_TERMS:
-            return None
-        terms = " + ".join(f"(element_at({vec_sql}, {i + 1}) * {c!r}D)"
-                           for i, c in nonzero)
+            lits = ", ".join(f"{c!r}D" for c in row)
+            terms = (f"aggregate(zip_with({vec_sql}, array({lits}), "
+                     f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        else:
+            terms = " + ".join(f"(element_at({vec_sql}, {i + 1}) * {c!r}D)"
+                               for i, c in nonzero)
         parts.append(f"(CASE WHEN ({terms}) > 0 THEN {2 ** p}L ELSE 0L END)")
     return "CAST(0 AS BIGINT) + " + " + ".join(parts)
 
@@ -549,10 +554,17 @@ def _bucket_from_rows(vec: Column, rows: list[list[float]]) -> Column:
     return bucket
 
 
-def hyperplane_bucket_col(vec: Column, dim: int, planes: int = 8) -> Column:
+def hyperplane_bucket_col(vec: "Column | str", dim: int,
+                          planes: int = 8) -> Column:
     """Sign-random-projection bucket expression: bit p = sign(vec . plane_p).
-    A pure map-side codegen expression over the vector column."""
-    return _bucket_from_rows(vec, hyperplane_coefficients(dim, planes))
+    A pure map-side expression over the vector column. Pass the vector
+    as SQL TEXT (a column name or expression string) to build the
+    expression via one ``expr`` parse instead of per-term py4j calls —
+    identical tree either way (r11, see :func:`_bucket_sql`)."""
+    rows = hyperplane_coefficients(dim, planes)
+    if isinstance(vec, str):
+        return F.expr(_bucket_sql(vec, rows))
+    return _bucket_from_rows(vec, rows)
 
 
 def hyperplane_lsh_bucket(vectors: DataFrame, *, id_col: str = "vec_id",
@@ -563,9 +575,9 @@ def hyperplane_lsh_bucket(vectors: DataFrame, *, id_col: str = "vec_id",
     bucket bit p = sign(vec . plane_p). Pure map-side expression; at scale
     this is the partition/bucketing key that turns ANN into an equi-join.
     """
-    v = F.col(vec_col).cast("array<double>")
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     return vectors.select(
-        id_col, hyperplane_bucket_col(v, dim, planes).alias("bucket"))
+        id_col, hyperplane_bucket_col(v_sql, dim, planes).alias("bucket"))
 
 
 def _centroid_argmin_expr(centroids: list[list[float]], vec: Column,

@@ -57,6 +57,14 @@ DEFAULT_CONF = {
     # for cluster deployments (local mode shares the driver JVM).
     "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
     "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+    # Codegen class cache (static conf, default 100 entries): a
+    # multi-query session — the bench suite alone has ~36 queries with
+    # several WholeStageCodegen units each — overflows the default LRU
+    # and re-runs janino + C2 JIT on plans that were already compiled,
+    # turning warm passes cold (r11; each big generated method costs
+    # 100-500 ms to recompile). Entries are compiled classes (KBs), so
+    # 5000 is noise against the 8g driver heap.
+    "spark.sql.codegen.cache.maxEntries": "5000",
 }
 
 
