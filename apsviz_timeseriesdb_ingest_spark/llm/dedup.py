@@ -693,7 +693,15 @@ def _local_components(edges: DataFrame) -> DataFrame:
     :data:`LOCAL_CC_MAX_EDGES` the edge list is planning-metadata-sized,
     and collapsing O(rounds) Spark jobs to one collect is exactly the
     hybrid every production CC takes for tiny residual graphs."""
-    rows = edges.select("a", "b").collect()
+    return _local_components_rows(edges.select("a", "b").collect(),
+                                  edges.schema["a"].dataType,
+                                  edges.sparkSession)
+
+
+def _local_components_rows(rows, dt, spark) -> DataFrame:
+    """Union-find over already-collected (a, b) rows — the shared tail
+    of :func:`_local_components` and the auto path's bounded
+    limit-probe (r11)."""
     parent: dict = {}
 
     def find(x):
@@ -713,10 +721,9 @@ def _local_components(edges: DataFrame) -> DataFrame:
     out = [(n, find(n)) for n in sorted(nodes)]
     from pyspark.sql.types import StructField, StructType
 
-    dt = edges.schema["a"].dataType
     schema = StructType([StructField("node", dt),
                          StructField("label", dt)])
-    return edges.sparkSession.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
@@ -834,16 +841,30 @@ def neardup_clusters(pairs: DataFrame, *, max_iters: int = 20,
     # star CC re-orients greatest→least as its own first step, and
     # label propagation gets the symmetric view built cheaply ON TOP
     # of the cut (two scans of the checkpoint, not of the pair join).
-    edges = cut(pairs.select(F.least("doc_a", "doc_b").alias("a"),
-                             F.greatest("doc_a", "doc_b").alias("b"))
-                .filter(F.col("a") != F.col("b"))
-                .distinct(), "edges")
+    edges_expr = (pairs.select(F.least("doc_a", "doc_b").alias("a"),
+                               F.greatest("doc_a", "doc_b").alias("b"))
+                  .filter(F.col("a") != F.col("b"))
+                  .distinct())
     if algorithm == "auto":
-        # the edge frame is materialized (cut), so the count is one
-        # cheap job over the checkpoint, not a recompute of the pair
-        # join
-        algorithm = ("local" if edges.count() <= local_max_edges
-                     else "star")
+        # ONE bounded job replaces the r10 cut+count+collect triple:
+        # limit(gate+1).collect() is driver-bounded BY CONSTRUCTION
+        # (CollectLimit stops reading partitions once satisfied), and
+        # when it returns <= gate rows those ARE the complete edge set
+        # — run union-find directly, no edge checkpoint needed at all.
+        # Over the gate, the probe's rows are discarded and the
+        # distributed star path materializes the edges cut as before
+        # (one extra partial evaluation of the pair lineage — the
+        # at-scale case, where the probe stops early).
+        probe = (edges_expr.limit(local_max_edges + 1)
+                 .collect())
+        if len(probe) <= local_max_edges:
+            labels = _local_components_rows(
+                probe, edges_expr.schema["a"].dataType,
+                pairs.sparkSession)
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
+        algorithm = "star"
+    edges = cut(edges_expr, "edges")
     if algorithm == "local":
         labels = _local_components(edges)
         return labels.select(F.col("node").alias("doc_id"),
