@@ -12,14 +12,16 @@ steady-state execution cost, the number that scales with data volume
 (compile is a constant; at 100 TB it vanishes, locally it dominates
 several lines — see NOTES_r3).
 
-"queries_warm_median"/"warm_median_total" (r8 verdict task 3) are the
-NOISE-ROBUST per-query map: the per-query median of THREE warm passes.
-Single-shot numbers at sub-second-to-few-second scale carry session
-jitter (the r8 driver session recorded q5 cold 4x slower than the
-committed same-code run; warm numbers agreed within ~8%) — the warm
-median is the map that carries the 2x performance contract
-(BASELINE.md §"what carries the contract"); the single-shot fields
-stay for cross-round comparability.
+"queries"/"warm_median_total" (r8 verdict task 3; renamed from
+"queries_warm_median" in r12 so the driver's PERF comparator — which
+keys on "queries" — sees it) are the NOISE-ROBUST per-query map: the
+per-query median of THREE warm passes. Single-shot numbers at
+sub-second-to-few-second scale carry session jitter (the r8 driver
+session recorded q5 cold 4x slower than the committed same-code run;
+warm numbers agreed within ~8%) — the warm median is the map that
+carries the 2x performance contract (BASELINE.md §"what carries the
+contract"); the single-shot cold fields stay as "queries_cold" for
+cross-round comparability.
 """
 
 from __future__ import annotations
@@ -79,21 +81,29 @@ def main() -> None:
         "metric": "headline_suite_total",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "queries": timings,
+        # "queries" is the per-query map the driver's PERF comparator
+        # consumes (r11 verdict task 1): it MUST be on the printed line.
+        # Its values are the noise-robust warm MEDIANS — the contract
+        # carrier per BASELINE.md (single-shot cold numbers at sub-second
+        # scale are documented 2x weather). The cold single-shot map
+        # stays in the record as "queries_cold" for cross-round
+        # comparability (r11 and earlier printed it as "queries" when it
+        # fit; BENCH_LAST.json keeps every map in full).
+        "queries": warm_median,
+        "queries_cold": timings,
         "queries_warm": warm,
-        "queries_warm_median": warm_median,
         "warm_total": round(sum(warm.values()), 3),
         "warm_median_total": round(sum(warm_median.values()), 3),
         "value": round(sum(timings.values()), 3),
     }
     # the driver keeps only a ~2000-char tail of stdout, and the full
     # multi-map record outgrew it (r7 verdict task 6: BENCH_r07's json
-    # was head-clipped → unparseable). Persist the COMPLETE record to
-    # BENCH_LAST.json, and print a line that is itself a complete,
-    # parseable record. The printed maps are the cold single-shot
-    # (historical comparability) and the warm MEDIAN (the contract
-    # carrier); if two maps ever outgrow the tail, drop the cold map
-    # first — BENCH_LAST.json always keeps everything.
+    # was head-clipped → unparseable; r10/r11: the >1950-char line
+    # dropped "queries" and PERF parsed empty). Persist the COMPLETE
+    # record to BENCH_LAST.json, and print a line that is itself a
+    # complete, parseable record carrying "queries" UNCONDITIONALLY —
+    # if the line outgrows the tail budget, drop the cold map first,
+    # never "queries".
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LAST.json"), "w") as f:
@@ -103,7 +113,7 @@ def main() -> None:
     printed = {k: v for k, v in record.items() if k != "queries_warm"}
     compact = dict(separators=(",", ":"))
     if len(json.dumps(printed, **compact)) > 1950:
-        printed = {k: v for k, v in printed.items() if k != "queries"}
+        printed = {k: v for k, v in printed.items() if k != "queries_cold"}
     print(json.dumps(printed, **compact))
 
 
