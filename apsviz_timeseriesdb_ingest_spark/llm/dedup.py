@@ -358,6 +358,13 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame, *,
     bounded by the candidate count, the contamination_report trick) →
     keep pairs at/above ``threshold``. Same LSH recall caveat as any
     banded probe: a true near-dup colliding in no band is missed.
+
+    The two corpora run through ONE side-tagged union (r11), so their
+    ``id_col`` (and ``text_col``) types must be union-compatible:
+    heterogeneous id types (a string eval-set id vs a bigint corpus
+    id) fail at analysis, or silently widen to the common type — cast
+    one side's id to the other's type first (the output carries only
+    CORPUS ids, so casting ``reference``'s id is always shape-safe).
     """
     from ..operators.itercheckpoint import LineageCutter
 
@@ -488,7 +495,9 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
 def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
                           id_col: str = "doc_id", bits: int = 60,
                           max_hamming: int = 4, n_blocks: int | None = None,
-                          fast: bool = False) -> DataFrame:
+                          fast: bool = False, materialize: bool = True,
+                          checkpoint_catalog=None,
+                          checkpoint_prefix: str = "simhash") -> DataFrame:
     """SimHash near-duplicate pairs (hamming <= ``max_hamming``) via
     pigeonhole block banding — EXACT results with no O(n^2) stage.
 
@@ -510,7 +519,21 @@ def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
     perfectly uniform (topical correlation), so widths below ~10 bits
     per block are the practical danger zone; 12 bits keeps candidate
     generation sub-quadratic through ~10^9 docs.
+
+    ``materialize`` (default True) cuts the signature frame's lineage
+    at CONSTRUCTION time — building the returned DataFrame runs Spark
+    jobs, a deliberate side effect (the block-band self-join would
+    otherwise re-run the whole signature lineage on its broadcast
+    build side). Plan-only callers (explain/registration) pass
+    ``materialize=False`` for a pure-lazy frame. With the default
+    ``checkpoint_catalog=None`` the cut is a ``localCheckpoint`` whose
+    blocks live on executors — an executor loss mid-join kills the job
+    on a real cluster; pass a ``Catalog`` to route the cut through a
+    durable ``{checkpoint_prefix}_sig_0`` table instead
+    (``operators.itercheckpoint`` contract).
     """
+    from ..operators.itercheckpoint import LineageCutter
+
     n_blocks = n_blocks or (max_hamming + 1)
     # materialize the signature frame ONCE: the block-band equi-join
     # aliases it as both sides, and the broadcast build otherwise
@@ -520,7 +543,10 @@ def simhash_neardup_pairs(df: DataFrame, *, text_col: str = "text",
     # pass. The frame is narrow (id + one bigint per doc), so the
     # checkpoint is corpus-row-count-sized, not corpus-sized.
     sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
-                  fast=fast).localCheckpoint(eager=True)
+                  fast=fast)
+    if materialize:
+        sig = LineageCutter(checkpoint_catalog, checkpoint_prefix)(
+            sig, "sig")
     bounds = []
     lo = 0
     for i in range(n_blocks):

@@ -132,18 +132,22 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
                     "than the request; raise iters or drop the "
                     f"'{progress_table}' tables for a fresh run")
             es = checkpoint_catalog.read(f"{checkpoint_prefix}_edges_0")
-            nodes = checkpoint_catalog.read(f"{checkpoint_prefix}_nodes_0")
-            outdeg = checkpoint_catalog.read(
-                f"{checkpoint_prefix}_outdeg_0")
             ranks = checkpoint_catalog.read(ranks_tbl)
-            n = nodes.count()
+            if "out" not in ranks.columns:
+                # ranks slot written before r12 (state was (node, rank);
+                # out-degree folded into the state since) — rebuild the
+                # folded form once from the durable outdeg slot; the
+                # decimal-grid update is identical either way
+                outdeg = checkpoint_catalog.read(
+                    f"{checkpoint_prefix}_outdeg_0")
+                ranks = ranks.join(outdeg, "node", "left") \
+                    .select("node", "rank", "out")
             cut.seed("edges", 1)
             cut.seed("nodes", 1)
             cut.seed("outdeg", 1)
             cut.seed("ranks", done)
             for i in range(done, iters):
-                ranks = _pagerank_pass(es, nodes, outdeg, ranks, n,
-                                       damping, cut)
+                ranks = _pagerank_pass(es, ranks, damping, cut)
                 if cut.last_written is not None:
                     checkpoint_catalog.overwrite(
                         es.sparkSession.createDataFrame(
@@ -160,17 +164,29 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
                               F.col(weight_col).cast("double").alias("w"))
                  .groupBy("src", "dst").agg(F.sum("w").alias("w")),
                  "edges")
-    nodes = cut(es.select(F.col("src").alias("node"))
-                .unionByName(es.select(F.col("dst").alias("node")))
-                .distinct(), "nodes")
-    n = nodes.count()
-    if not n:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = cut(es.groupBy("src").agg(F.sum("w").alias("out"))
-                 .withColumnRenamed("src", "node"), "outdeg")
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    nodes = (es.select(F.col("src").alias("node"))
+             .unionByName(es.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = (es.groupBy("src").agg(F.sum("w").alias("out"))
+              .withColumnRenamed("src", "node"))
+    if checkpoint_catalog is not None:
+        # durable slots are the resume contract; in local mode both
+        # frames fold into the first pass's cut instead (2 fewer jobs)
+        nodes = cut(nodes, "nodes")
+        outdeg = cut(outdeg, "outdeg")
+    # node count rides as a broadcast one-row aggregate (same fold as
+    # the per-pass dangling scalar, r12): no driver count job, and the
+    # initial 1/n is the identical IEEE double division. The old n == 0
+    # early return is subsumed: an empty graph flows through as empty
+    # frames (per-row expressions never evaluate) with the same
+    # (node, rank) schema.
+    nfr = (nodes.agg(F.count("*").cast("double").alias("__n")))
+    ranks = (nodes.join(outdeg, "node", "left")
+             .crossJoin(F.broadcast(nfr))
+             .select("node", (F.lit(1.0) / F.col("__n")).alias("rank"),
+                     "out"))
     for i in range(iters):
-        ranks = _pagerank_pass(es, nodes, outdeg, ranks, n, damping, cut)
+        ranks = _pagerank_pass(es, ranks, damping, cut)
         if checkpoint_catalog is not None and cut.last_written is not None:
             checkpoint_catalog.overwrite(
                 es.sparkSession.createDataFrame(
@@ -179,8 +195,7 @@ def pagerank(edges: DataFrame, *, src_col: str = "src",
     return ranks.select("node", F.round("rank", 12).alias("rank"))
 
 
-def _pagerank_pass(es: DataFrame, nodes: DataFrame, outdeg: DataFrame,
-                   ranks: DataFrame, n: int, damping: float,
+def _pagerank_pass(es: DataFrame, ranks: DataFrame, damping: float,
                    cut) -> DataFrame:
     """One PageRank iteration (shared by the fresh and resumed loops).
 
@@ -189,35 +204,46 @@ def _pagerank_pass(es: DataFrame, nodes: DataFrame, outdeg: DataFrame,
     count/order — reruns are bit-identical (ADVICE r3; the serial
     reference accumulates the same grid values).
 
+    State is ONE ``(node, rank, out)`` frame (out-degree folded in,
+    r12): each pass is a single node-keyed join (state ⋈ contributions)
+    instead of the former two (state ⋈ outdeg, nodes ⋈ contributions) —
+    one exchange less per iteration at any scale. ``out`` is NULL
+    exactly for dangling nodes, so the dangling filter is unchanged
+    (``rank / out`` is NULL iff ``out`` is — rank is never NULL).
+
     The dangling-mass/teleport base rides as a BROADCAST one-row frame
-    (a scalar subquery), not a driver collect: each iteration is one
-    Spark job with ZERO driver round-trips — on a cluster the removed
-    per-iteration driver barrier is the latency floor of the loop. The
-    arithmetic is the identical left-to-right double expression the
-    collected-scalar form evaluated (same IEEE ops, same grid values —
-    parity tests and the driver-gate oracle pin it)."""
-    rated = (ranks.join(outdeg, "node", "left")
-             .select("node", "rank",
-                     (F.col("rank") / F.col("out")).alias("rate")))
+    (a scalar subquery), not a driver collect — and the node count
+    folds into the SAME aggregate, so each iteration is one Spark job
+    with ZERO driver round-trips. The arithmetic is the identical
+    left-to-right double expression the collected-scalar form
+    evaluated (same IEEE ops, same grid values — parity tests and the
+    driver-gate oracle pin it)."""
     base_frame = (
-        rated.filter(F.col("rate").isNull())
-        .agg(F.coalesce(
-            F.sum(F.round(F.col("rank"), 12).cast("decimal(38,12)")),
-            F.lit(0).cast("decimal(38,12)")).cast("double").alias("dang"))
-        .select((F.lit((1.0 - damping) / n)
-                 + F.lit(damping) * F.col("dang") / F.lit(float(n)))
-                .alias("base")))
-    contrib = (es.join(rated.filter(F.col("rate").isNotNull())
-                       .select(F.col("node").alias("src"), "rate"),
+        ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("out").isNull(),
+                             F.round(F.col("rank"), 12)
+                             .cast("decimal(38,12)"))),
+                F.lit(0).cast("decimal(38,12)")).cast("double")
+            .alias("dang"),
+            F.count("*").cast("double").alias("n"))
+        .select(F.when(F.col("n") > 0,
+                       F.lit(1.0 - damping) / F.col("n")
+                       + F.lit(damping) * F.col("dang") / F.col("n"))
+                .otherwise(F.lit(0.0)).alias("base")))
+    rate = (F.col("rank") / F.col("out")).alias("rate")
+    contrib = (es.join(ranks.select(F.col("node").alias("src"), rate)
+                       .filter(F.col("rate").isNotNull()),
                        "src")
                .groupBy("dst")
                .agg(F.sum(F.round(F.col("w") * F.col("rate"), 12)
                           .cast("decimal(38,12)")).alias("c"))
                .withColumnRenamed("dst", "node"))
-    out = (nodes.join(contrib, "node", "left")
+    out = (ranks.select("node", "out").join(contrib, "node", "left")
            .crossJoin(F.broadcast(base_frame))
            .select("node",
                    (F.col("base") + F.lit(damping)
                     * F.coalesce(F.col("c").cast("double"), F.lit(0.0)))
-                   .alias("rank")))
+                   .alias("rank"),
+                   "out"))
     return cut(out, "ranks")

@@ -132,10 +132,14 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, *, top_k: int = 10,
     stats = None
     if n_docs is None or avgdl is None:
         # lazy corpus stats: a 1-row (n, avgdl) aggregate broadcast
-        # into the scoring plan — same exact-integer division (long
-        # total / long count = the same IEEE double the collected
-        # path produced), the empty corpus yields an empty result
-        # through the plan itself (no rows ever reach the division)
+        # into the scoring plan — same doubles as the collected path
+        # for any token total below 2^53 (Spark's long/long division
+        # widens both operands to double first, while Python's int
+        # true division is correctly rounded: the two can differ by
+        # an ulp once sum(dl) exceeds 2^53 ≈ 9e15 tokens — beyond any
+        # real corpus, but not "any scale"); the empty corpus yields
+        # an empty result through the plan itself (no rows ever reach
+        # the division)
         stats = base.agg(
             F.count("*").cast("double").alias("__n"),
             F.when(F.count("*") > 0,
