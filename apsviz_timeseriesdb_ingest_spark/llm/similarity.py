@@ -221,10 +221,10 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("vec"))
     v = v.withColumn("nrm", _norm(F.col("vec")))
-    sim = F.when((F.col("a.nrm") != 0) & (F.col("b.nrm") != 0),
-                 _dot(F.col("a.vec"), F.col("b.vec"))
-                 / (F.col("a.nrm") * F.col("b.nrm"))).otherwise(F.lit(0.0))
     if not planes:
+        sim = F.when((F.col("a.nrm") != 0) & (F.col("b.nrm") != 0),
+                     _dot(F.col("a.vec"), F.col("b.vec"))
+                     / (F.col("a.nrm") * F.col("b.nrm"))).otherwise(F.lit(0.0))
         return (
             v.alias("a").join(v.alias("b"), F.col("a.id") < F.col("b.id"))
             .withColumn("sim", F.round(sim, 6))
@@ -243,19 +243,19 @@ def embedding_neardup_pairs(vectors: DataFrame, *, id_col: str = "vec_id",
     v = v.repartition(par, "id")
     # per-band buckets are pure map-side expressions over the vector;
     # band t uses hyperplanes [t*planes, (t+1)*planes) of one shared
-    # deterministic family, so Spark and any oracle agree literally
+    # deterministic family, so Spark and any oracle agree literally.
+    # All `bands` bucket expressions inline into ONE stack() selectExpr:
+    # parsing 12 separate band expressions through F.expr cost ~0.5 s
+    # of driver-side construction per query (the r11 py4j/parse lesson
+    # — build wide expressions as one SQL string); one parse emits the
+    # identical per-row arithmetic.
     coeffs = (sparse_hyperplane_rows(dim, bands * planes, inv_density)
               if inv_density else hyperplane_coefficients(dim, bands * planes))
-
-    def bucket_col(rows: list[list[float]]) -> Column:
-        return F.expr(_bucket_sql("vec", rows))
-
-    bucket_cols = [
-        bucket_col(coeffs[t * planes:(t + 1) * planes]).alias(f"bucket_{t}")
-        for t in range(bands)]
-    stack = ", ".join(f"{t}, bucket_{t}" for t in range(bands))
-    buckets = (v.select("id", *bucket_cols)
-               .selectExpr("id AS doc", f"stack({bands}, {stack}) AS (band, bucket)"))
+    stack = ", ".join(
+        f"{t}, ({_bucket_sql('vec', coeffs[t * planes:(t + 1) * planes])})"
+        for t in range(bands))
+    buckets = v.selectExpr(
+        "id AS doc", f"stack({bands}, {stack}) AS (band, bucket)")
     cand = lsh_pairs_from_buckets(buckets, max_bucket_size=max_bucket_size)
     # pair-gen leaves cand AQE-coalesced to few partitions on small
     # inputs; spread the verify (the expensive stage) across cores.

@@ -57,6 +57,18 @@ DEFAULT_CONF = {
     # for cluster deployments (local mode shares the driver JVM).
     "spark.driver.extraJavaOptions": "-XX:-DontCompileHugeMethods",
     "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
+    # PySpark 4 wraps every DataFrame/Column API call to capture the
+    # Python call site for error messages (errors/utils._with_origin);
+    # with the default spark.python.sql.dataFrameDebugging.enabled=true
+    # each wrapped call costs a getActiveSession + a conf RPC + two
+    # PySparkCurrentOrigin py4j calls + an inspect stack walk — pure
+    # driver-side query-CONSTRUCTION overhead (measured r12: ~0.2-0.5 s
+    # per suite query, ~900 py4j round-trips building one LSH query).
+    # Disabling it only drops the call-site line from error messages;
+    # plans and results are untouched. Runtime-settable, but the
+    # pyspark-side flag is CACHED at the first wrapped call, so it must
+    # be set at session build (this factory) to take effect.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Codegen class cache (static conf, default 100 entries): a
     # multi-query session — the bench suite alone has ~36 queries with
     # several WholeStageCodegen units each — overflows the default LRU
@@ -90,7 +102,12 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     AQE are runtime-settable, so pin them for deterministic results.
     """
     for k in ("spark.sql.session.timeZone", "spark.sql.adaptive.enabled",
-              "spark.sql.execution.arrow.pyspark.enabled"):
+              "spark.sql.execution.arrow.pyspark.enabled",
+              # construction-cost flag (see DEFAULT_CONF): pyspark
+              # caches it at the FIRST wrapped DataFrame call, and
+              # tables() runs this before any query op, so the
+              # harness's plain session latches it off too
+              "spark.python.sql.dataFrameDebugging.enabled"):
         try:
             spark.conf.set(k, DEFAULT_CONF.get(k, "true"))
         except Exception:  # pragma: no cover - conf may be fixed; best effort

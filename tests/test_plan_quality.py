@@ -237,9 +237,11 @@ def test_pagerank_pass_broadcast_base_no_driver_collect(spark):
              .distinct())
     outdeg = (es.groupBy("src").agg(F.sum("w").alias("out"))
               .withColumnRenamed("src", "node"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / 7))
-    out = _pagerank_pass(es, nodes, outdeg, ranks, 7, 0.85,
-                         lambda df, name=None: df)
+    # r12 state shape: (node, rank, out) with out-degree folded in
+    ranks = (nodes.join(outdeg, "node", "left")
+             .withColumn("rank", F.lit(1.0 / 7))
+             .select("node", "rank", "out"))
+    out = _pagerank_pass(es, ranks, 0.85, lambda df, name=None: df)
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" in plan or \
         "BroadcastHashJoin" in plan  # the one-row base broadcasts
